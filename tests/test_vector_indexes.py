@@ -1,0 +1,240 @@
+"""Vector index tests: corpus mutation, flat exact search, PQ, IVF recall.
+
+Property tier of the test pyramid (SURVEY.md §4): recall@k vs exact flat
+scan oracles, mutation/tombstone semantics, persistence round-trips.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tostore_tpu.vector import (
+    DeviceCorpus,
+    FlatVectorIndex,
+    IVFVectorIndex,
+    train_pq,
+    pq_encode,
+    adc_search,
+)
+from tostore_tpu.vector.pq import pq_decode, auto_subspaces
+
+
+def exact_topk(q, x, k, metric="cosine"):
+    if metric == "cosine":
+        qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
+        xn = x / np.linalg.norm(x, axis=-1, keepdims=True)
+        s = qn @ xn.T
+        return np.argsort(-s, axis=-1)[..., :k]
+    if metric == "l2":
+        d = np.linalg.norm(q[:, None, :] - x[None], axis=-1)
+        return np.argsort(d, axis=-1)[..., :k]
+    return np.argsort(-(q @ x.T), axis=-1)[..., :k]
+
+
+class TestDeviceCorpus:
+    def test_upsert_delete_compact(self, rng):
+        c = DeviceCorpus(dims=32)
+        x = rng.standard_normal((10, 32)).astype(np.float32)
+        slots = c.upsert([f"pk{i}" for i in range(10)], x)
+        assert len(c) == 10 and c.capacity >= 10
+        np.testing.assert_allclose(c.get_vectors(["pk3"]), x[3:4], rtol=1e-6)
+        # overwrite
+        c.upsert(["pk3"], x[0:1])
+        np.testing.assert_allclose(c.get_vectors(["pk3"]), x[0:1], rtol=1e-6)
+        assert len(c) == 10
+        # delete
+        assert c.delete(["pk1", "pk9", "nope"]) == 2
+        assert len(c) == 8 and c.deleted_count == 2
+        # slot reuse
+        c.upsert(["pk_new"], x[5:6])
+        assert len(c) == 9 and c.deleted_count == 1
+        # compact re-packs
+        c.compact()
+        assert c.deleted_count == 0 and len(c) == 9
+        np.testing.assert_allclose(c.get_vectors(["pk3"]), x[0:1], rtol=1e-6)
+
+    def test_int8_roundtrip(self, rng):
+        c = DeviceCorpus(dims=16, precision="int8")
+        x = np.clip(rng.standard_normal((4, 16)).astype(np.float32) * 0.3, -1, 1)
+        c.upsert([1, 2, 3, 4], x)
+        back = c.get_vectors([1, 2, 3, 4])
+        np.testing.assert_allclose(back, x, atol=1.0 / 127)
+
+    def test_state_dict_roundtrip(self, rng):
+        c = DeviceCorpus(dims=8, precision="bfloat16", normalize=True)
+        x = rng.standard_normal((5, 8)).astype(np.float32)
+        c.upsert(list("abcde"), x)
+        c.delete(["b"])
+        c2 = DeviceCorpus.from_state_dict(c.state_dict())
+        assert len(c2) == 4
+        assert set(c2._pk_slot) == {"a", "c", "d", "e"}
+
+
+class TestFlatIndex:
+    @pytest.mark.parametrize("metric", ["cosine", "l2", "dot"])
+    def test_exact_recall(self, rng, metric):
+        n, d, k = 500, 64, 10
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        idx = FlatVectorIndex(d, metric=metric)
+        idx.upsert(list(range(n)), x)
+        q = rng.standard_normal((5, d)).astype(np.float32)
+        _, _, pks = idx.search_arrays(q, k)
+        ref = exact_topk(q, x, k, metric)
+        for row, rref in zip(pks, ref):
+            got = {p for p in row if p is not None}
+            assert len(got & set(rref.tolist())) >= k - 1  # ties tolerance
+
+    def test_search_result_semantics(self, rng):
+        d = 32
+        x = rng.standard_normal((50, d)).astype(np.float32)
+        idx = FlatVectorIndex(d, metric="l2")
+        idx.upsert([f"r{i}" for i in range(50)], x)
+        res = idx.search(x[7], top_k=3)
+        assert res[0].primary_key == "r7"
+        assert res[0].distance == pytest.approx(0.0, abs=1e-2)
+        assert res[0].score == pytest.approx(1.0 / (1.0 + res[0].distance), rel=1e-5)
+        assert res[0].distance <= res[1].distance <= res[2].distance
+
+    def test_threshold_filters(self, rng):
+        d = 16
+        x = rng.standard_normal((20, d)).astype(np.float32)
+        idx = FlatVectorIndex(d, metric="l2")
+        idx.upsert(list(range(20)), x)
+        res = idx.search(x[0], top_k=5, threshold=1e-3)
+        assert len(res) == 1 and res[0].primary_key == 0
+
+    def test_delete_excludes_from_search(self, rng):
+        d = 16
+        x = rng.standard_normal((30, d)).astype(np.float32)
+        idx = FlatVectorIndex(d, metric="cosine")
+        idx.upsert(list(range(30)), x)
+        top = idx.search(x[5], top_k=1)[0]
+        assert top.primary_key == 5
+        idx.delete([5])
+        top = idx.search(x[5], top_k=1)[0]
+        assert top.primary_key != 5
+
+    def test_slot_mask_hybrid(self, rng):
+        d = 16
+        x = rng.standard_normal((40, d)).astype(np.float32)
+        idx = FlatVectorIndex(d, metric="cosine")
+        idx.upsert(list(range(40)), x)
+        # mask allows only even slots
+        mask = jnp.asarray(np.arange(idx.corpus.capacity) % 2 == 0)
+        res = idx.search(x[11], top_k=10, slot_mask=mask)
+        assert res and all((r.primary_key % 2 == 0) for r in res)
+
+    def test_empty_index(self):
+        idx = FlatVectorIndex(8)
+        assert idx.search(np.zeros(8), top_k=3) == []
+
+    def test_persistence(self, rng):
+        d = 16
+        x = rng.standard_normal((25, d)).astype(np.float32)
+        idx = FlatVectorIndex(d, metric="cosine")
+        idx.upsert(list(range(25)), x)
+        idx2 = FlatVectorIndex.from_state_dict(idx.state_dict())
+        r1 = [r.primary_key for r in idx.search(x[3], top_k=5)]
+        r2 = [r.primary_key for r in idx2.search(x[3], top_k=5)]
+        assert r1 == r2
+
+
+class TestPQ:
+    def test_auto_subspaces(self):
+        assert auto_subspaces(128) == 16
+        assert auto_subspaces(768) == 96
+        assert auto_subspaces(64) == 8
+
+    def test_encode_decode_reduces_error(self, rng):
+        n, d = 1000, 64
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        cb = train_pq(x, m=8, k=64, iters=8)
+        codes = pq_encode(cb.codebooks, jnp.asarray(x))
+        assert codes.shape == (n, 8) and codes.dtype == jnp.uint8
+        rec = np.asarray(pq_decode(cb.codebooks, codes))
+        err = np.mean(np.sum((x - rec) ** 2, axis=1)) / np.mean(np.sum(x**2, axis=1))
+        assert err < 0.6  # 8 subspaces x 64 centroids on random data
+
+    def test_adc_recall_vs_exact(self, rng):
+        n, d, k = 2000, 64, 10
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        cb = train_pq(x, m=16, k=128, iters=8)
+        codes = pq_encode(cb.codebooks, jnp.asarray(x))
+        q = rng.standard_normal((4, d)).astype(np.float32)
+        _, idx = adc_search(cb, codes, jnp.asarray(q), 50, metric="l2")
+        ref = exact_topk(q, x, k, "l2")
+        # true top-10 should mostly appear in ADC top-50
+        for arow, rrow in zip(np.asarray(idx), ref):
+            assert len(set(arow.tolist()) & set(rrow.tolist())) >= 6
+
+    def test_deterministic_seeded(self, rng):
+        x = rng.standard_normal((500, 32)).astype(np.float32)
+        c1 = train_pq(x, m=4, k=32, seed=42)
+        c2 = train_pq(x, m=4, k=32, seed=42)
+        np.testing.assert_array_equal(np.asarray(c1.codebooks), np.asarray(c2.codebooks))
+
+
+class TestIVF:
+    def test_recall_vs_flat(self, rng):
+        # clustered data (IVF's regime): mixture of 32 Gaussians
+        n, d, k, nc = 3200, 64, 10, 32
+        centers = rng.standard_normal((nc, d)).astype(np.float32) * 4
+        x = (centers[np.arange(n) % nc] + rng.standard_normal((n, d)) * 0.5).astype(
+            np.float32
+        )
+        idx = IVFVectorIndex(d, metric="cosine", num_clusters=nc, nprobe=8)
+        idx.upsert(list(range(n)), x)
+        assert idx.trained
+        qi = rng.choice(n, 8, replace=False)
+        q = (x[qi] + rng.standard_normal((8, d)).astype(np.float32) * 0.1)
+        _, _, pks = idx.search_arrays(q, k)
+        ref = exact_topk(q, x, k, "cosine")
+        recalls = []
+        for row, rref in zip(pks, ref):
+            got = {p for p in row if p is not None}
+            recalls.append(len(got & set(rref.tolist())) / k)
+        assert np.mean(recalls) >= 0.9
+
+    def test_full_probe_is_exact(self, rng):
+        n, d, k = 1000, 32, 5
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        idx = IVFVectorIndex(d, metric="l2", num_clusters=16, nprobe=16)
+        idx.upsert(list(range(n)), x)
+        q = rng.standard_normal((4, d)).astype(np.float32)
+        _, _, pks = idx.search_arrays(q, k, nprobe=16)
+        ref = exact_topk(q, x, k, "l2")
+        for row, rref in zip(pks, ref):
+            got = {p for p in row if p is not None}
+            assert len(got & set(rref.tolist())) >= k - 1
+
+    def test_small_corpus_falls_back_exact(self, rng):
+        d = 16
+        x = rng.standard_normal((20, d)).astype(np.float32)
+        idx = IVFVectorIndex(d, metric="cosine")
+        idx.upsert(list(range(20)), x)
+        assert not idx.trained  # below min_train_size
+        res = idx.search(x[3], top_k=1)
+        assert res[0].primary_key == 3
+
+    def test_incremental_insert_and_delete(self, rng):
+        d = 32
+        x = rng.standard_normal((600, d)).astype(np.float32)
+        idx = IVFVectorIndex(d, metric="l2", num_clusters=8, nprobe=8, min_train_size=100)
+        idx.upsert(list(range(400)), x[:400])
+        assert idx.trained
+        idx.upsert(list(range(400, 600)), x[400:])  # post-training inserts
+        res = idx.search(x[555], top_k=1)
+        assert res[0].primary_key == 555
+        idx.delete([555])
+        res = idx.search(x[555], top_k=1)
+        assert res[0].primary_key != 555
+
+    def test_persistence(self, rng):
+        d = 32
+        x = rng.standard_normal((500, d)).astype(np.float32)
+        idx = IVFVectorIndex(d, metric="cosine", num_clusters=8, nprobe=8, min_train_size=100)
+        idx.upsert(list(range(500)), x)
+        idx2 = IVFVectorIndex.from_state_dict(idx.state_dict())
+        r1 = [r.primary_key for r in idx.search(x[42], top_k=5)]
+        r2 = [r.primary_key for r in idx2.search(x[42], top_k=5)]
+        assert r1[0] == r2[0] == 42

@@ -69,6 +69,8 @@ def flat_topk_xla(q, corpus, bias, alpha, k):
     while XLA's native TopK does the selection."""
     n, d = corpus.shape
     b = q.shape[0]
+    if corpus.dtype == jnp.int8:  # int8 storage scores in bf16
+        corpus = corpus.astype(jnp.bfloat16)
     qc = q.astype(corpus.dtype)
     prec = _dot_precision(corpus.dtype)
 
@@ -109,12 +111,15 @@ def flat_topk_xla(q, corpus, bias, alpha, k):
 
 
 def _lane_topk_kernel(alpha, blk_n, q_ref, c_ref, b_ref, out_s_ref, out_i_ref):
+    c = c_ref[...]
+    if c.dtype == jnp.int8:  # int8 storage scores in bf16 on the MXU
+        c = c.astype(jnp.bfloat16)
     s = jax.lax.dot_general(
         q_ref[...],
-        c_ref[...],
+        c,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_dot_precision(c_ref.dtype),
+        precision=_dot_precision(c.dtype),
     )
     s = alpha * s + b_ref[...]  # b_ref block (1, BLK_N) broadcasts over rows
     blk_b = s.shape[0]
@@ -165,7 +170,8 @@ def fused_flat_topk(q, corpus, bias, *, k: int, alpha: float = 1.0, blk_n: int =
     b_pad = round_up(b, blk_b)
     if b_pad != b:
         q = jnp.pad(q, ((0, b_pad - b), (0, 0)))
-    q = q.astype(corpus.dtype)
+    q_dtype = jnp.bfloat16 if corpus.dtype == jnp.int8 else corpus.dtype
+    q = q.astype(q_dtype)
 
     n_blocks = n // blk_n
     b_blocks = b_pad // blk_b

@@ -1,0 +1,250 @@
+"""DeviceCorpus — a growable, mutable vector matrix in HBM.
+
+This replaces the reference's entire NGH storage substrate: 16 KB paged
+raw-vector/graph/PQ pages with nodeId->(partition,page,slot) math
+(ngh_page.dart:145-450, ngh_index_meta.dart:451-490), free-list page
+allocation (ngh_partition_manager.dart:607), tombstone flags
+(NghNodeFlags.deleted, ngh_page.dart:105) and the BFS locality reorder
+(vector_index_manager.dart:932). On TPU the corpus is one block-padded
+[capacity, D_pad] device array plus a validity mask:
+
+  - slot allocation = a host-side free list + monotonically growing tail
+    (the reference's nextNodeId, ngh_index_meta.dart:77);
+  - delete = clearing a validity bit (tombstone);
+  - compaction/reorder = ONE device gather that re-packs live rows
+    (the reference needs a 3-page-kind rebuild with id remapping);
+  - capacity growth = allocate a larger array and copy (amortized doubling
+    in ROW_BLOCK units so shapes stay kernel-aligned and jit caches stay
+    warm across many inserts).
+
+Primary-key mapping (the reference's nodeId<->PK dual B+Trees,
+vector_index_manager.dart:1256) is a host numpy object array slot->pk plus
+a dict pk->slot; top-k index gathers resolve through numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.runtime import LANE, ROW_BLOCK, round_up
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "float64": jnp.float32,  # stored f32 on device (reference-compat alias)
+    "bfloat16": jnp.bfloat16,
+    "int8": jnp.int8,
+}
+
+# int8 storage uses the reference's fixed dequant rule value/127
+# (ngh_page.dart:310-450 int8 raw-vector pages).
+INT8_SCALE = 127.0
+
+
+class DeviceCorpus:
+    """Mutable [capacity, D_pad] device matrix with tombstones and PK map."""
+
+    def __init__(self, dims: int, precision: str = "float32", normalize: bool = False):
+        if precision not in _DTYPES:
+            raise ValueError(f"unsupported precision {precision!r}")
+        self.dims = dims
+        self.d_pad = round_up(max(dims, LANE), LANE)
+        self.precision = precision
+        self.dtype = _DTYPES[precision]
+        self.normalize = normalize  # cosine metric stores L2-normalized rows
+
+        self.capacity = 0
+        self.vectors: jax.Array | None = None  # [capacity, d_pad] dtype
+        self.valid: jax.Array | None = None  # [capacity] bool
+        self.sq_norms: jax.Array | None = None  # [capacity] f32 (of stored rows)
+
+        self._slot_pks = np.empty(0, dtype=object)  # slot -> pk
+        self._pk_slot: dict = {}  # pk -> slot
+        self._free: list[int] = []
+        self._high = 0  # first never-used slot
+        self.deleted_count = 0
+
+    # --- capacity ---------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self._pk_slot)
+
+    @property
+    def live_count(self) -> int:
+        return len(self._pk_slot)
+
+    @property
+    def deleted_ratio(self) -> float:
+        used = self._high
+        return (self.deleted_count / used) if used else 0.0
+
+    def _ensure_capacity(self, n_slots: int):
+        if n_slots <= self.capacity:
+            return
+        new_cap = max(ROW_BLOCK, round_up(n_slots, ROW_BLOCK))
+        if self.capacity:
+            new_cap = max(new_cap, 2 * self.capacity)  # amortized doubling
+        vec = jnp.zeros((new_cap, self.d_pad), self.dtype)
+        val = jnp.zeros((new_cap,), jnp.bool_)
+        nrm = jnp.zeros((new_cap,), jnp.float32)
+        if self.capacity:
+            vec = jax.lax.dynamic_update_slice(vec, self.vectors, (0, 0))
+            val = jax.lax.dynamic_update_slice(val, self.valid, (0,))
+            nrm = jax.lax.dynamic_update_slice(nrm, self.sq_norms, (0,))
+        self.vectors, self.valid, self.sq_norms = vec, val, nrm
+        pks = np.empty(new_cap, dtype=object)
+        pks[: len(self._slot_pks)] = self._slot_pks
+        self._slot_pks = pks
+        self.capacity = new_cap
+
+    # --- host-side encode -------------------------------------------------
+
+    def _prepare(self, raw: np.ndarray) -> np.ndarray:
+        """[m, dims] float input -> [m, d_pad] host array in storage dtype."""
+        x = np.asarray(raw, np.float32)
+        if x.ndim != 2 or x.shape[1] != self.dims:
+            raise ValueError(f"expected [m, {self.dims}] vectors, got {x.shape}")
+        if self.normalize:
+            n = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.maximum(n, 1e-12)
+        if self.d_pad != self.dims:
+            x = np.pad(x, ((0, 0), (0, self.d_pad - self.dims)))
+        if self.precision == "int8":
+            return np.clip(np.round(x * INT8_SCALE), -127, 127).astype(np.int8)
+        return x
+
+    def _stored_sq_norms(self, enc: np.ndarray) -> np.ndarray:
+        x = enc.astype(np.float32)
+        if self.precision == "int8":
+            x = x / INT8_SCALE
+        return np.sum(x * x, axis=1)
+
+    # --- mutation ----------------------------------------------------------
+
+    def upsert(self, pks, raw: np.ndarray) -> np.ndarray:
+        """Insert or overwrite vectors for `pks`. Returns slot indices."""
+        pks = list(pks)
+        enc = self._prepare(raw)
+        if len(pks) != enc.shape[0]:
+            raise ValueError("pks/vectors length mismatch")
+        slots = np.empty(len(pks), np.int64)
+        for j, pk in enumerate(pks):
+            slot = self._pk_slot.get(pk)
+            if slot is None:
+                if self._free:
+                    slot = self._free.pop()
+                    self.deleted_count = max(0, self.deleted_count - 1)
+                else:
+                    slot = self._high
+                    self._high += 1
+                self._pk_slot[pk] = slot
+            slots[j] = slot
+        self._ensure_capacity(self._high)
+        for j, pk in enumerate(pks):
+            self._slot_pks[slots[j]] = pk
+
+        idx = jnp.asarray(slots, jnp.int32)
+        self.vectors = self.vectors.at[idx].set(jnp.asarray(enc).astype(self.dtype))
+        self.valid = self.valid.at[idx].set(True)
+        self.sq_norms = self.sq_norms.at[idx].set(jnp.asarray(self._stored_sq_norms(enc)))
+        return slots
+
+    def delete(self, pks) -> int:
+        """Tombstone rows for `pks`. Returns number actually deleted."""
+        slots = []
+        for pk in pks:
+            slot = self._pk_slot.pop(pk, None)
+            if slot is not None:
+                slots.append(slot)
+                self._slot_pks[slot] = None
+                self._free.append(slot)
+        if not slots:
+            return 0
+        idx = jnp.asarray(np.asarray(slots, np.int64), jnp.int32)
+        self.valid = self.valid.at[idx].set(False)
+        self.deleted_count += len(slots)
+        return len(slots)
+
+    def compact(self):
+        """Re-pack live rows to the front with one device gather (the TPU
+        analogue of compactTombstones + reorderByLocality,
+        vector_index_manager.dart:877-1159)."""
+        live = np.flatnonzero(np.asarray([pk is not None for pk in self._slot_pks[: self._high]]))
+        m = len(live)
+        if m == self._high and not self._free:
+            return
+        gather = jnp.asarray(live, jnp.int32)
+        new_cap = max(ROW_BLOCK, round_up(max(m, 1), ROW_BLOCK))
+        vec = jnp.zeros((new_cap, self.d_pad), self.dtype)
+        vec = vec.at[: m].set(self.vectors[gather]) if m else vec
+        val = jnp.zeros((new_cap,), jnp.bool_).at[:m].set(True) if m else jnp.zeros((new_cap,), jnp.bool_)
+        nrm = jnp.zeros((new_cap,), jnp.float32)
+        if m:
+            nrm = nrm.at[:m].set(self.sq_norms[gather])
+        self.vectors, self.valid, self.sq_norms = vec, val, nrm
+
+        pks = np.empty(new_cap, dtype=object)
+        pks[:m] = self._slot_pks[live]
+        self._slot_pks = pks
+        self._pk_slot = {pk: j for j, pk in enumerate(pks[:m])}
+        self._free = []
+        self._high = m
+        self.capacity = new_cap
+        self.deleted_count = 0
+
+    # --- lookup -------------------------------------------------------------
+
+    def pks_for_slots(self, slots: np.ndarray) -> np.ndarray:
+        """slot indices -> pks (object array; None for invalid/padded)."""
+        out = np.empty(slots.shape, dtype=object)
+        flat = slots.reshape(-1)
+        res = out.reshape(-1)
+        for j, s in enumerate(flat):
+            res[j] = self._slot_pks[s] if 0 <= s < self.capacity else None
+        return out
+
+    def slots_for_pks(self, pks) -> np.ndarray:
+        return np.asarray([self._pk_slot.get(pk, -1) for pk in pks], np.int64)
+
+    def get_vectors(self, pks) -> np.ndarray:
+        """Fetch stored (dequantized, possibly normalized) vectors by pk."""
+        slots = self.slots_for_pks(pks)
+        if np.any(slots < 0):
+            missing = [pk for pk, s in zip(pks, slots) if s < 0]
+            raise KeyError(f"pks not in corpus: {missing[:5]}")
+        x = np.asarray(self.vectors[jnp.asarray(slots, jnp.int32)], np.float32)
+        if self.precision == "int8":
+            x = x / INT8_SCALE
+        return x[:, : self.dims]
+
+    # --- persistence ----------------------------------------------------------
+
+    def state_dict(self) -> dict:
+        self.compact()  # persist a packed corpus
+        m = self._high
+        return {
+            "dims": self.dims,
+            "precision": self.precision,
+            "normalize": self.normalize,
+            "vectors": np.asarray(self.vectors[:m]) if m else np.zeros((0, self.d_pad)),
+            "pks": list(self._slot_pks[:m]),
+        }
+
+    @staticmethod
+    def from_state_dict(d: dict) -> "DeviceCorpus":
+        c = DeviceCorpus(d["dims"], d["precision"], d["normalize"])
+        vecs = np.asarray(d["vectors"])
+        pks = d["pks"]
+        if len(pks):
+            m = len(pks)
+            c._ensure_capacity(m)
+            c.vectors = c.vectors.at[:m].set(jnp.asarray(vecs, c.dtype))
+            c.valid = c.valid.at[:m].set(True)
+            c.sq_norms = c.sq_norms.at[:m].set(
+                jnp.asarray(c._stored_sq_norms(vecs.astype(np.float32)))
+            )
+            c._slot_pks[:m] = np.asarray(pks, dtype=object)
+            c._pk_slot = {pk: j for j, pk in enumerate(pks)}
+            c._high = m
+        return c

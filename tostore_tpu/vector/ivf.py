@@ -1,0 +1,425 @@
+"""IVFVectorIndex — coarse-quantizer partitioned ANN index.
+
+The TPU-native replacement for the reference's NGH/Vamana graph index
+(ngh_graph_engine.dart): instead of incremental graph construction with
+Robust Prune (:452-522) and beam search (:145), the corpus is partitioned
+by a k-means coarse quantizer (BASELINE.json north star). A query scores
+the C centroids on the MXU, probes the `nprobe` nearest clusters, scans
+only those buckets with exact distances (raw vectors) or ADC (PQ codes),
+and re-ranks — mirroring the reference's search -> re-rank pool rule
+max(2k, 20) (ngh_graph_engine.dart:115).
+
+Layout is bucketed with a fixed per-cluster capacity so every search is a
+static-shape gather + matmul: buckets_slots [C, cap] i32 maps bucket
+positions to DeviceCorpus slots (-1 = empty). Buckets grow by rebuild on
+overflow; the index retrains (like the reference's PQ retrain trigger,
+vector_index_manager.dart:703) when the corpus outgrows the centroids.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.results import VectorSearchResult
+from ..ops import distance as D
+from ..ops.runtime import NEG_INF, round_up
+from .corpus import DeviceCorpus, INT8_SCALE
+from .flat import _METRIC_ALIASES
+from .pq import PQCodebook, train_pq, pq_encode, adc_tables, _kmeans_all_subspaces
+
+
+def auto_num_clusters(n: int) -> int:
+    """~sqrt(N), multiple of 8, within [8, 4096]."""
+    c = int(np.sqrt(max(n, 1)))
+    return int(min(4096, max(8, round_up(c, 8))))
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "k"))
+def _ivf_probe_scan(
+    q, centroids, buckets_slots, vectors, valid, sq_norms, alpha, *, nprobe: int, k: int
+):
+    """One fused IVF search step (jitted, static shapes).
+
+    q: [B, Dp] f32 (already metric-prepped); centroids [C, Dp] f32;
+    buckets_slots [C, cap] i32; vectors [Ncap, Dp]; valid [Ncap] bool;
+    sq_norms [Ncap] f32 (zeros unless l2, already folded sign);
+    alpha: scalar matmul scale. Returns (scores [B, k] desc, slots [B, k]).
+    """
+    cap = buckets_slots.shape[1]
+
+    # 1. centroid scores (alpha/norm trick works for all metrics since
+    #    centroids live in the same prepped space)
+    cs = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    if sq_norms is not None:
+        cnorm = jnp.sum(centroids * centroids, axis=1)
+        cs = 2.0 * cs - cnorm[None, :]
+    _, probe = jax.lax.top_k(cs, nprobe)  # [B, nprobe]
+
+    def per_query(qv, probes):
+        slots = buckets_slots[probes].reshape(nprobe * cap)  # [P]
+        safe = jnp.maximum(slots, 0)
+        vecs = vectors[safe]  # [P, Dp]
+        if vecs.dtype == jnp.int8:
+            vecs = vecs.astype(jnp.bfloat16)
+        s = alpha * jnp.dot(
+            vecs, qv.astype(vecs.dtype), preferred_element_type=jnp.float32
+        )
+        if sq_norms is not None:
+            s = s - sq_norms[safe]
+        ok = jnp.logical_and(slots >= 0, valid[safe])
+        s = jnp.where(ok, s, NEG_INF)
+        kk = min(k, nprobe * cap)
+        ts, ti = jax.lax.top_k(s, kk)
+        return ts, slots[ti]
+
+    return jax.vmap(per_query)(q, probe)
+
+
+class IVFVectorIndex:
+    index_type = "ivf"
+
+    def __init__(
+        self,
+        dims: int,
+        metric: str = "cosine",
+        precision: str = "float32",
+        num_clusters: int = 0,
+        nprobe: int = 8,
+        pq_subspaces: int = 0,
+        pq_centroids: int = 256,
+        rerank_factor: int = 2,
+        min_train_size: int = 256,
+    ):
+        metric = _METRIC_ALIASES.get(metric)
+        if metric is None:
+            raise ValueError(f"unknown metric {metric!r}")
+        self.metric = metric
+        self.corpus = DeviceCorpus(dims, precision, normalize=(metric == "cosine"))
+        self.num_clusters_cfg = num_clusters
+        self.nprobe = nprobe
+        self.pq_subspaces = pq_subspaces
+        self.pq_centroids = pq_centroids
+        self.rerank_factor = rerank_factor
+        self.min_train_size = min_train_size
+
+        self.centroids: jax.Array | None = None  # [C, Dp] f32
+        self.buckets_slots: jax.Array | None = None  # [C, cap] i32
+        self._bucket_counts: np.ndarray | None = None  # host [C]
+        self._assign: dict = {}  # slot -> (cluster, position)
+        self._trained_size = 0
+        self.pq: PQCodebook | None = None
+        self.codes: jax.Array | None = None  # [Ncap, M] u8 (PQ mode)
+
+    # --- helpers ------------------------------------------------------------
+
+    def __len__(self):
+        return len(self.corpus)
+
+    @property
+    def dims(self):
+        return self.corpus.dims
+
+    @property
+    def trained(self) -> bool:
+        return self.centroids is not None
+
+    def _stored_matrix_f32(self, slots: np.ndarray) -> jax.Array:
+        v = self.corpus.vectors[jnp.asarray(slots, jnp.int32)].astype(jnp.float32)
+        if self.corpus.precision == "int8":
+            v = v / INT8_SCALE
+        return v
+
+    # --- training -------------------------------------------------------------
+
+    def train(self, force: bool = False):
+        """(Re)train centroids (+ PQ) on the current corpus."""
+        c = self.corpus
+        n = len(c)
+        if n < 1:
+            return False
+        if self.trained and not force:
+            return False
+        live = np.flatnonzero(
+            np.asarray([pk is not None for pk in c._slot_pks[: c._high]])
+        )
+        num_c = self.num_clusters_cfg or auto_num_clusters(n)
+        num_c = min(num_c, max(8, len(live)))
+        rng = np.random.default_rng(42)
+        sample = live if len(live) <= 65536 else rng.choice(live, 65536, replace=False)
+        x = self._stored_matrix_f32(sample)  # [S, Dp]
+        init = rng.choice(len(sample), min(num_c, len(sample)), replace=False)
+        cents = _kmeans_all_subspaces(
+            x[None, :, :], jnp.asarray(init[None, :], jnp.int32), k=len(init), iters=10
+        )[0]
+        if len(init) < num_c:
+            reps = -(-num_c // len(init))
+            cents = jnp.tile(cents, (reps, 1))[:num_c]
+        self.centroids = cents
+
+        if self.pq_subspaces:
+            xs = np.asarray(x)[:, : c.dims]
+            self.pq = train_pq(xs, m=self.pq_subspaces, k=self.pq_centroids)
+
+        self._trained_size = n
+        self._rebuild_buckets()
+        return True
+
+    def _maybe_retrain(self):
+        """Retrain when corpus grew 4x past the training snapshot (reference
+        retrain-on-mismatch analogue, vector_index_manager.dart:703)."""
+        n = len(self.corpus)
+        if not self.trained:
+            if n >= self.min_train_size:
+                self.train()
+        elif n >= 4 * max(self._trained_size, 1):
+            self.train(force=True)
+
+    # --- bucket maintenance -----------------------------------------------------
+
+    def _assign_clusters(self, slots: np.ndarray) -> np.ndarray:
+        v = self._stored_matrix_f32(slots)
+        s = jnp.dot(v, self.centroids.T, preferred_element_type=jnp.float32)
+        if self.metric == "l2":
+            cn = jnp.sum(self.centroids * self.centroids, axis=1)
+            s = 2.0 * s - cn[None, :]
+        return np.asarray(jnp.argmax(s, axis=1), np.int64)
+
+    def _rebuild_buckets(self):
+        c = self.corpus
+        live = np.flatnonzero(
+            np.asarray([pk is not None for pk in c._slot_pks[: c._high]])
+        )
+        num_c = self.centroids.shape[0]
+        if len(live):
+            assign = self._assign_clusters(live)
+        else:
+            assign = np.zeros(0, np.int64)
+        counts = np.bincount(assign, minlength=num_c)
+        cap = int(max(64, round_up(int(counts.max() * 1.5) if len(live) else 64, 64)))
+        buckets = np.full((num_c, cap), -1, np.int32)
+        pos = np.zeros(num_c, np.int64)
+        self._assign = {}
+        for slot, cl in zip(live, assign):
+            p = pos[cl]
+            buckets[cl, p] = slot
+            self._assign[int(slot)] = (int(cl), int(p))
+            pos[cl] = p + 1
+        self.buckets_slots = jnp.asarray(buckets)
+        self._bucket_counts = pos
+        if self.pq is not None:
+            self._reencode_all()
+
+    def _reencode_all(self):
+        c = self.corpus
+        if c.capacity == 0:
+            self.codes = None
+            return
+        v = c.vectors.astype(jnp.float32)[:, : c.dims]
+        if c.precision == "int8":
+            v = v / INT8_SCALE
+        self.codes = pq_encode(self.pq.codebooks, v)
+
+    def _append_to_buckets(self, slots: np.ndarray, clusters: np.ndarray):
+        cap = self.buckets_slots.shape[1]
+        # overflow check first
+        counts = self._bucket_counts.copy()
+        for cl in clusters:
+            counts[cl] += 1
+        if counts.max() > cap:
+            self._rebuild_buckets()
+            return
+        rows, cols, vals = [], [], []
+        for slot, cl in zip(slots, clusters):
+            p = self._bucket_counts[cl]
+            rows.append(cl)
+            cols.append(p)
+            vals.append(slot)
+            self._assign[int(slot)] = (int(cl), int(p))
+            self._bucket_counts[cl] = p + 1
+        self.buckets_slots = self.buckets_slots.at[
+            jnp.asarray(rows, jnp.int32), jnp.asarray(cols, jnp.int32)
+        ].set(jnp.asarray(np.asarray(vals, np.int32)))
+
+    # --- mutation ------------------------------------------------------------------
+
+    def upsert(self, pks, vectors: np.ndarray):
+        pks = list(pks)
+        existing = [pk for pk in pks if pk in self.corpus._pk_slot]
+        slots = self.corpus.upsert(pks, vectors)
+        self._maybe_retrain()
+        if self.trained:
+            if existing:
+                # moved vectors may change cluster: simplest correct move is
+                # bucket rebuild for the touched slots' old entries
+                for pk in existing:
+                    slot = int(self.corpus._pk_slot[pk])
+                    old = self._assign.pop(slot, None)
+                    if old is not None:
+                        cl, p = old
+                        self.buckets_slots = self.buckets_slots.at[cl, p].set(-1)
+            fresh = np.asarray(
+                [s for s in slots if int(s) not in self._assign], np.int64
+            )
+            if len(fresh):
+                clusters = self._assign_clusters(fresh)
+                self._append_to_buckets(fresh, clusters)
+            if self.pq is not None:
+                v = self._stored_matrix_f32(slots)[:, : self.corpus.dims]
+                codes = pq_encode(self.pq.codebooks, v)
+                if self.codes is None or self.codes.shape[0] < self.corpus.capacity:
+                    base = jnp.zeros(
+                        (self.corpus.capacity, self.pq.m), jnp.uint8
+                    )
+                    if self.codes is not None:
+                        base = base.at[: self.codes.shape[0]].set(self.codes)
+                    self.codes = base
+                self.codes = self.codes.at[jnp.asarray(slots, jnp.int32)].set(codes)
+        return slots
+
+    def delete(self, pks) -> int:
+        # corpus tombstones are checked in-kernel via `valid`; bucket slots
+        # stay until compaction
+        slots = self.corpus.slots_for_pks(pks)
+        n = self.corpus.delete(pks)
+        for s in slots:
+            if s >= 0:
+                self._assign.pop(int(s), None)
+        return n
+
+    def compact(self):
+        self.corpus.compact()
+        if self.trained:
+            self._rebuild_buckets()
+
+    def maybe_compact(self, ratio_threshold: float = 0.10):
+        if self.corpus.deleted_ratio >= ratio_threshold and self.corpus.deleted_count > 0:
+            self.compact()
+            return True
+        return False
+
+    # --- search -----------------------------------------------------------------
+
+    def search_arrays(self, q, k: int, slot_mask=None, nprobe: int | None = None):
+        """Returns (distances [B,k], slots [B,k], pks [B,k])."""
+        c = self.corpus
+        if len(c) == 0:
+            b = 1 if np.asarray(q).ndim == 1 else np.asarray(q).shape[0]
+            return (
+                np.full((b, k), np.inf, np.float32),
+                np.full((b, k), -1, np.int64),
+                np.full((b, k), None, dtype=object),
+            )
+        if not self.trained:
+            self.train()
+        if not self.trained:
+            # tiny corpus: exact scan through a flat view
+            from .flat import FlatVectorIndex
+
+            tmp = FlatVectorIndex.__new__(FlatVectorIndex)
+            tmp.metric = self.metric
+            tmp.corpus = c
+            return tmp.search_arrays(q, k, slot_mask=slot_mask)
+
+        qx = np.asarray(q, np.float32)
+        single = qx.ndim == 1
+        if single:
+            qx = qx[None, :]
+        qsq = jnp.asarray(np.sum(qx * qx, axis=1))
+        if self.metric == "cosine":
+            qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+        if c.d_pad != qx.shape[1]:
+            qx = np.pad(qx, ((0, 0), (0, c.d_pad - qx.shape[1])))
+        qj = jnp.asarray(qx)
+
+        valid = c.valid
+        if slot_mask is not None:
+            valid = jnp.logical_and(valid, slot_mask)
+
+        alpha = D.metric_alpha(self.metric)
+        if c.precision == "int8":
+            alpha = alpha / INT8_SCALE
+        sqn = c.sq_norms if self.metric == "l2" else None
+
+        np_probe = int(nprobe or self.nprobe)
+        np_probe = min(np_probe, self.centroids.shape[0])
+        scores, slots = _ivf_probe_scan(
+            qj,
+            self.centroids,
+            self.buckets_slots,
+            c.vectors,
+            valid,
+            sqn,
+            alpha,
+            nprobe=np_probe,
+            k=k,
+        )
+        dists = D.scores_to_distances(self.metric, scores, qsq)
+        dist_np = np.array(dists, np.float32)
+        slot_np = np.array(slots, np.int64)
+        miss = np.asarray(scores) <= NEG_INF / 2
+        slot_np[miss] = -1
+        dist_np[miss] = np.inf
+        pks = c.pks_for_slots(slot_np)
+        return dist_np, slot_np, pks
+
+    def search(self, q, top_k: int = 10, threshold=None, slot_mask=None, nprobe=None):
+        dist, slots, pks = self.search_arrays(q, top_k, slot_mask, nprobe)
+        dist, slots, pks = dist[0], slots[0], pks[0]
+        score = np.asarray(
+            D.distances_to_scores(
+                self.metric, jnp.asarray(np.where(np.isfinite(dist), dist, 0))
+            )
+        )
+        out = []
+        for j in range(len(slots)):
+            if slots[j] < 0 or not np.isfinite(dist[j]):
+                continue
+            if threshold is not None and dist[j] > threshold:
+                continue
+            out.append(
+                VectorSearchResult(primary_key=pks[j], distance=float(dist[j]), score=float(score[j]))
+            )
+        return out
+
+    # --- persistence -----------------------------------------------------------------
+
+    def state_dict(self) -> dict:
+        d = {
+            "type": "ivf",
+            "metric": self.metric,
+            "corpus": self.corpus.state_dict(),
+            "num_clusters_cfg": self.num_clusters_cfg,
+            "nprobe": self.nprobe,
+            "pq_subspaces": self.pq_subspaces,
+            "pq_centroids": self.pq_centroids,
+            "rerank_factor": self.rerank_factor,
+            "centroids": np.asarray(self.centroids) if self.trained else None,
+            "trained_size": self._trained_size,
+            "pq": self.pq.state_dict() if self.pq is not None else None,
+        }
+        return d
+
+    @staticmethod
+    def from_state_dict(d: dict) -> "IVFVectorIndex":
+        idx = IVFVectorIndex(
+            d["corpus"]["dims"],
+            metric=d["metric"],
+            precision=d["corpus"]["precision"],
+            num_clusters=d["num_clusters_cfg"],
+            nprobe=d["nprobe"],
+            pq_subspaces=d["pq_subspaces"],
+            pq_centroids=d["pq_centroids"],
+            rerank_factor=d["rerank_factor"],
+        )
+        idx.corpus = DeviceCorpus.from_state_dict(d["corpus"])
+        if d.get("centroids") is not None:
+            idx.centroids = jnp.asarray(d["centroids"], jnp.float32)
+            idx._trained_size = d.get("trained_size", len(idx.corpus))
+            if d.get("pq") is not None:
+                idx.pq = PQCodebook.from_state_dict(d["pq"])
+            idx._rebuild_buckets()
+        return idx
