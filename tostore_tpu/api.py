@@ -1,19 +1,242 @@
-"""Public API facade (placeholder — full facade lands with the engine core).
+"""Public API facade.
 
-Mirrors reference lib/tostore.dart ToStore.open()/memory().
+Mirrors the reference facade `ToStore` (lib/tostore.dart:1-1196):
+`open()`/`memory()` constructors, CRUD + batch ops, chained query/update/
+delete/schema builders, `vector_search`, the `kv` namespace, transactions,
+spaces, backup/restore, `update_schema`, watch streams and `status`.
 """
 
 from __future__ import annotations
 
+from typing import Any, Callable
+
+from .engine.database import Database
+from .engine.kv import KvStore
+from .models.config import DataStoreConfig
+from .models.schema import TableSchema
+from .chain.builders import (
+    DeleteBuilder,
+    QueryBuilder,
+    SchemaBuilder,
+    StreamQueryBuilder,
+    UpdateBuilder,
+    VectorQueryBuilder,
+)
+
 
 class ToStoreTPU:
-    def __init__(self, *a, **kw):
-        raise NotImplementedError("engine core not yet wired; see tostore_tpu.engine")
+    """The embedded engine handle. Construct via `open()` or `memory()`."""
+
+    def __init__(self, config: DataStoreConfig, schemas: list[TableSchema] | None = None):
+        self._db = Database(config)
+        self.kv = KvStore(self._db, is_global=False)
+        self.kv_global = KvStore(self._db, is_global=True)
+        if schemas:
+            self._db.create_tables(schemas)
+
+    # --- constructors (reference ToStore.open / ToStore.memory) -------------
 
     @staticmethod
-    def memory(**kw):
-        raise NotImplementedError
+    def open(
+        path: str,
+        db_name: str = "default",
+        schemas: list[TableSchema] | None = None,
+        config: DataStoreConfig | None = None,
+        **kw,
+    ) -> "ToStoreTPU":
+        cfg = (config or DataStoreConfig()).copy_with(db_path=path, db_name=db_name, **kw)
+        return ToStoreTPU(cfg, schemas)
 
     @staticmethod
-    def open(path: str, **kw):
-        raise NotImplementedError
+    def memory(
+        schemas: list[TableSchema] | None = None,
+        config: DataStoreConfig | None = None,
+        **kw,
+    ) -> "ToStoreTPU":
+        cfg = (config or DataStoreConfig()).copy_with(db_path=None, **kw)
+        return ToStoreTPU(cfg, schemas)
+
+    # --- lifecycle ------------------------------------------------------------
+
+    def close(self):
+        self._db.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+    @property
+    def engine(self) -> Database:
+        return self._db
+
+    # --- schema ------------------------------------------------------------------
+
+    def create_table(self, schema: TableSchema, if_not_exists: bool = True):
+        return self._db.create_table(schema, if_not_exists)
+
+    def create_tables(self, schemas: list[TableSchema]):
+        return self._db.create_tables(schemas)
+
+    def drop_table(self, name: str):
+        return self._db.drop_table(name)
+
+    def get_schema(self, name: str) -> TableSchema | None:
+        return self._db.get_schema(name)
+
+    def update_schema(self, name: str) -> SchemaBuilder:
+        """Chained DDL (reference SchemaBuilder)."""
+        return SchemaBuilder(self._db, name)
+
+    def set_schema(self, name: str, schema: TableSchema, renames: dict | None = None):
+        return self._db.update_schema(name, schema, renames)
+
+    # --- CRUD -----------------------------------------------------------------------
+
+    def insert(self, table: str, data: dict):
+        return self._db.insert(table, data)
+
+    def batch_insert(self, table: str, records: list[dict], allow_partial: bool = True):
+        return self._db.batch_insert(table, records, allow_partial)
+
+    def upsert(self, table: str, data: dict):
+        return self._db.upsert(table, data)
+
+    def batch_upsert(self, table: str, records: list[dict]):
+        return self._db.batch_upsert(table, records)
+
+    def update(self, table: str, updates: dict) -> UpdateBuilder:
+        return UpdateBuilder(self._db, table, updates)
+
+    def update_by_pk(self, table: str, pk, updates: dict):
+        return self._db.update(table, updates, pk=pk)
+
+    def batch_update(self, table: str, records: list[dict]):
+        """Each record must carry the PK; remaining fields are updates."""
+        ok, failed, errors = [], [], {}
+        for rec in records:
+            schema = self._db.get_schema(table)
+            pk_name = schema.primary_key.name
+            pk = rec.get(pk_name)
+            if pk is None:
+                failed.append(None)
+                errors[str(rec)] = "missing primary key"
+                continue
+            r = self._db.update(
+                table, {k: v for k, v in rec.items() if k != pk_name}, pk=pk
+            )
+            (ok if r.is_success else failed).append(pk)
+            if r.is_error:
+                errors[pk] = r.message
+        from .models.results import DbResult
+
+        if failed and ok:
+            return DbResult.partial(ok, failed, errors)
+        if failed:
+            from .models.results import ResultType
+
+            return DbResult.error(ResultType.validationFailed, "batch update failures", failed, errors)
+        return DbResult.success(ok)
+
+    def delete(self, table: str) -> DeleteBuilder:
+        return DeleteBuilder(self._db, table)
+
+    def delete_by_pk(self, table: str, pk):
+        return self._db.delete(table, pk=pk)
+
+    def clear(self, table: str):
+        return self._db.clear(table)
+
+    # --- queries ------------------------------------------------------------------------
+
+    def query(self, table: str) -> QueryBuilder:
+        return QueryBuilder(self._db, table)
+
+    def stream_query(self, table: str, batch_size: int = 500) -> StreamQueryBuilder:
+        return StreamQueryBuilder(self._db, table, batch_size)
+
+    def get_by_pk(self, table: str, pk) -> dict | None:
+        return self._db.get_by_pk(table, pk)
+
+    def count(self, table: str) -> int:
+        return self._db.count(table)
+
+    # --- vector search --------------------------------------------------------------------
+
+    def vector_search(
+        self,
+        table: str,
+        field: str,
+        query,
+        top_k: int = 10,
+        threshold: float | None = None,
+        condition=None,
+        nprobe: int | None = None,
+        include_records: bool = False,
+    ):
+        """Direct form (reference tostore.dart:493). For hybrid chaining use
+        `vector_query()`."""
+        return self._db.vector_search(
+            table, field, query, top_k, threshold, condition, nprobe, include_records
+        )
+
+    def vector_query(self, table: str, field: str, query) -> VectorQueryBuilder:
+        return VectorQueryBuilder(self._db, table, field, query)
+
+    # --- KV handled via `self.kv` / `self.kv_global` ----------------------------------------
+
+    def set_value(self, key: str, value: Any, is_global: bool = False):
+        return (self.kv_global if is_global else self.kv).set(key, value)
+
+    def get_value(self, key: str, is_global: bool = False):
+        return (self.kv_global if is_global else self.kv).get(key)
+
+    def remove_value(self, key: str, is_global: bool = False):
+        return (self.kv_global if is_global else self.kv).remove(key)
+
+    # --- transactions -----------------------------------------------------------------------
+
+    def transaction(self, action: Callable | None = None):
+        return self._db.transaction(action)
+
+    # --- spaces ------------------------------------------------------------------------------
+
+    def switch_space(self, name: str):
+        self._db.switch_space(name)
+        return self
+
+    @property
+    def current_space(self) -> str:
+        return self._db.current_space
+
+    def list_spaces(self):
+        return self._db.list_spaces()
+
+    def delete_space(self, name: str):
+        return self._db.delete_space(name)
+
+    # --- durability / backup ----------------------------------------------------------------
+
+    def flush(self):
+        self._db.flush()
+
+    def backup(self, dest_path: str, scope: str = "database") -> str:
+        return self._db.backup(dest_path, scope)
+
+    def restore(self, src_path: str):
+        return self._db.restore(src_path)
+
+    # --- maintenance / observability -----------------------------------------------------------
+
+    def run_ttl_cleanup(self) -> int:
+        return self._db.run_ttl_cleanup()
+
+    def compact(self):
+        self._db.run_compaction()
+
+    def watch(self, table: str | None = None, callback: Callable | None = None):
+        return self._db.watch(table, callback)
+
+    def status(self) -> dict:
+        return self._db.status()

@@ -1,0 +1,237 @@
+"""ColumnStore — typed columnar record storage for one table.
+
+The host-side replacement for the reference's paged B+Tree record store
+(table_tree_partition_manager.dart: global leaf-chain B+Tree over 16 KB
+pages with BinarySchemaCodec values). A TPU-native engine reads records in
+bulk to build device bitmasks and batch vector payloads, so the natural
+layout is columnar: one typed NumPy array per field plus null masks, a
+dense rowid space with tombstones, and a pk->rowid hash. Vectorized
+predicate evaluation (query/condition.py `mask`) runs directly over these
+columns — the reference's row-at-a-time ValueMatcher loop becomes a few
+NumPy kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.schema import DataType, TableSchema
+
+# numpy backing per DataType; None = object column
+_NP_TYPES = {
+    DataType.integer: np.int64,
+    DataType.bigInt: np.int64,
+    DataType.double: np.float64,
+    DataType.boolean: np.bool_,
+    DataType.datetime: np.int64,  # epoch ms
+}
+
+_GROW = 256
+
+
+class Column:
+    def __init__(self, dtype: DataType):
+        self.dtype = dtype
+        self.np_type = _NP_TYPES.get(dtype)
+        if self.np_type is not None:
+            self.data = np.zeros(0, self.np_type)
+            self.null = np.ones(0, np.bool_)
+        else:
+            self.data = np.empty(0, dtype=object)
+            self.null = None  # None sentinel lives in the object array
+
+    def _grow(self, n: int):
+        cur = len(self.data)
+        if n <= cur:
+            return
+        new = max(n, cur * 2, _GROW)
+        if self.np_type is not None:
+            d = np.zeros(new, self.np_type)
+            d[:cur] = self.data
+            m = np.ones(new, np.bool_)
+            m[:cur] = self.null
+            self.data, self.null = d, m
+        else:
+            d = np.empty(new, dtype=object)
+            d[:cur] = self.data
+            self.data = d
+
+    def set(self, row: int, value):
+        self._grow(row + 1)
+        if self.np_type is not None:
+            if value is None:
+                self.null[row] = True
+                self.data[row] = 0
+            else:
+                self.null[row] = False
+                if self.dtype == DataType.boolean:
+                    self.data[row] = bool(value)
+                else:
+                    self.data[row] = value
+        else:
+            self.data[row] = value
+
+    def get(self, row: int):
+        if row >= len(self.data):
+            return None
+        if self.np_type is not None:
+            if self.null[row]:
+                return None
+            v = self.data[row]
+            if self.dtype in (DataType.integer, DataType.bigInt, DataType.datetime):
+                return int(v)
+            if self.dtype == DataType.double:
+                return float(v)
+            if self.dtype == DataType.boolean:
+                return bool(v)
+            return v
+        return self.data[row]
+
+    def view(self, n: int) -> np.ndarray:
+        """First n entries as an array for vectorized predicates. Typed
+        columns with nulls are surfaced as object arrays only when needed."""
+        self._grow(n)
+        if self.np_type is None:
+            return self.data[:n]
+        if not self.null[:n].any():
+            return self.data[:n]
+        out = self.data[:n].astype(object)
+        out[self.null[:n]] = None
+        return out
+
+
+class ColumnStore:
+    """Records for one table: dense rowids, tombstones, pk->rowid map."""
+
+    def __init__(self, schema: TableSchema):
+        self.schema = schema
+        self.pk_name = schema.primary_key.name
+        self.columns: dict[str, Column] = {f.name: Column(f.type) for f in schema.fields}
+        # the PK column itself (type depends on pk strategy: int or str)
+        self.pk_col = Column(
+            DataType.integer
+            if schema.primary_key.type.value == "sequential"
+            else DataType.text
+        )
+        self._pk_row: dict = {}
+        self.valid = np.zeros(0, np.bool_)
+        self.high = 0
+        self._free: list[int] = []
+        self.generation = 0  # bumped on every mutation (query cache keys)
+
+    def __len__(self):
+        return len(self._pk_row)
+
+    def __contains__(self, pk):
+        return pk in self._pk_row
+
+    def rowid(self, pk) -> int | None:
+        return self._pk_row.get(pk)
+
+    def pks(self) -> list:
+        return list(self._pk_row.keys())
+
+    def _alloc(self) -> int:
+        if self._free:
+            return self._free.pop()
+        r = self.high
+        self.high += 1
+        if r >= len(self.valid):
+            v = np.zeros(max(self.high * 2, _GROW), np.bool_)
+            v[: len(self.valid)] = self.valid
+            self.valid = v
+        return r
+
+    def ensure_column(self, name: str, dtype: DataType):
+        if name not in self.columns:
+            self.columns[name] = Column(dtype)
+
+    def drop_column(self, name: str):
+        self.columns.pop(name, None)
+
+    def upsert(self, pk, record: dict) -> int:
+        """Full-record write (insert or replace). Returns rowid."""
+        row = self._pk_row.get(pk)
+        if row is None:
+            row = self._alloc()
+            self._pk_row[pk] = row
+        self.valid[row] = True
+        self.pk_col.set(row, pk)
+        for name, col in self.columns.items():
+            col.set(row, record.get(name))
+        self.generation += 1
+        return row
+
+    def patch(self, pk, updates: dict) -> int | None:
+        row = self._pk_row.get(pk)
+        if row is None:
+            return None
+        for name, value in updates.items():
+            if name in self.columns:
+                self.columns[name].set(row, value)
+        self.generation += 1
+        return row
+
+    def delete(self, pk) -> bool:
+        row = self._pk_row.pop(pk, None)
+        if row is None:
+            return False
+        self.valid[row] = False
+        self._free.append(row)
+        self.generation += 1
+        return True
+
+    def clear(self):
+        self.__init__(self.schema)
+
+    def get(self, pk) -> dict | None:
+        row = self._pk_row.get(pk)
+        if row is None:
+            return None
+        return self.read_row(row)
+
+    def read_row(self, row: int) -> dict:
+        rec = {self.pk_name: self.pk_col.get(row)}
+        for name, col in self.columns.items():
+            rec[name] = col.get(row)
+        return rec
+
+    def column_view(self, name: str) -> np.ndarray:
+        """Column (or PK) values for rows [0, high) — invalid rows included;
+        callers AND with `valid_view()`."""
+        if name == self.pk_name:
+            return self.pk_col.view(self.high)
+        col = self.columns.get(name)
+        if col is None:
+            return np.full(self.high, None, dtype=object)
+        return col.view(self.high)
+
+    def valid_view(self) -> np.ndarray:
+        return self.valid[: self.high]
+
+    def rows_for_mask(self, mask: np.ndarray) -> np.ndarray:
+        return np.flatnonzero(mask & self.valid_view())
+
+    # --- persistence -------------------------------------------------------
+
+    def state_dict(self) -> dict:
+        rows = np.flatnonzero(self.valid_view())
+        recs = {name: [col.get(r) for r in rows] for name, col in self.columns.items()}
+        return {
+            "pks": [self.pk_col.get(r) for r in rows],
+            "columns": recs,
+            "column_types": {name: col.dtype.value for name, col in self.columns.items()},
+        }
+
+    @staticmethod
+    def from_state_dict(schema: TableSchema, d: dict) -> "ColumnStore":
+        cs = ColumnStore(schema)
+        cols = d["columns"]
+        for name, tval in d.get("column_types", {}).items():
+            cs.ensure_column(name, DataType(tval))  # system/extra columns
+        names = list(cs.columns)
+        for j, pk in enumerate(d["pks"]):
+            rec = {n: cols[n][j] if n in cols else None for n in names}
+            cs.upsert(pk, rec)
+        cs.generation = 0
+        return cs

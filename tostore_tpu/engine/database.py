@@ -1,0 +1,963 @@
+"""Database — the engine core orchestrator.
+
+The re-design of the reference's `DataStoreImpl` (data_store_impl.dart:
+7,736 LoC): instance lifecycle + recovery (:652-933), CRUD entry points
+with validation/unique/FK pipeline (:1527-1794), batch ops (:3968),
+transactions (:3534), vector search (:5849), KV ops (:5986), spaces
+(:5873), backup/restore (:2253) and status (:986).
+
+Concurrency model: one process-wide re-entrant write lock serializes
+mutations (the TPU engine is a single-controller design — SURVEY.md §2.4
+notes the reference's LockManager/WorkloadScheduler machinery exists to
+arbitrate its own internal async tasks, which don't exist here). A
+transaction holds the write lock for its duration, giving serializable
+isolation by mutual exclusion; rollback replays an undo log; the WAL group
+record is appended only at commit, so a crash mid-transaction rolls back by
+construction.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import glob
+import json
+import os
+import threading
+import time
+import uuid
+import zipfile
+from typing import Any, Callable
+
+import numpy as np
+
+from ..models.config import DataStoreConfig, GlobalConfig
+from ..models.expr import Expr, resolve_expr_values
+from ..models.results import (
+    BusinessError,
+    DbResult,
+    ResultType,
+    TransactionResult,
+    UniqueViolation,
+    VectorSearchResult,
+)
+from ..models.schema import DataType, ForeignKeyAction, TableSchema
+from ..query.condition import QueryCondition
+from ..query.executor import QueryExecutor, QuerySpec
+from ..utils import codec
+from .table import Table, ValidationError, INGEST_TS_FIELD
+from .wal import WalWriter, atomic_write, read_wal
+
+GLOBAL_SPACE = "global"
+KV_TABLE = "_system_kv"
+SYSTEM_PREFIX = "_system_"
+
+
+class ChangeEvent:
+    __slots__ = ("type", "space", "table", "pk", "record")
+
+    def __init__(self, type_, space, table, pk, record=None):
+        self.type = type_  # insert | update | delete | clear
+        self.space = space
+        self.table = table
+        self.pk = pk
+        self.record = record
+
+    def __repr__(self):
+        return f"ChangeEvent({self.type}, {self.table}, {self.pk})"
+
+
+class Subscription:
+    def __init__(self, db, key, callback):
+        self._db = db
+        self._key = key
+        self.callback = callback
+        self.events: list[ChangeEvent] = []
+
+    def _emit(self, ev: ChangeEvent):
+        self.events.append(ev)
+        if self.callback:
+            self.callback(ev)
+
+    def cancel(self):
+        self._db._subs.get(self._key, []).remove(self)
+
+
+class _Txn:
+    def __init__(self, db, tx_id):
+        self.db = db
+        self.tx_id = tx_id
+        self.undo: list[tuple] = []  # (fn, args) applied in reverse on rollback
+        self.wal_ops: list[dict] = []
+        self.events: list[ChangeEvent] = []
+
+
+class Transaction:
+    """Handle passed to user transaction code (also usable as proof of
+    context); mirrors the reference's Zone-scoped txId (dsi:167-169)."""
+
+    def __init__(self, db, txn: _Txn):
+        self._db = db
+        self.tx_id = txn.tx_id
+
+    def rollback(self, message: str = "rolled back by user"):
+        raise BusinessError(message, code="user_rollback")
+
+
+class Database:
+    def __init__(self, config: DataStoreConfig | None = None):
+        self.config = config or DataStoreConfig()
+        self._lock = threading.RLock()
+        self._tables: dict[tuple[str, str], Table] = {}
+        self._schemas: dict[tuple[str, str], TableSchema] = {}
+        self.global_config = GlobalConfig()
+        self._wal: WalWriter | None = None
+        self._txn: _Txn | None = None
+        self._subs: dict[tuple, list[Subscription]] = {}
+        self._closed = False
+        self._crontab = None
+        self._opened_ms = int(time.time() * 1000)
+        self._counters = {"inserts": 0, "updates": 0, "deletes": 0, "queries": 0,
+                          "vector_searches": 0, "flushes": 0, "recovered_wal_entries": 0}
+        self.executor = QueryExecutor(self)
+
+        if not self.config.memory_mode:
+            self._open_files()
+        self._ensure_kv_table()
+        self._start_crontab()
+
+    # ------------------------------------------------------------------ files
+
+    @property
+    def db_dir(self) -> str | None:
+        if self.config.memory_mode:
+            return None
+        return os.path.join(self.config.db_path, self.config.db_name)
+
+    def _open_files(self):
+        d = self.db_dir
+        os.makedirs(d, exist_ok=True)
+        manifest_path = os.path.join(d, "manifest.json")
+        snap_path = os.path.join(d, "current.snap")
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                self.global_config = GlobalConfig.from_json(json.load(f))
+        if os.path.exists(snap_path):
+            with open(snap_path, "rb") as f:
+                self._load_snapshot(codec.loads(f.read()))
+        self._ensure_kv_table()  # must exist before WAL replay of KV writes
+        # WAL replay (crash recovery)
+        wal_path = os.path.join(d, "wal.log")
+        entries = read_wal(wal_path)
+        for e in entries:
+            self._replay(e)
+        self._counters["recovered_wal_entries"] = len(entries)
+        self._wal = WalWriter(wal_path, sync=self.config.persist_recovery_on_commit)
+        if entries:
+            self.flush()  # fold replayed tail into a fresh checkpoint
+
+    def _start_crontab(self):
+        from .crontab import CrontabManager
+
+        self._crontab = CrontabManager(self)
+        self._crontab.start()
+
+    def close(self):
+        with self._lock:
+            if self._closed:
+                return
+            if self._crontab:
+                self._crontab.stop()
+            if not self.config.memory_mode:
+                self.flush()
+                if self._wal:
+                    self._wal.close()
+            self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+    # ------------------------------------------------------------- spaces
+
+    @property
+    def current_space(self) -> str:
+        return self.global_config.active_space
+
+    def switch_space(self, name: str):
+        with self._lock:
+            self.global_config.active_space = name
+            self._ensure_kv_table()
+            self._persist_manifest()
+
+    def list_spaces(self) -> list[str]:
+        spaces = {s for s, _ in self._tables if s != GLOBAL_SPACE}
+        spaces.add(self.current_space)
+        return sorted(spaces)
+
+    def delete_space(self, name: str):
+        with self._lock:
+            for key in [k for k in self._tables if k[0] == name]:
+                del self._tables[key]
+                del self._schemas[key]
+            self._wal_append({"op": "drop_space", "space": name})
+
+    def _persist_manifest(self):
+        if self.config.memory_mode:
+            return
+        atomic_write(
+            os.path.join(self.db_dir, "manifest.json"),
+            json.dumps(self.global_config.to_json()).encode(),
+        )
+
+    # ------------------------------------------------------------- tables
+
+    def _space_for(self, schema: TableSchema) -> str:
+        return GLOBAL_SPACE if schema.is_global else self.current_space
+
+    def _table(self, name: str, space: str | None = None) -> Table:
+        space = space or self.current_space
+        t = self._tables.get((space, name)) or self._tables.get((GLOBAL_SPACE, name))
+        if t is None:
+            raise ValidationError(f"table {name!r} does not exist")
+        return t
+
+    def has_table(self, name: str, space: str | None = None) -> bool:
+        space = space or self.current_space
+        return (space, name) in self._tables or (GLOBAL_SPACE, name) in self._tables
+
+    def create_table(self, schema: TableSchema, if_not_exists: bool = True) -> DbResult:
+        with self._lock:
+            space = self._space_for(schema)
+            key = (space, schema.name)
+            if key in self._tables:
+                if if_not_exists:
+                    return DbResult.success(message="table exists")
+                return DbResult.error(ResultType.schemaError, f"table {schema.name!r} exists")
+            if schema.name.startswith(SYSTEM_PREFIX) and schema.name != KV_TABLE:
+                return DbResult.error(
+                    ResultType.schemaError, "system table names are reserved"
+                )
+            self._tables[key] = Table(schema, self.config.distributed.node_id)
+            self._schemas[key] = schema
+            self._wal_append({"op": "create_table", "space": space, "schema": schema.to_json()})
+            return DbResult.success()
+
+    def create_tables(self, schemas: list[TableSchema]) -> DbResult:
+        for s in schemas:
+            r = self.create_table(s)
+            if r.is_error:
+                return r
+        return DbResult.success()
+
+    def drop_table(self, name: str) -> DbResult:
+        with self._lock:
+            space = self.current_space
+            key = (space, name)
+            if key not in self._tables:
+                key = (GLOBAL_SPACE, name)
+            if key not in self._tables:
+                return DbResult.error(ResultType.notFound, f"table {name!r} not found")
+            del self._tables[key]
+            del self._schemas[key]
+            self._wal_append({"op": "drop_table", "space": key[0], "table": name})
+            return DbResult.success()
+
+    def update_schema(
+        self, name: str, new_schema: TableSchema, renames: dict[str, str] | None = None
+    ) -> DbResult:
+        """Migrate a table to a new schema (reference updateSchema +
+        migration_manager auto-detection). Rename inference follows the
+        reference's similarity scoring; explicit `renames` win."""
+        from .migration import migrate_table
+
+        with self._lock:
+            try:
+                t = self._table(name)
+            except ValidationError as e:
+                return DbResult.error(ResultType.notFound, str(e))
+            space = GLOBAL_SPACE if t.schema.is_global else self.current_space
+            try:
+                report = migrate_table(t, new_schema, renames)
+            except (ValidationError, ValueError) as e:
+                return DbResult.error(ResultType.schemaError, str(e))
+            self._schemas[(space, name)] = new_schema
+            self._wal_append(
+                {"op": "schema_update", "space": space, "table": name,
+                 "schema": new_schema.to_json(), "renames": renames or {}}
+            )
+            return DbResult.success(data=report)
+
+    def _apply_schema_update(self, space, name, schema, renames):
+        from .migration import migrate_table
+
+        t = self._tables.get((space, name))
+        if t is not None:
+            migrate_table(t, schema, renames)
+            self._schemas[(space, name)] = schema
+
+    def get_schema(self, name: str) -> TableSchema | None:
+        try:
+            return self._table(name).schema
+        except ValidationError:
+            return None
+
+    def _ensure_kv_table(self):
+        from ..models.schema import FieldSchema, PrimaryKeyConfig, PrimaryKeyType
+
+        for space in (GLOBAL_SPACE, self.current_space):
+            key = (space, KV_TABLE)
+            if key not in self._tables:
+                schema = TableSchema(
+                    name=KV_TABLE,
+                    fields=(
+                        FieldSchema("value", DataType.json),
+                        FieldSchema("expires_ms", DataType.bigInt),
+                    ),
+                    primary_key=PrimaryKeyConfig(name="key", type=PrimaryKeyType.none),
+                    is_global=(space == GLOBAL_SPACE),
+                )
+                self._tables[key] = Table(schema)
+                self._schemas[key] = schema
+
+    # ------------------------------------------------------------- WAL plumbing
+
+    def _wal_append(self, entry: dict):
+        if self._txn is not None:
+            self._txn.wal_ops.append(entry)
+            return
+        if self._wal is not None:
+            self._wal.append(entry)
+            if self._wal.entries_since_checkpoint >= self.config.write_batch_size:
+                self.flush()
+
+    def _replay(self, e: dict):
+        op = e.get("op")
+        try:
+            if op == "txn":
+                for sub in e["ops"]:
+                    self._replay(sub)
+            elif op == "create_table":
+                schema = TableSchema.from_json(e["schema"])
+                key = (e["space"], schema.name)
+                if key not in self._tables:
+                    self._tables[key] = Table(schema, self.config.distributed.node_id)
+                    self._schemas[key] = schema
+            elif op == "drop_table":
+                self._tables.pop((e["space"], e["table"]), None)
+                self._schemas.pop((e["space"], e["table"]), None)
+            elif op == "drop_space":
+                for key in [k for k in self._tables if k[0] == e["space"]]:
+                    del self._tables[key]
+                    del self._schemas[key]
+            elif op == "insert":
+                t = self._tables.get((e["space"], e["table"]))
+                if t is not None and e["pk"] not in t.store:
+                    t.apply_insert(e["pk"], e["rec"])
+            elif op == "update":
+                t = self._tables.get((e["space"], e["table"]))
+                if t is not None:
+                    t.apply_update(e["pk"], e["updates"])
+            elif op == "delete":
+                t = self._tables.get((e["space"], e["table"]))
+                if t is not None:
+                    t.apply_delete(e["pk"])
+            elif op == "clear":
+                t = self._tables.get((e["space"], e["table"]))
+                if t is not None:
+                    t.apply_clear()
+            elif op == "schema_update":
+                self._apply_schema_update(
+                    e["space"], e["table"], TableSchema.from_json(e["schema"]), e.get("renames", {})
+                )
+        except (UniqueViolation, ValidationError, KeyError):
+            pass  # recovery is best-effort per entry; torn semantics already cut
+
+    # ------------------------------------------------------------- notifications
+
+    def _notify(self, ev: ChangeEvent):
+        if self._txn is not None:
+            self._txn.events.append(ev)
+            return
+        self._dispatch(ev)
+
+    def _dispatch(self, ev: ChangeEvent):
+        for sub in self._subs.get((ev.space, ev.table), []):
+            sub._emit(ev)
+        for sub in self._subs.get((ev.space, None), []):
+            sub._emit(ev)
+
+    def watch(self, table: str | None = None, callback: Callable | None = None) -> Subscription:
+        key = (self.current_space, table)
+        sub = Subscription(self, key, callback)
+        self._subs.setdefault(key, []).append(sub)
+        return sub
+
+    # ------------------------------------------------------------- FK checks
+
+    def _fk_check_write(self, table: Table, record: dict):
+        for fk in table.schema.foreign_keys:
+            v = record.get(fk.field)
+            if v is None:
+                continue
+            ref = self._table(fk.references_table)
+            if fk.references_field is None or fk.references_field == ref.schema.primary_key.name:
+                ok = v in ref.store
+            else:
+                ok = ref.unique_maps.get(fk.references_field, {}).get(v) is not None
+            if not ok:
+                raise ValidationError(
+                    f"foreign key violation: {table.schema.name}.{fk.field}={v!r} "
+                    f"has no match in {fk.references_table}"
+                )
+
+    def _fk_on_delete(self, table: Table, pk, record: dict):
+        """Enforce referencing tables' on_delete actions."""
+        for (space, name), t in list(self._tables.items()):
+            if space not in (self.current_space, GLOBAL_SPACE):
+                continue
+            for fk in t.schema.foreign_keys:
+                if fk.references_table != table.schema.name:
+                    continue
+                ref_field = fk.references_field or table.schema.primary_key.name
+                refv = pk if ref_field == table.schema.primary_key.name else record.get(ref_field)
+                if refv is None:
+                    continue
+                cond = QueryCondition().where(fk.field, "=", refv)
+                hits = t.store.rows_for_mask(
+                    cond.mask(lambda f: t.store.column_view(f), t.store.high)
+                )
+                if not len(hits):
+                    continue
+                child_pks = [t.store.pk_col.get(r) for r in hits]
+                if fk.on_delete == ForeignKeyAction.restrict:
+                    raise ValidationError(
+                        f"foreign key restrict: {name}.{fk.field} references "
+                        f"{table.schema.name} pk={pk!r}"
+                    )
+                if fk.on_delete == ForeignKeyAction.cascade:
+                    for cpk in child_pks:
+                        self._delete_pk(t, space, cpk)
+                elif fk.on_delete == ForeignKeyAction.setNull:
+                    for cpk in child_pks:
+                        self._update_pk(t, space, cpk, {fk.field: None})
+                # noAction: leave dangling
+
+    # ------------------------------------------------------------- CRUD
+
+    def insert(self, table: str, data: dict) -> DbResult:
+        with self._lock:
+            t = self._table(table)
+            try:
+                pk_name = t.schema.primary_key.name
+                rec = t.validate(
+                    {k: v for k, v in data.items() if k != pk_name}, is_insert=True
+                )
+                rec = resolve_expr_values(rec, {}, True)
+                pk = data.get(pk_name)
+                if pk is None:
+                    pk = t.generate_pk()
+                self._fk_check_write(t, rec)
+                space = GLOBAL_SPACE if t.schema.is_global else self.current_space
+                undo_token = self._txn is not None
+                t.apply_insert(pk, rec)
+                if undo_token:
+                    self._txn.undo.append(("delete", t, pk))
+                self._wal_append(
+                    {"op": "insert", "space": space, "table": table, "pk": pk,
+                     "rec": self._walable(rec)}
+                )
+                self._counters["inserts"] += 1
+                self._notify(ChangeEvent("insert", space, table, pk, {**rec, pk_name: pk}))
+                return DbResult.success([pk])
+            except UniqueViolation as e:
+                return DbResult.error(ResultType.uniqueViolation, str(e), [data.get(pk_name)])
+            except ValidationError as e:
+                code = (
+                    ResultType.foreignKeyViolation
+                    if "foreign key" in str(e)
+                    else ResultType.validationFailed
+                )
+                return DbResult.error(code, str(e))
+
+    def batch_insert(self, table: str, records: list[dict], allow_partial: bool = True) -> DbResult:
+        ok, failed, errors = [], [], {}
+        with self._lock:
+            for i, rec in enumerate(records):
+                r = self.insert(table, rec)
+                if r.is_success:
+                    ok.extend(r.success_keys)
+                else:
+                    key = rec.get(self._table(table).schema.primary_key.name, i)
+                    failed.append(key)
+                    errors[key] = r.message
+                    if not allow_partial:
+                        # roll back the ones already applied
+                        t = self._table(table)
+                        for pk in ok:
+                            self._delete_pk(t, self.current_space, pk, wal=True)
+                        return DbResult.error(
+                            ResultType.validationFailed, r.message, failed, errors
+                        )
+        if failed and ok:
+            return DbResult.partial(ok, failed, errors)
+        if failed:
+            return DbResult.error(
+                ResultType.validationFailed, next(iter(errors.values())), failed, errors
+            )
+        return DbResult.success(ok)
+
+    def upsert(self, table: str, data: dict) -> DbResult:
+        """Insert, or update when the PK (or a unique field) already matches
+        (reference upsert semantics, tostore.dart batchUpsert)."""
+        with self._lock:
+            t = self._table(table)
+            pk_name = t.schema.primary_key.name
+            pk = data.get(pk_name)
+            if pk is None:
+                # try unique-field match
+                for f in t.schema.unique_fields():
+                    v = data.get(f)
+                    if v is not None and v in t.unique_maps[f]:
+                        pk = t.unique_maps[f][v]
+                        break
+            if pk is not None and pk in t.store:
+                return self.update(
+                    table, {k: v for k, v in data.items() if k != pk_name}, pk=pk
+                )
+            return self.insert(table, data)
+
+    def batch_upsert(self, table: str, records: list[dict]) -> DbResult:
+        ok, failed, errors = [], [], {}
+        for rec in records:
+            r = self.upsert(table, rec)
+            if r.is_success:
+                ok.extend(r.success_keys)
+            else:
+                failed.extend(r.failed_keys or ["?"])
+                errors.update(r.errors or {})
+        if failed and ok:
+            return DbResult.partial(ok, failed, errors)
+        if failed:
+            return DbResult.error(ResultType.validationFailed, "batch upsert failures", failed, errors)
+        return DbResult.success(ok)
+
+    def _update_pk(self, t: Table, space: str, pk, updates: dict) -> dict | None:
+        old = t.store.get(pk)
+        if old is None:
+            return None
+        resolved = resolve_expr_values(updates, old, False)
+        resolved = t.validate(resolved, is_insert=False)
+        resolved = {k: v for k, v in resolved.items() if k in updates}
+        self._fk_check_write(t, {**old, **resolved})
+        before = t.apply_update(pk, resolved)
+        if self._txn is not None and before is not None:
+            self._txn.undo.append(("update", t, pk, {k: before.get(k) for k in resolved}))
+        self._wal_append(
+            {"op": "update", "space": space, "table": t.schema.name, "pk": pk,
+             "updates": self._walable(resolved)}
+        )
+        self._counters["updates"] += 1
+        self._notify(ChangeEvent("update", space, t.schema.name, pk, t.store.get(pk)))
+        return before
+
+    def update(
+        self,
+        table: str,
+        updates: dict,
+        condition: QueryCondition | None = None,
+        pk=None,
+        allow_update_all: bool = False,
+    ) -> DbResult:
+        with self._lock:
+            t = self._table(table)
+            space = GLOBAL_SPACE if t.schema.is_global else self.current_space
+            try:
+                if pk is not None:
+                    pks = [pk] if pk in t.store else []
+                elif condition is not None and not condition.is_empty:
+                    mask = condition.mask(
+                        lambda f: t.store.column_view(f), t.store.high
+                    )
+                    pks = [t.store.pk_col.get(r) for r in t.store.rows_for_mask(mask)]
+                elif allow_update_all:
+                    pks = t.store.pks()
+                else:
+                    return DbResult.error(
+                        ResultType.validationFailed,
+                        "update without condition requires allow_update_all",
+                    )
+                ok, failed, errors = [], [], {}
+                for p in pks:
+                    try:
+                        if self._update_pk(t, space, p, updates) is not None:
+                            ok.append(p)
+                    except (UniqueViolation, ValidationError, ZeroDivisionError) as e:
+                        failed.append(p)
+                        errors[p] = str(e)
+                if failed and not ok:
+                    return DbResult.error(
+                        ResultType.validationFailed, next(iter(errors.values())), failed, errors
+                    )
+                if failed:
+                    return DbResult.partial(ok, failed, errors)
+                return DbResult.success(ok)
+            except (UniqueViolation, ValidationError) as e:
+                return DbResult.error(ResultType.validationFailed, str(e))
+
+    def _delete_pk(self, t: Table, space: str, pk, wal: bool = True):
+        old = t.store.get(pk)
+        if old is None:
+            return False
+        self._fk_on_delete(t, pk, old)
+        t.apply_delete(pk)
+        if self._txn is not None:
+            self._txn.undo.append(("insert", t, pk, old))
+        if wal:
+            self._wal_append({"op": "delete", "space": space, "table": t.schema.name, "pk": pk})
+        self._counters["deletes"] += 1
+        self._notify(ChangeEvent("delete", space, t.schema.name, pk, old))
+        return True
+
+    def delete(
+        self,
+        table: str,
+        condition: QueryCondition | None = None,
+        pk=None,
+        pks=None,
+        allow_delete_all: bool = False,
+    ) -> DbResult:
+        with self._lock:
+            t = self._table(table)
+            space = GLOBAL_SPACE if t.schema.is_global else self.current_space
+            try:
+                if pk is not None:
+                    targets = [pk]
+                elif pks is not None:
+                    targets = list(pks)
+                elif condition is not None and not condition.is_empty:
+                    mask = condition.mask(lambda f: t.store.column_view(f), t.store.high)
+                    targets = [t.store.pk_col.get(r) for r in t.store.rows_for_mask(mask)]
+                elif allow_delete_all:
+                    targets = t.store.pks()
+                else:
+                    return DbResult.error(
+                        ResultType.validationFailed,
+                        "delete without condition requires allow_delete_all",
+                    )
+                ok = [p for p in targets if self._delete_pk(t, space, p)]
+                return DbResult.success(ok)
+            except ValidationError as e:
+                return DbResult.error(ResultType.foreignKeyViolation, str(e))
+
+    def clear(self, table: str) -> DbResult:
+        with self._lock:
+            t = self._table(table)
+            space = GLOBAL_SPACE if t.schema.is_global else self.current_space
+            t.apply_clear()
+            self._wal_append({"op": "clear", "space": space, "table": table})
+            self._notify(ChangeEvent("clear", space, table, None))
+            return DbResult.success()
+
+    # ------------------------------------------------------------- reads
+
+    def get_by_pk(self, table: str, pk) -> dict | None:
+        rec = self._table(table).store.get(pk)
+        if rec is not None:
+            rec.pop(INGEST_TS_FIELD, None)
+        return rec
+
+    def query(self, table: str, spec: QuerySpec | None = None):
+        self._counters["queries"] += 1
+        return self.executor.execute(self.current_space, table, spec or QuerySpec())
+
+    def count(self, table: str, condition: QueryCondition | None = None) -> int:
+        t = self._table(table)
+        if condition is None or condition.is_empty:
+            return len(t.store)
+        mask = condition.mask(lambda f: t.store.column_view(f), t.store.high)
+        return int(np.count_nonzero(mask & t.store.valid_view()))
+
+    # ------------------------------------------------------------- vector search
+
+    def vector_search(
+        self,
+        table: str,
+        field: str,
+        query,
+        top_k: int = 10,
+        threshold: float | None = None,
+        condition: QueryCondition | None = None,
+        nprobe: int | None = None,
+        include_records: bool = False,
+    ) -> list[VectorSearchResult]:
+        """The north-star read path (reference tostore.dart:493 ->
+        vector_index_manager.dart:475). Hybrid filtering turns the structured
+        predicate into a slot bitmask folded into the scan kernel."""
+        self._counters["vector_searches"] += 1
+        t = self._table(table)
+        t.flush_vectors(field)
+        idx = t.vector_index_for(field)
+        slot_mask = None
+        if condition is not None and not condition.is_empty:
+            mask = condition.mask(lambda f: t.store.column_view(f), t.store.high)
+            rows = t.store.rows_for_mask(mask)
+            allowed = [t.store.pk_col.get(r) for r in rows]
+            import jax.numpy as jnp
+
+            slot_mask = jnp.asarray(t.slot_mask_from_pks(field, allowed))
+        kwargs = {}
+        if idx.index_type == "ivf" and nprobe is not None:
+            kwargs["nprobe"] = nprobe
+        results = idx.search(
+            np.asarray(query, np.float32), top_k=top_k, threshold=threshold,
+            slot_mask=slot_mask, **kwargs
+        )
+        if include_records:
+            results = [
+                VectorSearchResult(
+                    r.primary_key, r.distance, r.score, self.get_by_pk(table, r.primary_key)
+                )
+                for r in results
+            ]
+        return results
+
+    # ------------------------------------------------------------- transactions
+
+    @contextlib.contextmanager
+    def _transaction_cm(self):
+        with self._lock:
+            if self._txn is not None:
+                # nested: flatten into outer txn (reference nests zones)
+                yield Transaction(self, self._txn)
+                return
+            txn = _Txn(self, uuid.uuid4().hex[:16])
+            self._txn = txn
+            try:
+                yield Transaction(self, txn)
+            except BaseException:
+                self._rollback(txn)
+                raise
+            else:
+                self._commit(txn)
+
+    def transaction(self, action: Callable | None = None):
+        """Context-manager or callback form (reference tostore.dart:860)."""
+        if action is None:
+            return self._transaction_cm()
+        try:
+            with self._transaction_cm() as tx:
+                result = action(tx)
+            return TransactionResult(True, result, tx_id=tx.tx_id)
+        except BusinessError as e:
+            return TransactionResult(False, None, str(e))
+        except (UniqueViolation, ValidationError) as e:
+            return TransactionResult(False, None, str(e))
+
+    def _commit(self, txn: _Txn):
+        self._txn = None
+        if txn.wal_ops and self._wal is not None:
+            self._wal.append({"op": "txn", "ops": txn.wal_ops})
+        for ev in txn.events:
+            self._dispatch(ev)
+
+    def _rollback(self, txn: _Txn):
+        self._txn = None
+        for entry in reversed(txn.undo):
+            kind, t = entry[0], entry[1]
+            if kind == "delete":
+                t.apply_delete(entry[2])
+            elif kind == "update":
+                t.apply_update(entry[2], entry[3])
+            elif kind == "insert":
+                t.apply_insert(entry[2], entry[3])
+
+    # ------------------------------------------------------------- durability
+
+    def _walable(self, rec: dict) -> dict:
+        out = {}
+        for k, v in rec.items():
+            if isinstance(v, np.ndarray):
+                v = v.astype(np.float32)
+            out[k] = v
+        return out
+
+    def flush(self) -> None:
+        """Checkpoint: atomic snapshot + WAL truncate (reference
+        pjm:1209-1228 flushAll -> advanceCheckpoint)."""
+        if self.config.memory_mode:
+            return
+        with self._lock:
+            snap = self._snapshot_state()
+            atomic_write(os.path.join(self.db_dir, "current.snap"), codec.dumps(snap))
+            self._persist_manifest()
+            if self._wal is not None:
+                self._wal.truncate()
+            self._counters["flushes"] += 1
+
+    def _snapshot_state(self) -> dict:
+        tables = {}
+        for (space, name), t in self._tables.items():
+            tables.setdefault(space, {})[name] = self._pack_table(t)
+        return {"version": 1, "tables": tables}
+
+    @staticmethod
+    def _pack_table(t: Table) -> dict:
+        d = t.state_dict()
+        return _pack_ndarrays(d)
+
+    def _load_snapshot(self, snap: dict):
+        for space, tbls in snap.get("tables", {}).items():
+            for name, td in tbls.items():
+                t = Table.from_state_dict(_unpack_ndarrays(td), self.config.distributed.node_id)
+                self._tables[(space, name)] = t
+                self._schemas[(space, name)] = t.schema
+
+    # ------------------------------------------------------------- backup/restore
+
+    def backup(self, dest_path: str, scope: str = "database") -> str:
+        """Zip the database directory (reference backup_manager.dart:26-40).
+        scope: database | currentSpace | currentSpaceWithGlobal."""
+        with self._lock:
+            self.flush()
+            if self.config.memory_mode:
+                # memory mode: serialize state directly
+                data = codec.dumps(self._snapshot_state())
+                os.makedirs(os.path.dirname(dest_path) or ".", exist_ok=True)
+                with zipfile.ZipFile(dest_path, "w") as z:
+                    z.writestr("memory.snap", data)
+                return dest_path
+            with zipfile.ZipFile(dest_path, "w") as z:
+                for f in glob.glob(os.path.join(self.db_dir, "**"), recursive=True):
+                    if os.path.isfile(f) and not f.endswith(".tmp"):
+                        z.write(f, os.path.relpath(f, self.db_dir))
+            return dest_path
+
+    def restore(self, src_path: str) -> DbResult:
+        with self._lock:
+            with zipfile.ZipFile(src_path) as z:
+                names = z.namelist()
+                if "memory.snap" in names:
+                    self._tables.clear()
+                    self._schemas.clear()
+                    self._load_snapshot(codec.loads(z.read("memory.snap")))
+                    self._ensure_kv_table()
+                    return DbResult.success()
+                if self.config.memory_mode:
+                    return DbResult.error(
+                        ResultType.ioError, "cannot restore a file backup into memory mode"
+                    )
+                for f in glob.glob(os.path.join(self.db_dir, "*")):
+                    if os.path.isfile(f):
+                        os.remove(f)
+                z.extractall(self.db_dir)
+            self._tables.clear()
+            self._schemas.clear()
+            if self._wal:
+                self._wal.close()
+            self._open_files()
+            self._ensure_kv_table()
+            return DbResult.success()
+
+    # ------------------------------------------------------------- maintenance
+
+    def run_ttl_cleanup(self) -> int:
+        """Delete expired rows + expired KV entries (reference
+        ttl_cleanup_manager.dart)."""
+        now = int(time.time() * 1000)
+        removed = 0
+        with self._lock:
+            for (space, name), t in list(self._tables.items()):
+                if name == KV_TABLE:
+                    col = t.store.column_view("expires_ms")
+                    valid = t.store.valid_view()
+                    for r in np.flatnonzero(valid):
+                        v = col[r] if col.dtype == object else int(col[r])
+                        if v is not None and v not in (0,) and v <= now:
+                            self._delete_pk(t, space, t.store.pk_col.get(r))
+                            removed += 1
+                    continue
+                for pk in t.expired_pks(now):
+                    if self._delete_pk(t, space, pk):
+                        removed += 1
+        return removed
+
+    def run_compaction(self):
+        with self._lock:
+            for t in self._tables.values():
+                for vi in t.vector_indexes.values():
+                    vi.maybe_compact(self.config.tombstone_compact_ratio)
+
+    # ------------------------------------------------------------- status
+
+    def status(self) -> dict:
+        tables = {}
+        for (space, name), t in self._tables.items():
+            if name.startswith(SYSTEM_PREFIX):
+                continue
+            tables[f"{space}/{name}"] = {
+                "records": len(t.store),
+                "vector_indexes": {
+                    f: {
+                        "type": vi.index_type,
+                        "count": len(vi),
+                        "deleted_ratio": vi.corpus.deleted_ratio,
+                    }
+                    for f, vi in t.vector_indexes.items()
+                },
+            }
+        return {
+            "config": {
+                "db_path": self.config.db_path,
+                "db_name": self.config.db_name,
+                "memory_mode": self.config.memory_mode,
+                "isolation_level": self.config.isolation_level,
+            },
+            "active_space": self.current_space,
+            "spaces": self.list_spaces(),
+            "tables": tables,
+            "counters": dict(self._counters),
+            "uptime_ms": int(time.time() * 1000) - self._opened_ms,
+        }
+
+
+# --- ndarray packing for the codec ------------------------------------------
+
+
+def _pack_ndarrays(v):
+    if isinstance(v, np.ndarray) and (v.ndim != 1 or v.dtype != np.float32):
+        return {
+            "__nd__": True,
+            "shape": list(v.shape),
+            "dtype": str(v.dtype),  # incl. 'bfloat16' (ml_dtypes)
+            "data": v.tobytes(),
+        }
+    if isinstance(v, dict):
+        return {k: _pack_ndarrays(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_pack_ndarrays(x) for x in v]
+    return v
+
+
+def _np_dtype(name: str):
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes
+
+        return np.dtype(getattr(ml_dtypes, name))
+
+
+def _unpack_ndarrays(v):
+    if isinstance(v, dict):
+        if v.get("__nd__"):
+            return (
+                np.frombuffer(v["data"], dtype=_np_dtype(v["dtype"]))
+                .reshape(v["shape"])
+                .copy()
+            )
+        return {k: _unpack_ndarrays(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_unpack_ndarrays(x) for x in v]
+    return v

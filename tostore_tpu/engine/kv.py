@@ -1,0 +1,186 @@
+"""KvStore — typed key-value namespace over the system KV table.
+
+Same surface as the reference `db.kv` (Interface/kv_store.dart:1-354):
+typed getters, setMany/removeKeys, atomic setIncrement counters,
+getKeys(prefix)/count/exists/clear, per-key TTL, watch streams, and
+global vs space-local scoping (global keys live in the shared global-space
+KV table)."""
+
+from __future__ import annotations
+
+import fnmatch
+import time
+from typing import Any, Callable
+
+from ..models.results import DbResult
+from ..query.condition import QueryCondition
+
+KV_TABLE = "_system_kv"
+
+
+class KvStore:
+    def __init__(self, db, is_global: bool = False):
+        self._db = db
+        self._global = is_global
+
+    @property
+    def _space(self):
+        from .database import GLOBAL_SPACE
+
+        return GLOBAL_SPACE if self._global else self._db.current_space
+
+    def _t(self):
+        return self._db._tables[(self._space, KV_TABLE)]
+
+    # --- write -----------------------------------------------------------
+
+    def set(self, key: str, value: Any, ttl_seconds: float | None = None) -> DbResult:
+        expires = int(time.time() * 1000 + ttl_seconds * 1000) if ttl_seconds else 0
+        with self._db._lock:
+            t = self._t()
+            rec = {"value": value, "expires_ms": expires}
+            if key in t.store:
+                t.apply_update(key, rec)
+                op = "update"
+            else:
+                t.apply_insert(key, rec)
+                op = "insert"
+            self._db._wal_append(
+                {"op": op, "space": self._space, "table": KV_TABLE, "pk": key,
+                 **({"rec": rec} if op == "insert" else {"updates": rec})}
+            )
+            from .database import ChangeEvent
+
+            self._db._notify(ChangeEvent(op, self._space, KV_TABLE, key, rec))
+            return DbResult.success([key])
+
+    def set_many(self, entries: dict[str, Any], ttl_seconds: float | None = None) -> DbResult:
+        for k, v in entries.items():
+            self.set(k, v, ttl_seconds)
+        return DbResult.success(list(entries))
+
+    def set_increment(self, key: str, delta: float | int = 1) -> int | float:
+        """Atomic counter (reference setIncrement)."""
+        with self._db._lock:
+            cur = self.get(key)
+            if cur is None:
+                cur = 0
+            if not isinstance(cur, (int, float)) or isinstance(cur, bool):
+                raise ValueError(f"kv key {key!r} is not numeric")
+            new = cur + delta
+            self.set(key, new)
+            return new
+
+    def remove(self, key: str) -> bool:
+        with self._db._lock:
+            t = self._t()
+            if key not in t.store:
+                return False
+            self._db._delete_pk(t, self._space, key)
+            return True
+
+    def remove_keys(self, keys: list[str]) -> int:
+        return sum(1 for k in keys if self.remove(k))
+
+    def clear(self) -> int:
+        with self._db._lock:
+            t = self._t()
+            keys = t.store.pks()
+            for k in keys:
+                self._db._delete_pk(t, self._space, k)
+            return len(keys)
+
+    # --- read ------------------------------------------------------------------
+
+    def _live(self, key: str):
+        t = self._t()
+        rec = t.store.get(key)
+        if rec is None:
+            return None
+        exp = rec.get("expires_ms") or 0
+        if exp and exp <= int(time.time() * 1000):
+            return None  # lazily expired (cron sweeps later)
+        return rec
+
+    def get(self, key: str, default: Any = None) -> Any:
+        rec = self._live(key)
+        return default if rec is None else rec.get("value")
+
+    def get_string(self, key: str, default: str | None = None) -> str | None:
+        v = self.get(key)
+        return str(v) if v is not None else default
+
+    def get_int(self, key: str, default: int | None = None) -> int | None:
+        v = self.get(key)
+        try:
+            return int(v) if v is not None else default
+        except (TypeError, ValueError):
+            return default
+
+    def get_double(self, key: str, default: float | None = None) -> float | None:
+        v = self.get(key)
+        try:
+            return float(v) if v is not None else default
+        except (TypeError, ValueError):
+            return default
+
+    def get_bool(self, key: str, default: bool | None = None) -> bool | None:
+        v = self.get(key)
+        if v is None:
+            return default
+        if isinstance(v, bool):
+            return v
+        return str(v).lower() in ("true", "1", "yes")
+
+    def get_json(self, key: str, default: Any = None) -> Any:
+        return self.get(key, default)
+
+    def exists(self, key: str) -> bool:
+        return self._live(key) is not None
+
+    def get_keys(self, prefix: str = "") -> list[str]:
+        t = self._t()
+        return sorted(
+            k for k in t.store.pks() if str(k).startswith(prefix) and self._live(k)
+        )
+
+    def count(self, prefix: str = "") -> int:
+        return len(self.get_keys(prefix))
+
+    def get_ttl(self, key: str) -> float | None:
+        rec = self._live(key)
+        if rec is None:
+            return None
+        exp = rec.get("expires_ms") or 0
+        if not exp:
+            return None
+        return max(0.0, (exp - time.time() * 1000) / 1000)
+
+    def set_ttl(self, key: str, ttl_seconds: float | None) -> bool:
+        with self._db._lock:
+            t = self._t()
+            if key not in t.store:
+                return False
+            expires = int(time.time() * 1000 + ttl_seconds * 1000) if ttl_seconds else 0
+            t.apply_update(key, {"expires_ms": expires})
+            self._db._wal_append(
+                {"op": "update", "space": self._space, "table": KV_TABLE, "pk": key,
+                 "updates": {"expires_ms": expires}}
+            )
+            return True
+
+    # --- watch -------------------------------------------------------------------
+
+    def watch_value(self, key: str, callback: Callable | None = None):
+        """Stream of changes for one key (reference watchValue)."""
+        sub = self._db.watch(KV_TABLE, callback=None)
+        if callback:
+            orig_emit = sub._emit
+
+            def emit(ev):
+                if ev.pk == key:
+                    orig_emit(ev)
+
+            sub._emit = emit
+            sub.callback = callback
+        return sub

@@ -1,0 +1,406 @@
+"""Table — schema-validated record storage with indexes.
+
+Bundles what the reference spreads across TableDataManager
+(table_data_manager.dart: record store + buffers), IndexManager
+(index_manager.dart: unique checks, secondary index maintenance,
+searchIndex) and VectorIndexManager (vector_index_manager.dart): one table
+owns a ColumnStore, hash unique maps (the reference's unique B+Trees),
+lazily-sorted ordered indexes (the reference's non-unique B+Trees with
+memcomparable keys), and device-resident vector indexes with a buffered
+flush path (the reference's write-buffer -> flush pipeline, pjm:350).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import numpy as np
+
+from ..models.results import UniqueViolation
+from ..models.schema import (
+    DataType,
+    IndexSchema,
+    PrimaryKeyType,
+    TableSchema,
+)
+from ..utils.idgen import SequentialIdGenerator, TimeBasedIdGenerator
+from ..vector.flat import FlatVectorIndex
+from ..vector.ivf import IVFVectorIndex
+from .columnstore import ColumnStore
+
+INGEST_TS_FIELD = "_system_ingest_ts_ms"  # reference ttl_cleanup_manager.dart:40
+
+
+class ValidationError(ValueError):
+    pass
+
+
+class SortedIndex:
+    """Ordered secondary index: lazily (re)built sorted key array over live
+    rows — the vectorized stand-in for the reference's paged index B+Trees
+    (index_tree_partition_manager.dart). Point/range lookups use
+    np.searchsorted over the sort projection."""
+
+    def __init__(self, fields: tuple[str, ...]):
+        self.fields = fields
+        self._gen = -1
+        self._order: np.ndarray | None = None  # rowids sorted by key
+        self._keys: list[np.ndarray] | None = None  # sorted key columns
+
+    def _build(self, store: ColumnStore):
+        rows = np.flatnonzero(store.valid_view())
+        cols = []
+        for f in self.fields:
+            v = store.column_view(f)[rows]
+            cols.append(v)
+        if len(rows):
+            order = np.lexsort([np.argsort(np.arange(len(rows)))] + [
+                self._sortable(c) for c in reversed(cols)
+            ])
+        else:
+            order = np.zeros(0, np.int64)
+        self._order = rows[order]
+        self._keys = [self._sortable(c[order]) if len(rows) else c for c in cols]
+        self._gen = store.generation
+
+    @staticmethod
+    def _sortable(col: np.ndarray) -> np.ndarray:
+        if col.dtype != object:
+            return col
+        # object columns: sort by (is_null, str) for stability
+        return np.asarray([("" if x is None else str(x)) for x in col], dtype=object)
+
+    def ordered_rows(self, store: ColumnStore) -> np.ndarray:
+        if self._gen != store.generation:
+            self._build(store)
+        return self._order
+
+    def range_rows(self, store: ColumnStore, lo=None, hi=None, lo_open=False, hi_open=False):
+        """Rows where first key field within [lo, hi] (single-field ranges)."""
+        if self._gen != store.generation:
+            self._build(store)
+        keys = self._keys[0]
+        n = len(keys)
+        a, b = 0, n
+        if lo is not None:
+            a = np.searchsorted(keys, lo, side="right" if lo_open else "left")
+        if hi is not None:
+            b = np.searchsorted(keys, hi, side="left" if hi_open else "right")
+        return self._order[a:b]
+
+
+def _make_vector_index(dims: int, precision: str, idx: IndexSchema):
+    cfg = idx.vector_config
+    metric = cfg.metric.kernel_name
+    if cfg.index_type.value in ("ivf", "ngh"):
+        return IVFVectorIndex(
+            dims,
+            metric=metric,
+            precision=precision,
+            num_clusters=cfg.num_clusters,
+            nprobe=cfg.nprobe,
+            pq_subspaces=cfg.pq_subspaces,
+            pq_centroids=cfg.pq_centroids,
+            rerank_factor=cfg.rerank_factor,
+        )
+    return FlatVectorIndex(dims, metric=metric, precision=precision)
+
+
+class Table:
+    def __init__(self, schema: TableSchema, node_id: int = 0):
+        self.schema = schema
+        self.store = ColumnStore(schema)
+        self.store.ensure_column(INGEST_TS_FIELD, DataType.datetime)
+        self.node_id = node_id
+
+        pk = schema.primary_key
+        self._seq = SequentialIdGenerator(pk.initial_value, pk.increment)
+        self._timegen = (
+            TimeBasedIdGenerator(pk.type.value, node_id)
+            if pk.type in (PrimaryKeyType.timestampBased, PrimaryKeyType.datePrefixed, PrimaryKeyType.shortCode)
+            else None
+        )
+
+        # unique maps: field/index-name -> {key: pk}
+        self.unique_maps: dict[str, dict] = {f: {} for f in schema.unique_fields()}
+        for idx in schema.btree_indexes():
+            if idx.unique:
+                self.unique_maps[idx.index_name] = {}
+        self.sorted_indexes: dict[str, SortedIndex] = {
+            idx.index_name: SortedIndex(idx.fields) for idx in schema.btree_indexes()
+        }
+
+        # vector indexes + buffered writes (field -> {pk: vec|None})
+        self.vector_indexes: dict[str, Any] = {}
+        self._vec_pending: dict[str, dict] = {}
+        for idx in schema.vector_indexes():
+            field = idx.fields[0]
+            fs = schema.field_map[field]
+            vc = fs.vector_config
+            self.vector_indexes[field] = _make_vector_index(
+                vc.dimensions, vc.precision.value, idx
+            )
+            self._vec_pending[field] = {}
+
+    # --- validation ------------------------------------------------------------
+
+    def generate_pk(self):
+        t = self.schema.primary_key.type
+        if t == PrimaryKeyType.sequential:
+            return self._seq.next()
+        if t == PrimaryKeyType.none:
+            raise ValidationError(
+                f"table {self.schema.name!r}: primary key must be supplied (type none)"
+            )
+        return self._timegen.next()
+
+    def validate(self, data: dict, is_insert: bool) -> dict:
+        """Type/constraint validation + defaults. Returns a clean record
+        (without PK). Reference: _validateAndProcessData dsi:1562 +
+        record_compute.dart batches."""
+        out = {}
+        fmap = self.schema.field_map
+        unknown = set(data) - set(fmap) - {self.schema.primary_key.name}
+        if unknown:
+            raise ValidationError(
+                f"table {self.schema.name!r}: unknown fields {sorted(unknown)}"
+            )
+        for f in self.schema.fields:
+            present = f.name in data
+            v = data.get(f.name)
+            if not present and is_insert:
+                v = f.default_value
+            if v is None:
+                if not f.nullable and is_insert:
+                    raise ValidationError(f"field {f.name!r} is not nullable")
+                if present or is_insert:
+                    out[f.name] = None
+                continue
+            out[f.name] = self._coerce(f, v)
+        return out
+
+    def _coerce(self, f, v):
+        t = f.type
+        try:
+            if t in (DataType.integer, DataType.bigInt):
+                if isinstance(v, bool):
+                    raise ValidationError(f"field {f.name!r}: bool is not an integer")
+                v = int(v)
+            elif t == DataType.double:
+                v = float(v)
+            elif t == DataType.boolean:
+                if not isinstance(v, bool):
+                    raise ValidationError(f"field {f.name!r}: expected boolean")
+            elif t == DataType.text:
+                v = str(v)
+                if f.max_length is not None and len(v) > f.max_length:
+                    raise ValidationError(f"field {f.name!r}: exceeds max_length")
+            elif t == DataType.blob:
+                if not isinstance(v, (bytes, bytearray)):
+                    raise ValidationError(f"field {f.name!r}: expected bytes")
+                v = bytes(v)
+            elif t == DataType.datetime:
+                if isinstance(v, (int, float)):
+                    v = int(v)
+                else:
+                    raise ValidationError(f"field {f.name!r}: datetime must be epoch ms")
+            elif t == DataType.array:
+                if not isinstance(v, (list, tuple)):
+                    raise ValidationError(f"field {f.name!r}: expected array")
+                v = list(v)
+            elif t == DataType.json:
+                if not isinstance(v, (dict, list, str, int, float, bool)):
+                    raise ValidationError(f"field {f.name!r}: not JSON-serializable")
+            elif t == DataType.vector:
+                arr = np.asarray(v, np.float32)
+                if arr.ndim != 1 or arr.shape[0] != f.vector_config.dimensions:
+                    raise ValidationError(
+                        f"field {f.name!r}: expected {f.vector_config.dimensions}-d vector"
+                    )
+                v = arr.tolist()
+        except (TypeError, ValueError) as e:
+            if isinstance(e, ValidationError):
+                raise
+            raise ValidationError(f"field {f.name!r}: cannot coerce {v!r} to {t.value}") from e
+        if f.min_value is not None and isinstance(v, (int, float)) and v < f.min_value:
+            raise ValidationError(f"field {f.name!r}: below min_value {f.min_value}")
+        if f.max_value is not None and isinstance(v, (int, float)) and v > f.max_value:
+            raise ValidationError(f"field {f.name!r}: above max_value {f.max_value}")
+        return v
+
+    # --- unique enforcement ---------------------------------------------------------
+
+    def _unique_entries(self, pk, record: dict):
+        """Yield (map_name, key) pairs for this record's unique constraints."""
+        for f in self.schema.unique_fields():
+            v = record.get(f)
+            if v is not None:
+                yield f, v
+        for idx in self.schema.btree_indexes():
+            if idx.unique:
+                key = tuple(record.get(x) for x in idx.fields)
+                if any(k is None for k in key):
+                    continue
+                yield idx.index_name, key
+
+    def check_unique(self, pk, record: dict, old: dict | None = None):
+        for name, key in self._unique_entries(pk, record):
+            holder = self.unique_maps[name].get(key)
+            if holder is not None and holder != pk:
+                fields = name if name in self.schema.field_map else name
+                raise UniqueViolation(self.schema.name, fields, key)
+
+    def _unique_apply(self, pk, record: dict, old: dict | None):
+        if old is not None:
+            for name, key in self._unique_entries(pk, old):
+                if self.unique_maps[name].get(key) == pk:
+                    del self.unique_maps[name][key]
+        for name, key in self._unique_entries(pk, record):
+            self.unique_maps[name][key] = pk
+
+    # --- mutation (called by Database under WAL) -----------------------------------
+
+    def apply_insert(self, pk, record: dict):
+        if self.schema.primary_key.type == PrimaryKeyType.sequential:
+            self._seq.observe(pk)
+        if pk in self.store:
+            raise UniqueViolation(self.schema.name, self.schema.primary_key.name, pk)
+        self.check_unique(pk, record)
+        self._unique_apply(pk, record, None)
+        rec = dict(record)
+        rec[INGEST_TS_FIELD] = rec.get(INGEST_TS_FIELD) or int(time.time() * 1000)
+        self.store.upsert(pk, rec)
+        self._vector_stage(pk, record)
+
+    def apply_update(self, pk, updates: dict) -> dict | None:
+        old = self.store.get(pk)
+        if old is None:
+            return None
+        new = {**old, **updates}
+        self.check_unique(pk, new, old)
+        self._unique_apply(pk, new, old)
+        self.store.patch(pk, updates)
+        self._vector_stage(pk, updates)
+        return old
+
+    def apply_delete(self, pk) -> dict | None:
+        old = self.store.get(pk)
+        if old is None:
+            return None
+        for name, key in self._unique_entries(pk, old):
+            if self.unique_maps[name].get(key) == pk:
+                del self.unique_maps[name][key]
+        self.store.delete(pk)
+        for field in self.vector_indexes:
+            self._vec_pending[field][pk] = None
+        return old
+
+    def apply_clear(self):
+        self.store.clear()
+        self.store.ensure_column(INGEST_TS_FIELD, DataType.datetime)
+        for m in self.unique_maps.values():
+            m.clear()
+        for field, vi in self.vector_indexes.items():
+            self.vector_indexes[field] = type(vi)(
+                vi.dims, metric=vi.metric, precision=vi.corpus.precision
+            )
+            self._vec_pending[field] = {}
+
+    def _vector_stage(self, pk, record: dict):
+        for field in self.vector_indexes:
+            if field in record:
+                v = record[field]
+                self._vec_pending[field][pk] = (
+                    None if v is None else np.asarray(v, np.float32)
+                )
+
+    # --- vector flush + search ----------------------------------------------------
+
+    def flush_vectors(self, field: str | None = None):
+        """Apply buffered vector writes to device indexes in batches — the
+        engine analogue of the reference flush fan-out into
+        VectorIndexManager.writeChanges (im:3123)."""
+        fields = [field] if field else list(self.vector_indexes)
+        for f in fields:
+            pend = self._vec_pending.get(f)
+            if not pend:
+                continue
+            idx = self.vector_indexes[f]
+            dels = [pk for pk, v in pend.items() if v is None]
+            ups = [(pk, v) for pk, v in pend.items() if v is not None]
+            if dels:
+                idx.delete(dels)
+            if ups:
+                idx.upsert([pk for pk, _ in ups], np.stack([v for _, v in ups]))
+            pend.clear()
+
+    def vector_index_for(self, field: str):
+        idx = self.vector_indexes.get(field)
+        if idx is None:
+            raise ValidationError(
+                f"no vector index on {self.schema.name}.{field}"
+            )
+        return idx
+
+    def slot_mask_from_pks(self, field: str, allowed_pks) -> np.ndarray:
+        """Build a device-shaped slot mask from a host pk set (hybrid
+        filtering bridge)."""
+        idx = self.vector_index_for(field)
+        c = idx.corpus
+        mask = np.zeros(c.capacity, bool)
+        slots = c.slots_for_pks(list(allowed_pks))
+        mask[slots[slots >= 0]] = True
+        return mask
+
+    # --- maintenance -------------------------------------------------------------------
+
+    def expired_pks(self, now_ms: int) -> list:
+        """TTL scan (reference ttl_cleanup_manager.dart): rows whose source
+        timestamp + ttl < now."""
+        ttl = self.schema.ttl
+        if not ttl or not ttl.enabled:
+            return []
+        field = ttl.source_field or INGEST_TS_FIELD
+        col = self.store.column_view(field)
+        valid = self.store.valid_view()
+        cutoff = now_ms - int(ttl.ttl_seconds * 1000)
+        if col.dtype == object:
+            rows = [
+                r
+                for r in np.flatnonzero(valid)
+                if col[r] is not None and col[r] <= cutoff
+            ]
+        else:
+            rows = np.flatnonzero(valid & (col <= cutoff)).tolist()
+        return [self.store.pk_col.get(r) for r in rows]
+
+    # --- persistence ---------------------------------------------------------------------
+
+    def state_dict(self) -> dict:
+        self.flush_vectors()
+        return {
+            "schema": self.schema.to_json(),
+            "store": self.store.state_dict(),
+            "seq": self._seq.state(),
+            "vector_indexes": {
+                f: vi.state_dict() for f, vi in self.vector_indexes.items()
+            },
+        }
+
+    @staticmethod
+    def from_state_dict(d: dict, node_id: int = 0) -> "Table":
+        schema = TableSchema.from_json(d["schema"])
+        t = Table(schema, node_id)
+        t.store = ColumnStore.from_state_dict(schema, d["store"])
+        t.store.ensure_column(INGEST_TS_FIELD, DataType.datetime)
+        t._seq.restore(d.get("seq", 1))
+        for pk in t.store.pks():
+            rec = t.store.get(pk)
+            t._unique_apply(pk, rec, None)
+        vstates = d.get("vector_indexes", {})
+        for f, vs in vstates.items():
+            if f in t.vector_indexes:
+                cls = IVFVectorIndex if vs.get("type") == "ivf" else FlatVectorIndex
+                t.vector_indexes[f] = cls.from_state_dict(vs)
+        return t

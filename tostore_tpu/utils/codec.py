@@ -1,0 +1,189 @@
+"""Compact binary value codec + CRC framing.
+
+The parity layer for the reference's binary codecs
+(handler/binary_map_codec.dart, binary_schema_codec.dart,
+wal_encoder.dart, platform_byte_data.dart): a msgpack-like tagged encoding
+for the JSON-ish value universe plus bytes and float32 arrays (vectors),
+used by the WAL and snapshots. A C++ accelerator (native/) can replace the
+hot loops; this pure-Python module is the reference implementation and
+fallback.
+
+Wire format (one value):
+  tag u8, then payload:
+    0 None | 1 True | 2 False
+    3 int (zigzag varint) | 4 float64 (8B LE)
+    5 str (varint len + utf8) | 6 bytes (varint len)
+    7 list (varint count + values) | 8 dict (varint count + key/value pairs)
+    9 f32 array (varint count + raw LE floats)   -- vectors
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+def _write_varint(buf: bytearray, n: int):
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+def _read_varint(mv: memoryview, pos: int) -> tuple[int, int]:
+    shift = 0
+    out = 0
+    while True:
+        b = mv[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return out, pos
+        shift += 7
+
+
+def _enc_int(buf: bytearray, n: int):
+    u = (n << 1) if n >= 0 else ((-n << 1) - 1)  # zigzag
+    _write_varint(buf, u)
+
+
+def _dec_int(u: int) -> int:
+    return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+
+
+def encode_value(v, buf: bytearray | None = None) -> bytearray:
+    if buf is None:
+        buf = bytearray()
+    if v is None:
+        buf.append(0)
+    elif v is True:
+        buf.append(1)
+    elif v is False:
+        buf.append(2)
+    elif isinstance(v, int):
+        buf.append(3)
+        _enc_int(buf, v)
+    elif isinstance(v, float):
+        buf.append(4)
+        buf += struct.pack("<d", v)
+    elif isinstance(v, str):
+        raw = v.encode()
+        buf.append(5)
+        _write_varint(buf, len(raw))
+        buf += raw
+    elif isinstance(v, (bytes, bytearray)):
+        buf.append(6)
+        _write_varint(buf, len(v))
+        buf += v
+    elif isinstance(v, np.ndarray) and v.dtype == np.float32 and v.ndim == 1:
+        buf.append(9)
+        _write_varint(buf, v.shape[0])
+        buf += v.astype("<f4").tobytes()
+    elif isinstance(v, (list, tuple, np.ndarray)):
+        if isinstance(v, np.ndarray):
+            v = v.tolist()
+        buf.append(7)
+        _write_varint(buf, len(v))
+        for x in v:
+            encode_value(x, buf)
+    elif isinstance(v, dict):
+        buf.append(8)
+        _write_varint(buf, len(v))
+        for k, x in v.items():
+            encode_value(str(k), buf)
+            encode_value(x, buf)
+    elif isinstance(v, (np.integer,)):
+        encode_value(int(v), buf)
+    elif isinstance(v, (np.floating,)):
+        encode_value(float(v), buf)
+    elif isinstance(v, np.bool_):
+        encode_value(bool(v), buf)
+    else:
+        raise TypeError(f"cannot encode {type(v)}")
+    return buf
+
+
+def decode_value(mv: memoryview, pos: int = 0):
+    tag = mv[pos]
+    pos += 1
+    if tag == 0:
+        return None, pos
+    if tag == 1:
+        return True, pos
+    if tag == 2:
+        return False, pos
+    if tag == 3:
+        u, pos = _read_varint(mv, pos)
+        return _dec_int(u), pos
+    if tag == 4:
+        return struct.unpack_from("<d", mv, pos)[0], pos + 8
+    if tag == 5:
+        n, pos = _read_varint(mv, pos)
+        return bytes(mv[pos : pos + n]).decode(), pos + n
+    if tag == 6:
+        n, pos = _read_varint(mv, pos)
+        return bytes(mv[pos : pos + n]), pos + n
+    if tag == 7:
+        n, pos = _read_varint(mv, pos)
+        out = []
+        for _ in range(n):
+            x, pos = decode_value(mv, pos)
+            out.append(x)
+        return out, pos
+    if tag == 8:
+        n, pos = _read_varint(mv, pos)
+        out = {}
+        for _ in range(n):
+            k, pos = decode_value(mv, pos)
+            x, pos = decode_value(mv, pos)
+            out[k] = x
+        return out, pos
+    if tag == 9:
+        n, pos = _read_varint(mv, pos)
+        arr = np.frombuffer(mv[pos : pos + 4 * n], dtype="<f4").copy()
+        return arr, pos + 4 * n
+    raise ValueError(f"bad tag {tag} at {pos - 1}")
+
+
+def dumps(v) -> bytes:
+    return bytes(encode_value(v))
+
+
+def loads(b: bytes):
+    v, _ = decode_value(memoryview(b), 0)
+    return v
+
+
+# --- CRC-framed records (WAL entries / snapshot sections) --------------------
+# Frame: [magic u8 = 0xA7][len u32 LE][crc32 u32 LE][payload]
+
+FRAME_MAGIC = 0xA7
+FRAME_HEADER = struct.Struct("<BII")
+
+
+def frame(payload: bytes) -> bytes:
+    return FRAME_HEADER.pack(FRAME_MAGIC, len(payload), zlib.crc32(payload)) + payload
+
+
+def iter_frames(data: bytes):
+    """Yield payloads; stops cleanly at the first torn/corrupt frame
+    (crash-recovery semantics: a partial tail write is discarded, reference
+    WAL recover wal_manager.dart:608)."""
+    mv = memoryview(data)
+    pos = 0
+    n = len(data)
+    while pos + FRAME_HEADER.size <= n:
+        magic, ln, crc = FRAME_HEADER.unpack_from(mv, pos)
+        if magic != FRAME_MAGIC or pos + FRAME_HEADER.size + ln > n:
+            return
+        payload = bytes(mv[pos + FRAME_HEADER.size : pos + FRAME_HEADER.size + ln])
+        if zlib.crc32(payload) != crc:
+            return
+        yield payload
+        pos += FRAME_HEADER.size + ln
