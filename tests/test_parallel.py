@@ -1,0 +1,113 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh (conftest forces
+jax_num_cpu_devices=8): sharded search parity vs single-device oracle,
+data-parallel k-means, driver entry points."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tostore_tpu.ops import distance as D
+from tostore_tpu.parallel import (
+    ShardedFlatIndex,
+    make_mesh,
+    sharded_flat_topk,
+    sharded_kmeans_step,
+)
+from tostore_tpu.parallel.mesh import corpus_sharding, query_sharding
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8, dp=2)
+
+
+class TestShardedTopk:
+    def test_parity_with_oracle(self, mesh, rng):
+        n, d, b, k = 4096, 64, 4, 10
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        corpus = jax.device_put(jnp.asarray(x), corpus_sharding(mesh))
+        qj = jax.device_put(jnp.asarray(q), query_sharding(mesh))
+        bias = jax.device_put(jnp.zeros(n), NamedSharding(mesh, P("shard")))
+        s, i = sharded_flat_topk(qj, corpus, bias, k=k, mesh=mesh)
+        ref = np.argsort(-(q @ x.T), axis=1)[:, :k]
+        np.testing.assert_array_equal(np.asarray(i), ref)
+
+    def test_tombstones_respected(self, mesh, rng):
+        n, d, k = 2048, 64, 5
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        q = x[100:101]
+        valid = np.ones(n, bool)
+        valid[100] = False
+        corpus = jax.device_put(jnp.asarray(x), corpus_sharding(mesh))
+        bias = jax.device_put(
+            D.make_bias("dot", None, jnp.asarray(valid)), NamedSharding(mesh, P("shard"))
+        )
+        qj = jax.device_put(jnp.asarray(np.repeat(q, 2, 0)), query_sharding(mesh))
+        _, i = sharded_flat_topk(qj, corpus, bias, k=k, mesh=mesh)
+        assert 100 not in np.asarray(i)
+
+
+class TestShardedKmeans:
+    def test_matches_single_device(self, mesh, rng):
+        n, d, c = 4096, 32, 8
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        cents0 = x[:c].copy()
+        xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(("dp", "shard"), None)))
+        vs = jax.device_put(jnp.ones(n, jnp.bool_), NamedSharding(mesh, P(("dp", "shard"))))
+        cj = jax.device_put(jnp.asarray(cents0), NamedSharding(mesh, P()))
+        new = np.asarray(sharded_kmeans_step(xs, cj, vs, mesh=mesh))
+        # single-device oracle
+        d2 = ((x[:, None, :] - cents0[None]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        ref = np.stack(
+            [x[assign == j].mean(0) if (assign == j).any() else cents0[j] for j in range(c)]
+        )
+        np.testing.assert_allclose(new, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestShardedIndex:
+    def test_search_and_mutation(self, mesh, rng):
+        idx = ShardedFlatIndex(48, mesh, metric="l2")
+        x = rng.standard_normal((700, 48)).astype(np.float32)
+        idx.upsert(list(range(700)), x)
+        assert len(idx) == 700
+        d, pks = idx.search_arrays(x[321], k=3)
+        assert pks[0][0] == 321 and d[0][0] == pytest.approx(0.0, abs=1e-2)
+        idx.delete([321])
+        _, pks = idx.search_arrays(x[321], k=1)
+        assert pks[0][0] != 321
+        # growth across capacity blocks keeps data intact
+        x2 = rng.standard_normal((3000, 48)).astype(np.float32)
+        idx.upsert(list(range(1000, 4000)), x2)
+        _, pks = idx.search_arrays(x2[7], k=1)
+        assert pks[0][0] == 1007
+
+    def test_batch_queries_parity(self, mesh, rng):
+        idx = ShardedFlatIndex(32, mesh, metric="cosine")
+        x = rng.standard_normal((512, 32)).astype(np.float32)
+        idx.upsert(list(range(512)), x)
+        q = rng.standard_normal((6, 32)).astype(np.float32)
+        _, pks = idx.search_arrays(q, k=5)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        ref = np.argsort(-(qn @ xn.T), axis=1)[:, :5]
+        for row, rref in zip(pks, ref):
+            assert len(set(row) & set(rref.tolist())) >= 4
+
+
+class TestDriverEntrypoints:
+    def test_entry_compiles(self):
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        s, i = jax.jit(fn)(*args)
+        assert s.shape == (8, 10)
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
+        g.dryrun_multichip(4)

@@ -1,0 +1,250 @@
+"""Sharded kernels + the sharded flat index.
+
+Per-shard partial top-k + ICI all_gather merge (BASELINE config #5): each
+chip scans only its corpus stripe with the same fused kernel as the
+single-chip path, produces k local candidates, and an `all_gather` over the
+"shard" axis (k*n_shards values — tiny) merges them; the final top-k is
+computed redundantly on every shard. Queries scale independently over the
+"dp" axis. Index training is one `psum` data-parallel Lloyd step per
+iteration.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops import topk as T
+from ..ops import distance as D
+from ..ops.runtime import NEG_INF, ROW_BLOCK, round_up
+from .mesh import corpus_sharding, replicated, shard_count
+
+
+@functools.partial(jax.jit, static_argnames=("k", "alpha", "mesh", "mode"))
+def sharded_flat_topk(q, corpus, bias, *, k: int, alpha: float = 1.0, mesh, mode: str = "auto"):
+    """q: [B, D] sharded over dp; corpus: [N, D] sharded over shard;
+    bias: [N]. Returns (scores [B, k], global idx [B, k]) sharded over dp,
+    replicated over shard."""
+    n = corpus.shape[0]
+    nsh = shard_count(mesh)
+    n_local = n // nsh
+
+    def local(qb, c, b):
+        b = b.reshape(-1)
+        s, i = T.flat_search(qb, c, b, k=min(k, n_local), alpha=alpha, mode=mode)
+        if s.shape[1] < k:
+            pad = k - s.shape[1]
+            s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=NEG_INF)
+            i = jnp.pad(i, ((0, 0), (0, pad)))
+        i = i + jax.lax.axis_index("shard") * n_local
+        s_all = jax.lax.all_gather(s, "shard")  # [nsh, Bl, k]
+        i_all = jax.lax.all_gather(i, "shard")
+        bl = s.shape[0]
+        s_flat = s_all.transpose(1, 0, 2).reshape(bl, nsh * k)
+        i_flat = i_all.transpose(1, 0, 2).reshape(bl, nsh * k)
+        ts, pos = jax.lax.top_k(s_flat, k)
+        return ts, jnp.take_along_axis(i_flat, pos, axis=1)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("shard", None), P("shard")),
+        out_specs=(P("dp", None), P("dp", None)),
+        check_vma=False,
+    )
+    return fn(q, corpus, bias)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def sharded_kmeans_step(x, centroids, valid, *, mesh):
+    """One data-parallel Lloyd iteration: x [N, D] sharded over
+    (dp, shard) jointly; centroids [K, D] replicated; valid [N] bool.
+    Returns new centroids (replicated)."""
+    k = centroids.shape[0]
+
+    def local(xl, c, vl):
+        vl = vl.reshape(-1)
+        d2 = (
+            jnp.sum(xl * xl, axis=1, keepdims=True)
+            - 2.0 * jnp.dot(xl, c.T, preferred_element_type=jnp.float32)
+            + jnp.sum(c * c, axis=1)[None, :]
+        )
+        assign = jnp.argmin(d2, axis=1)
+        onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32) * vl[:, None]
+        counts = jnp.sum(onehot, axis=0)
+        sums = jnp.dot(onehot.T, xl, preferred_element_type=jnp.float32)
+        counts = jax.lax.psum(counts, ("dp", "shard"))
+        sums = jax.lax.psum(sums, ("dp", "shard"))
+        return jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], c)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(("dp", "shard"), None), P(), P(("dp", "shard"))),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(x.astype(jnp.float32), centroids, valid)
+
+
+class ShardedFlatIndex:
+    """Flat exact kNN over a mesh-sharded corpus.
+
+    The multi-chip counterpart of vector.FlatVectorIndex: same metric and
+    result semantics, corpus rows striped over the "shard" axis. Inserts
+    append round-robin so stripes stay balanced (the reference's analogue
+    is nodes fetching disjoint ID ranges, id_generator.dart:1300)."""
+
+    index_type = "sharded_flat"
+
+    def __init__(self, dims: int, mesh, metric: str = "cosine", dtype: str = "float32"):
+        from ..vector.flat import _METRIC_ALIASES
+
+        self.metric = _METRIC_ALIASES[metric]
+        self.mesh = mesh
+        self.dims = dims
+        self.d_pad = round_up(max(dims, 128), 128)
+        self.dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype]
+        self.nsh = shard_count(mesh)
+        self.block = ROW_BLOCK * self.nsh  # capacity granularity
+        self.capacity = 0
+        self.vectors = None  # [cap, d_pad] sharded over shard axis
+        self.valid = None  # [cap] bool
+        self.sq_norms = None  # [cap] f32
+        self._slot_pks = np.empty(0, dtype=object)
+        self._pk_slot: dict = {}
+        # per-shard next free position (round-robin fill keeps stripes even)
+        self._shard_fill = np.zeros(self.nsh, np.int64)
+
+    def __len__(self):
+        return len(self._pk_slot)
+
+    # slot s lives on shard s // rows_per_shard when arrays are sharded by
+    # stripe; jax NamedSharding stripes contiguous blocks, so slot layout is
+    # [shard0 rows | shard1 rows | ...] — we allocate per-shard regions.
+    def _rows_per_shard(self):
+        return self.capacity // self.nsh if self.capacity else 0
+
+    def _ensure_capacity(self, per_shard_needed: int):
+        rps = self._rows_per_shard()
+        if per_shard_needed <= rps:
+            return
+        new_rps = max(ROW_BLOCK, round_up(per_shard_needed, ROW_BLOCK))
+        new_cap = new_rps * self.nsh
+        sh = corpus_sharding(self.mesh)
+        sh1 = NamedSharding(self.mesh, P("shard"))
+        vec = jnp.zeros((new_cap, self.d_pad), self.dtype, device=sh)
+        val = jnp.zeros((new_cap,), jnp.bool_, device=sh1)
+        nrm = jnp.zeros((new_cap,), jnp.float32, device=sh1)
+        if self.capacity:
+            # re-stripe old shard regions into the new layout
+            old_rps = rps
+            for s in range(self.nsh):
+                n_used = int(self._shard_fill[s])
+                if n_used == 0:
+                    continue
+                src = slice(s * old_rps, s * old_rps + n_used)
+                dst = s * new_rps
+                vec = jax.lax.dynamic_update_slice(vec, self.vectors[src], (dst, 0))
+                val = jax.lax.dynamic_update_slice(val, self.valid[src], (dst,))
+                nrm = jax.lax.dynamic_update_slice(nrm, self.sq_norms[src], (dst,))
+            pks = np.empty(new_cap, dtype=object)
+            old_pk_slot = {}
+            for s in range(self.nsh):
+                n_used = int(self._shard_fill[s])
+                for j in range(n_used):
+                    pk = self._slot_pks[s * old_rps + j]
+                    pks[s * new_rps + j] = pk
+                    if pk is not None:
+                        old_pk_slot[pk] = s * new_rps + j
+            self._slot_pks = pks
+            self._pk_slot = old_pk_slot
+        else:
+            self._slot_pks = np.empty(new_cap, dtype=object)
+        self.vectors, self.valid, self.sq_norms = vec, val, nrm
+        self.capacity = new_cap
+
+    def upsert(self, pks, raw: np.ndarray):
+        x = np.asarray(raw, np.float32)
+        if self.metric == "cosine":
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        if self.d_pad != x.shape[1]:
+            x = np.pad(x, ((0, 0), (0, self.d_pad - x.shape[1])))
+        pks = list(pks)
+        # assign slots: existing pks keep theirs; new ones round-robin
+        new_count = sum(1 for pk in pks if pk not in self._pk_slot)
+        max_fill = int(self._shard_fill.max()) + (new_count // self.nsh + 1)
+        self._ensure_capacity(max_fill)
+        rps = self._rows_per_shard()
+        slots = np.empty(len(pks), np.int64)
+        for j, pk in enumerate(pks):
+            slot = self._pk_slot.get(pk)
+            if slot is None:
+                s = int(np.argmin(self._shard_fill))
+                slot = s * rps + int(self._shard_fill[s])
+                self._shard_fill[s] += 1
+                self._pk_slot[pk] = slot
+                self._slot_pks[slot] = pk
+            slots[j] = slot
+        idx = jnp.asarray(slots, jnp.int32)
+        self.vectors = self.vectors.at[idx].set(jnp.asarray(x).astype(self.dtype))
+        self.valid = self.valid.at[idx].set(True)
+        self.sq_norms = self.sq_norms.at[idx].set(jnp.asarray(np.sum(x * x, axis=1)))
+        return slots
+
+    def delete(self, pks) -> int:
+        slots = [self._pk_slot.pop(pk, None) for pk in pks]
+        slots = [s for s in slots if s is not None]
+        for s in slots:
+            self._slot_pks[s] = None
+        if not slots:
+            return 0
+        self.valid = self.valid.at[jnp.asarray(slots, jnp.int32)].set(False)
+        return len(slots)
+
+    def search_arrays(self, q, k: int):
+        if self.capacity == 0 or len(self) == 0:
+            b = 1 if np.asarray(q).ndim == 1 else np.asarray(q).shape[0]
+            return (
+                np.full((b, k), np.inf, np.float32),
+                np.full((b, k), None, dtype=object),
+            )
+        qx = np.asarray(q, np.float32)
+        single = qx.ndim == 1
+        if single:
+            qx = qx[None]
+        qsq = jnp.asarray(np.sum(qx * qx, axis=1))
+        if self.metric == "cosine":
+            qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+        if self.d_pad != qx.shape[1]:
+            qx = np.pad(qx, ((0, 0), (0, self.d_pad - qx.shape[1])))
+        # pad B to dp multiple
+        dp = self.mesh.shape["dp"]
+        b = qx.shape[0]
+        b_pad = round_up(b, dp)
+        if b_pad != b:
+            qx = np.pad(qx, ((0, b_pad - b), (0, 0)))
+        from .mesh import query_sharding
+
+        qj = jax.device_put(jnp.asarray(qx), query_sharding(self.mesh))
+        norms = self.sq_norms if self.metric == "l2" else None
+        bias = D.make_bias(self.metric, norms, self.valid)
+        alpha = D.metric_alpha(self.metric)
+        scores, idx = sharded_flat_topk(qj, self.vectors, bias, k=k, alpha=alpha, mesh=self.mesh)
+        scores = scores[:b]
+        idx = idx[:b]
+        dists = np.array(D.scores_to_distances(self.metric, scores, qsq), np.float32)
+        idx_np = np.asarray(idx, np.int64)
+        miss = np.asarray(scores) <= NEG_INF / 2
+        dists[miss] = np.inf
+        pks = np.empty(idx_np.shape, dtype=object)
+        flat = pks.reshape(-1)
+        for j, s in enumerate(idx_np.reshape(-1)):
+            flat[j] = self._slot_pks[s] if 0 <= s < self.capacity else None
+        pks[miss] = None
+        return dists, pks
