@@ -1,0 +1,293 @@
+"""Aux subsystem tests: crypto, memcomparable, codec, compression, logger,
+resource/weights/integrity, encrypted durability, query cache."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from tostore_tpu import DataStoreConfig, EncryptionConfig, ToStoreTPU
+from tostore_tpu.utils import codec, compress, memcomparable as mc
+from tostore_tpu.utils.crypto import (
+    Envelope,
+    KeyRing,
+    ToCrypto,
+    chacha20poly1305_open,
+    chacha20poly1305_seal,
+)
+from tostore_tpu.utils.logging import LogConfig, Logger
+
+
+class TestCrypto:
+    def test_rfc8439_vector(self):
+        # RFC 8439 §2.8.2 test vector
+        key = bytes(range(0x80, 0xA0))
+        nonce = bytes([0x07, 0x00, 0x00, 0x00]) + bytes(range(0x40, 0x48))
+        aad = bytes.fromhex("50515253c0c1c2c3c4c5c6c7")
+        pt = (
+            b"Ladies and Gentlemen of the class of '99: If I could offer you "
+            b"only one tip for the future, sunscreen would be it."
+        )
+        sealed = chacha20poly1305_seal(key, nonce, pt, aad)
+        assert sealed[:16].hex() == "d31a8d34648e60db7b86afbc53ef7ec2"
+        assert sealed[-16:].hex() == "1ae10b594f09e26a7e902ecbd0600691"
+        assert chacha20poly1305_open(key, nonce, sealed, aad) == pt
+
+    def test_pure_python_matches_cryptography(self):
+        # force the pure-Python path and cross-check with the fast path
+        import tostore_tpu.utils.crypto as c
+
+        key = os.urandom(32)
+        nonce = os.urandom(12)
+        msg = os.urandom(1000)
+        fast = chacha20poly1305_seal(key, nonce, msg, b"aad")
+        old = c._HAVE_CRYPTOGRAPHY
+        c._HAVE_CRYPTOGRAPHY = False
+        try:
+            pure = chacha20poly1305_seal(key, nonce, msg, b"aad")
+            assert pure == fast
+            assert chacha20poly1305_open(key, nonce, fast, b"aad") == msg
+        finally:
+            c._HAVE_CRYPTOGRAPHY = old
+
+    def test_envelope_roundtrip_and_tamper(self):
+        env = Envelope(KeyRing.from_passphrase("pw"))
+        blob = env.seal(b"secret data")
+        assert Envelope.is_sealed(blob)
+        assert env.open(blob) == b"secret data"
+        bad = bytearray(blob)
+        bad[-1] ^= 1
+        with pytest.raises(Exception):
+            env.open(bytes(bad))
+
+    def test_key_rotation(self):
+        ring = KeyRing.from_passphrase("old")
+        env = Envelope(ring)
+        old_blob = env.seal(b"written under key 1")
+        new_id = ring.rotate("new")
+        assert new_id == 2
+        new_blob = env.seal(b"written under key 2")
+        # both decrypt while the ring holds both keys
+        assert env.open(old_blob) == b"written under key 1"
+        assert env.open(new_blob) == b"written under key 2"
+        with pytest.raises(ValueError):
+            ring.retire(2)  # cannot retire current
+        ring.retire(1)
+        with pytest.raises(ValueError):
+            env.open(old_blob)  # old key gone
+
+    def test_aes_gcm_envelope(self):
+        env = Envelope(KeyRing.from_passphrase("pw"), algorithm="aes-gcm")
+        assert env.open(env.seal(b"x")) == b"x"
+
+    def test_tocrypto_values(self):
+        tc = ToCrypto("passphrase")
+        assert tc.decrypt_text(tc.encrypt_text("hello")) == "hello"
+
+
+class TestEncryptedDurability:
+    def cfg(self, path):
+        return DataStoreConfig(
+            db_path=path,
+            encryption=EncryptionConfig(enable_encoding=True, encryption_key="s3cret"),
+        )
+
+    def test_encrypted_reopen(self, tmp_path):
+        db = ToStoreTPU(self.cfg(str(tmp_path)))
+        from tests.test_engine import users_schema
+
+        db.create_table(users_schema())
+        db.insert("users", {"username": "alice"})
+        db.flush()
+        db.close()
+        # snapshot + wal bytes must not contain plaintext
+        snap = open(os.path.join(str(tmp_path), "default", "current.snap"), "rb").read()
+        assert b"alice" not in snap and snap[:4] == b"TCh1"
+        db2 = ToStoreTPU(self.cfg(str(tmp_path)))
+        assert db2.get_by_pk("users", 1)["username"] == "alice"
+        db2.close()
+
+    def test_encrypted_wal_replay(self, tmp_path):
+        db = ToStoreTPU(self.cfg(str(tmp_path)))
+        from tests.test_engine import users_schema
+
+        db.create_table(users_schema())
+        db.insert("users", {"username": "bob"})
+        wal = open(os.path.join(str(tmp_path), "default", "wal.log"), "rb").read()
+        assert b"bob" not in wal
+        db.engine._wal.close()
+        db.engine._crontab.stop()
+        db2 = ToStoreTPU(self.cfg(str(tmp_path)))
+        assert db2.count("users") == 1
+        db2.close()
+
+    def test_wrong_key_fails_closed(self, tmp_path):
+        db = ToStoreTPU(self.cfg(str(tmp_path)))
+        from tests.test_engine import users_schema
+
+        db.create_table(users_schema())
+        db.insert("users", {"username": "x"})
+        db.flush()
+        db.close()
+        bad = DataStoreConfig(
+            db_path=str(tmp_path),
+            encryption=EncryptionConfig(enable_encoding=True, encryption_key="WRONG"),
+        )
+        with pytest.raises(Exception):
+            ToStoreTPU(bad)
+
+
+class TestMemcomparable:
+    def test_order_preservation(self):
+        vals = [None, False, True, -(2**60), -5, 0, 7, 2**60]
+        keys = [mc.encode_value(v) for v in vals]
+        assert keys == sorted(keys)
+        floats = [-1e30, -2.5, -0.0, 0.0, 1e-10, 3.14, 1e30]
+        fkeys = [mc.encode_value(v) for v in floats]
+        assert fkeys == sorted(fkeys)
+        strs = ["", "a", "a\x00b", "a\x00c", "ab", "b"]
+        skeys = [mc.encode_value(s) for s in strs]
+        assert skeys == sorted(skeys)
+
+    def test_tuple_roundtrip(self):
+        t = (None, True, -42, 3.5, "hi\x00there", b"\x00\xff")
+        assert mc.decode_tuple(mc.encode_tuple(t)) == t
+
+    def test_tuple_ordering(self):
+        rows = [(1, "b"), (1, "a"), (2, "a"), (0, "z")]
+        keys = sorted(mc.encode_tuple(r) for r in rows)
+        decoded = [mc.decode_tuple(k) for k in keys]
+        assert decoded == sorted(rows)
+
+    def test_prefix_upper_bound_complete_value(self):
+        # bound over a COMPLETE encoded value: includes multi-field keys
+        # extending it, excludes longer strings
+        p = mc.encode_value("app")
+        ub = mc.prefix_upper_bound(p)
+        assert p < p + mc.encode_value(None) < ub  # ("app", None) tuple key
+        assert mc.encode_value("apple") > ub  # "apple" != "app"
+
+    def test_prefix_upper_bound_text_prefix(self):
+        # bound over a RAW text prefix (LIKE 'app%' scans): includes all
+        # strings starting with it
+        raw = b"\x06" + b"app"  # un-terminated text prefix
+        ub = mc.prefix_upper_bound(raw)
+        assert raw < mc.encode_value("app") < ub
+        assert raw < mc.encode_value("apple") < ub
+        assert mc.encode_value("aq") > ub
+
+
+class TestCodec:
+    def test_roundtrip(self):
+        v = {
+            "i": 12345678901234,
+            "neg": -42,
+            "f": 3.25,
+            "s": "héllo",
+            "b": b"\x00\x01",
+            "l": [1, "two", None, True],
+            "nested": {"x": [1.5]},
+            "vec": np.arange(4, dtype=np.float32),
+        }
+        out = codec.loads(codec.dumps(v))
+        assert out["i"] == v["i"] and out["neg"] == -42
+        assert out["l"] == [1, "two", None, True]
+        np.testing.assert_array_equal(out["vec"], v["vec"])
+
+    def test_frames_stop_at_torn_tail(self):
+        data = codec.frame(codec.dumps({"a": 1})) + codec.frame(codec.dumps({"b": 2}))
+        torn = data + b"\xa7\x05\x00\x00"  # truncated header
+        assert [p for p in codec.iter_frames(torn)] == [
+            codec.dumps({"a": 1}),
+            codec.dumps({"b": 2}),
+        ]
+        corrupted = bytearray(data)
+        corrupted[-1] ^= 0xFF
+        assert len(list(codec.iter_frames(bytes(corrupted)))) == 1
+
+
+class TestCompress:
+    def test_roundtrip(self):
+        data = b"hello " * 1000
+        z = compress.compress(data)
+        assert len(z) < len(data)
+        assert compress.decompress(z) == data
+        assert compress.decompress(compress.compress(data, level=0)) == data
+
+
+class TestLogger:
+    def test_levels_and_callback(self):
+        events = []
+        LogConfig.set_config(level="info", on_log=lambda lv, tag, m: events.append((lv, m)))
+        log = Logger("test")
+        log.debug("hidden")
+        log.info("shown")
+        log.error("err")
+        assert [e[0] for e in events] == ["info", "error"]
+        LogConfig.set_config(level="warning", on_log=None)
+        LogConfig.on_log = None
+
+
+class TestMaintenance:
+    def test_integrity_clean(self):
+        from tests.test_engine import users_schema
+
+        db = ToStoreTPU.memory(schemas=[users_schema()])
+        db.batch_insert("users", [{"username": f"u{i}"} for i in range(10)])
+        rep = db.check_integrity()
+        assert rep["ok"]
+        db.close()
+
+    def test_integrity_detects_corruption(self):
+        from tests.test_engine import users_schema
+
+        db = ToStoreTPU.memory(schemas=[users_schema()])
+        db.insert("users", {"username": "a"})
+        t = db.engine._table("users")
+        t.unique_maps["username"]["ghost"] = 999  # corrupt unique map
+        rep = db.check_integrity()
+        assert not rep["ok"]
+        db.close()
+
+    def test_resource_status(self):
+        from tostore_tpu.engine.maintenance import ResourceManager
+
+        rm = ResourceManager()
+        st = rm.status()
+        assert st["level"] in ("normal", "warning", "critical")
+        assert st["total_bytes"] > 0
+
+    def test_weights(self):
+        from tostore_tpu.engine.maintenance import WeightManager
+
+        wm = WeightManager()
+        for _ in range(5):
+            wm.record_access("t", 1)
+        wm.record_access("t", 2)
+        hot = wm.top_hot("t", 1)
+        assert hot[0][0] == 1
+        wm.decay()
+        assert wm.weight("t", 1) < 20.0
+
+
+class TestQueryCache:
+    def test_cache_hits_and_invalidation(self):
+        from tests.test_engine import users_schema
+
+        db = ToStoreTPU.memory(schemas=[users_schema()])
+        db.batch_insert("users", [{"username": f"u{i}", "age": i} for i in range(10)])
+        q1 = db.query("users").where("age", ">", 5).fetch()
+        ex = db.engine.executor
+        assert len(ex._cache) == 1
+        q2 = db.query("users").where("age", ">", 5).fetch()
+        assert [r["id"] for r in q1] == [r["id"] for r in q2]
+        # mutation invalidates (generation changes)
+        db.insert("users", {"username": "u99", "age": 99})
+        q3 = db.query("users").where("age", ">", 5).fetch()
+        assert len(q3) == len(q1) + 1
+        # mutating a returned record must not poison the cache
+        q3.records[0]["age"] = -1
+        q4 = db.query("users").where("age", ">", 5).fetch()
+        assert q4.records[0]["age"] != -1
+        db.close()

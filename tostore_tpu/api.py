@@ -240,3 +240,6 @@ class ToStoreTPU:
 
     def status(self) -> dict:
         return self._db.status()
+
+    def check_integrity(self) -> dict:
+        return self._db.check_integrity()

@@ -119,11 +119,44 @@ class Database:
         self._counters = {"inserts": 0, "updates": 0, "deletes": 0, "queries": 0,
                           "vector_searches": 0, "flushes": 0, "recovered_wal_entries": 0}
         self.executor = QueryExecutor(self)
+        self._envelope = self._make_envelope()
+        from .maintenance import IntegrityChecker, ResourceManager, WeightManager
+
+        self.resources = ResourceManager(self.db_dir)
+        self.weights = WeightManager()
+        self._integrity = IntegrityChecker()
 
         if not self.config.memory_mode:
             self._open_files()
         self._ensure_kv_table()
         self._start_crontab()
+
+    def _make_envelope(self):
+        enc = self.config.encryption
+        if not enc.enable_encoding:
+            return None
+        from ..utils.crypto import Envelope, KeyRing
+
+        passphrase = enc.encryption_key or enc.encoding_key
+        if not passphrase:
+            raise ValueError("encryption enabled but no key configured")
+        return Envelope(
+            KeyRing.from_passphrase(passphrase, enc.key_id), enc.algorithm
+        )
+
+    def _wrap_bytes(self, b: bytes) -> bytes:
+        if self._envelope is not None:
+            return self._envelope.seal(b)
+        return b
+
+    def _unwrap_bytes(self, b: bytes) -> bytes:
+        from ..utils.crypto import Envelope
+
+        if Envelope.is_sealed(b):
+            if self._envelope is None:
+                raise ValueError("artifact is encrypted but no key configured")
+            return self._envelope.open(b)
+        return b
 
     # ------------------------------------------------------------------ files
 
@@ -143,15 +176,19 @@ class Database:
                 self.global_config = GlobalConfig.from_json(json.load(f))
         if os.path.exists(snap_path):
             with open(snap_path, "rb") as f:
-                self._load_snapshot(codec.loads(f.read()))
+                self._load_snapshot(codec.loads(self._unwrap_bytes(f.read())))
         self._ensure_kv_table()  # must exist before WAL replay of KV writes
         # WAL replay (crash recovery)
         wal_path = os.path.join(d, "wal.log")
-        entries = read_wal(wal_path)
+        entries = read_wal(wal_path, unwrap=self._unwrap_bytes)
         for e in entries:
             self._replay(e)
         self._counters["recovered_wal_entries"] = len(entries)
-        self._wal = WalWriter(wal_path, sync=self.config.persist_recovery_on_commit)
+        self._wal = WalWriter(
+            wal_path,
+            sync=self.config.persist_recovery_on_commit,
+            wrap=self._wrap_bytes if self._envelope is not None else None,
+        )
         if entries:
             self.flush()  # fold replayed tail into a fresh checkpoint
 
@@ -448,6 +485,11 @@ class Database:
 
     def insert(self, table: str, data: dict) -> DbResult:
         with self._lock:
+            if self.resources.writes_blocked():
+                return DbResult.error(
+                    ResultType.resourceLimit,
+                    "writes blocked: resource level critical (reference dsi:1536)",
+                )
             t = self._table(table)
             try:
                 pk_name = t.schema.primary_key.name
@@ -666,7 +708,14 @@ class Database:
         rec = self._table(table).store.get(pk)
         if rec is not None:
             rec.pop(INGEST_TS_FIELD, None)
+            self.weights.record_access(table, pk)
         return rec
+
+    def check_integrity(self) -> dict:
+        """Structure + sampled record validation (reference
+        integrity_checker.dart)."""
+        with self._lock:
+            return self._integrity.check_database(self)
 
     def query(self, table: str, spec: QuerySpec | None = None):
         self._counters["queries"] += 1
@@ -790,7 +839,10 @@ class Database:
             return
         with self._lock:
             snap = self._snapshot_state()
-            atomic_write(os.path.join(self.db_dir, "current.snap"), codec.dumps(snap))
+            atomic_write(
+                os.path.join(self.db_dir, "current.snap"),
+                self._wrap_bytes(codec.dumps(snap)),
+            )
             self._persist_manifest()
             if self._wal is not None:
                 self._wal.truncate()
@@ -913,11 +965,13 @@ class Database:
                 "db_name": self.config.db_name,
                 "memory_mode": self.config.memory_mode,
                 "isolation_level": self.config.isolation_level,
+                "encryption": self.config.encryption.enable_encoding,
             },
             "active_space": self.current_space,
             "spaces": self.list_spaces(),
             "tables": tables,
             "counters": dict(self._counters),
+            "resources": self.resources.status(),
             "uptime_ms": int(time.time() * 1000) - self._opened_ms,
         }
 

@@ -39,37 +39,49 @@ class ValidationError(ValueError):
 class SortedIndex:
     """Ordered secondary index: lazily (re)built sorted key array over live
     rows — the vectorized stand-in for the reference's paged index B+Trees
-    (index_tree_partition_manager.dart). Point/range lookups use
-    np.searchsorted over the sort projection."""
+    (index_tree_partition_manager.dart). Keys use the order-preserving
+    memcomparable encoding (utils/memcomparable.py, reference
+    handler/memcomparable.dart), so typed multi-field tuples sort and
+    range-scan as plain byte strings via np.searchsorted."""
 
     def __init__(self, fields: tuple[str, ...]):
         self.fields = fields
         self._gen = -1
         self._order: np.ndarray | None = None  # rowids sorted by key
-        self._keys: list[np.ndarray] | None = None  # sorted key columns
+        self._keys: np.ndarray | None = None  # sorted memcomparable keys (object/bytes)
+
+    @staticmethod
+    def _encode(v) -> bytes:
+        from ..utils import memcomparable as mc
+
+        if isinstance(v, np.bool_):
+            v = bool(v)
+        elif isinstance(v, np.integer):
+            v = int(v)
+        elif isinstance(v, np.floating):
+            v = float(v)
+        elif isinstance(v, np.str_):
+            v = str(v)
+        try:
+            return mc.encode_value(v)
+        except TypeError:
+            return mc.encode_value(str(v))
 
     def _build(self, store: ColumnStore):
         rows = np.flatnonzero(store.valid_view())
-        cols = []
-        for f in self.fields:
-            v = store.column_view(f)[rows]
-            cols.append(v)
         if len(rows):
-            order = np.lexsort([np.argsort(np.arange(len(rows)))] + [
-                self._sortable(c) for c in reversed(cols)
-            ])
+            cols = [store.column_view(f)[rows] for f in self.fields]
+            keys = np.asarray(
+                [b"".join(self._encode(c[j]) for c in cols) for j in range(len(rows))],
+                dtype=object,
+            )
+            order = np.argsort(keys, kind="stable")
         else:
+            keys = np.zeros(0, dtype=object)
             order = np.zeros(0, np.int64)
         self._order = rows[order]
-        self._keys = [self._sortable(c[order]) if len(rows) else c for c in cols]
+        self._keys = keys[order] if len(rows) else keys
         self._gen = store.generation
-
-    @staticmethod
-    def _sortable(col: np.ndarray) -> np.ndarray:
-        if col.dtype != object:
-            return col
-        # object columns: sort by (is_null, str) for stability
-        return np.asarray([("" if x is None else str(x)) for x in col], dtype=object)
 
     def ordered_rows(self, store: ColumnStore) -> np.ndarray:
         if self._gen != store.generation:
@@ -77,16 +89,23 @@ class SortedIndex:
         return self._order
 
     def range_rows(self, store: ColumnStore, lo=None, hi=None, lo_open=False, hi_open=False):
-        """Rows where first key field within [lo, hi] (single-field ranges)."""
+        """Rows whose first key field lies within [lo, hi]."""
+        from ..utils import memcomparable as mc
+
         if self._gen != store.generation:
             self._build(store)
-        keys = self._keys[0]
+        keys = self._keys
         n = len(keys)
         a, b = 0, n
         if lo is not None:
-            a = np.searchsorted(keys, lo, side="right" if lo_open else "left")
+            klo = self._encode(lo)
+            if lo_open:
+                klo = mc.prefix_upper_bound(klo)
+            a = np.searchsorted(keys, klo, side="left")
         if hi is not None:
-            b = np.searchsorted(keys, hi, side="left" if hi_open else "right")
+            khi = self._encode(hi)
+            khi = khi if hi_open else mc.prefix_upper_bound(khi)
+            b = np.searchsorted(keys, khi, side="left")
         return self._order[a:b]
 
 

@@ -22,17 +22,21 @@ from ..utils import codec
 
 
 class WalWriter:
-    """Append-only framed WAL with group-commit flushing."""
+    """Append-only framed WAL with group-commit flushing.
 
-    def __init__(self, path: str, sync: bool = False):
+    `wrap` transforms each payload before framing (encryption envelope,
+    reference encoder.dart prefixed formats)."""
+
+    def __init__(self, path: str, sync: bool = False, wrap=None):
         self.path = path
         self.sync = sync
+        self.wrap = wrap or (lambda b: b)
         self._lock = threading.Lock()
         self._f = open(path, "ab")
         self.entries_since_checkpoint = 0
 
     def append(self, entry: dict):
-        data = codec.frame(codec.dumps(entry))
+        data = codec.frame(self.wrap(codec.dumps(entry)))
         with self._lock:
             self._f.write(data)
             self._f.flush()
@@ -41,7 +45,7 @@ class WalWriter:
             self.entries_since_checkpoint += 1
 
     def append_many(self, entries: list[dict]):
-        data = b"".join(codec.frame(codec.dumps(e)) for e in entries)
+        data = b"".join(codec.frame(self.wrap(codec.dumps(e))) for e in entries)
         with self._lock:
             self._f.write(data)
             self._f.flush()
@@ -68,13 +72,20 @@ class WalWriter:
             self._f.close()
 
 
-def read_wal(path: str) -> list[dict]:
+def read_wal(path: str, unwrap=None) -> list[dict]:
     """Replay: all intact entries; torn tail silently dropped."""
     if not os.path.exists(path):
         return []
+    unwrap = unwrap or (lambda b: b)
     with open(path, "rb") as f:
         data = f.read()
-    return [codec.loads(p) for p in codec.iter_frames(data)]
+    out = []
+    for p in codec.iter_frames(data):
+        try:
+            out.append(codec.loads(unwrap(p)))
+        except ValueError:
+            break  # undecryptable/corrupt entry: stop at the intact prefix
+    return out
 
 
 def atomic_write(path: str, data: bytes):

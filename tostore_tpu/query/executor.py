@@ -44,6 +44,27 @@ class QuerySpec:
     aggregates: list[Agg] = field(default_factory=list)
     having: QueryCondition | None = None
     distinct: bool = False
+    use_cache: bool = True  # reference query-cache controls (:258-266)
+
+    def fingerprint(self) -> str:
+        return json.dumps(
+            {
+                "c": self.condition.to_map() if self.condition else None,
+                "s": self.select,
+                "a": self.aliases,
+                "o": self.order_by,
+                "l": self.limit,
+                "off": self.offset,
+                "cur": self.cursor,
+                "j": [(j.table, j.left_field, j.right_field, j.kind) for j in self.joins],
+                "g": self.group_by,
+                "agg": [(a.op, a.field, a.alias) for a in self.aggregates],
+                "h": self.having.to_map() if self.having else None,
+                "d": self.distinct,
+            },
+            default=str,
+            sort_keys=True,
+        )
 
 
 @dataclass
@@ -73,8 +94,17 @@ def _sort_key(v):
 
 
 class QueryExecutor:
+    # per-table-generation invalidated result cache (reference
+    # query_executor.dart:33-49)
+    CACHE_CAP = 256
+
     def __init__(self, database):
         self.db = database
+        self._cache: dict[tuple, tuple] = {}
+
+    def _gen_signature(self, space: str, table_name: str, spec: QuerySpec):
+        names = [table_name] + [j.table for j in spec.joins]
+        return tuple(self.db._table(n, space).store.generation for n in names)
 
     # --- planning -----------------------------------------------------------
 
@@ -103,6 +133,21 @@ class QueryExecutor:
 
         table = self.db._table(table_name, space)
         store = table.store
+
+        cache_key = None
+        if spec.use_cache:
+            cache_key = (space, table_name, spec.fingerprint())
+            hit = self._cache.get(cache_key)
+            if hit is not None and hit[0] == self._gen_signature(space, table_name, spec):
+                res = hit[1]
+                return QueryResult(
+                    records=[dict(r) for r in res.records],
+                    next_cursor=res.next_cursor,
+                    prev_cursor=res.prev_cursor,
+                    has_more=res.has_more,
+                    total=res.total,
+                )
+
         plan = self.choose_plan(table, spec)
 
         # 1. candidate rows
@@ -195,23 +240,54 @@ class QueryExecutor:
                 {spec.aliases.get(k, k): v for k, v in r.items()} for r in page
             ]
 
-        return QueryResult(
+        result = QueryResult(
             records=page,
             next_cursor=next_cursor,
             prev_cursor=prev_cursor,
             has_more=has_more,
             total=total,
         )
+        if cache_key is not None:
+            if len(self._cache) >= self.CACHE_CAP:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[cache_key] = (
+                self._gen_signature(space, table_name, spec),
+                QueryResult(
+                    records=[dict(r) for r in page],
+                    next_cursor=next_cursor,
+                    prev_cursor=prev_cursor,
+                    has_more=has_more,
+                    total=total,
+                ),
+            )
+        return result
 
     def _index_scan(self, table, index_name: str, spec: QuerySpec) -> np.ndarray:
+        from ..models.schema import DataType
+
         sidx = table.sorted_indexes[index_name]
         first = sidx.fields[0]
+        fs = table.schema.field_map.get(first)
+
+        def coerce(v):
+            # quoted numerics compare numerically (reference quirk)
+            if fs is not None and isinstance(v, str) and fs.type in (
+                DataType.integer, DataType.bigInt, DataType.double, DataType.datetime
+            ):
+                try:
+                    fv = float(v)
+                    return int(fv) if fv.is_integer() and fs.type != DataType.double else fv
+                except ValueError:
+                    return v
+            return v
+
         lo = hi = None
         lo_open = hi_open = False
         leaves = spec.condition.and_leaves() if spec.condition else []
         for f, op, v in leaves:
             if f != first:
                 continue
+            v = coerce(v) if not isinstance(v, tuple) else tuple(coerce(x) for x in v)
             if op == "=":
                 lo = hi = v
             elif op == ">":
@@ -224,6 +300,15 @@ class QueryExecutor:
                 hi = v
             elif op == "between":
                 lo, hi = v
+        # index scan only needs SUPERSET semantics (the residual predicate
+        # re-filters) — widen float bounds on integer columns
+        import math
+
+        if fs is not None and fs.type in (DataType.integer, DataType.bigInt, DataType.datetime):
+            if isinstance(lo, float):
+                lo, lo_open = math.floor(lo), False
+            if isinstance(hi, float):
+                hi, hi_open = math.ceil(hi), False
         if lo is None and hi is None:
             return sidx.ordered_rows(table.store)
         return sidx.range_rows(table.store, lo, hi, lo_open, hi_open)
