@@ -1,0 +1,81 @@
+"""Native accelerator equivalence tests: the C++ module must be
+byte-for-byte compatible with the pure-Python codec + memcomparable
+implementations (both build the same on-disk artifacts)."""
+
+import numpy as np
+import pytest
+
+from tostore_tpu.native import get as get_native
+from tostore_tpu.utils import codec
+from tostore_tpu.utils import memcomparable as mc
+
+native = get_native()
+pytestmark = pytest.mark.skipif(native is None, reason="no C++ toolchain")
+
+SAMPLES = [
+    None,
+    True,
+    False,
+    0,
+    -1,
+    2**53,
+    -(2**60),
+    3.25,
+    -0.0,
+    float("inf"),
+    "héllo wörld",
+    "",
+    b"\x00\x01\xff",
+    [1, "two", None, [3.5, b"x"]],
+    {"k": 1, "nested": {"a": [True, None]}, "s": "v"},
+]
+
+
+class TestCodecEquivalence:
+    @pytest.mark.parametrize("v", SAMPLES, ids=range(len(SAMPLES)))
+    def test_dumps_identical(self, v):
+        assert native.dumps(v) == codec._py_dumps(v)
+
+    def test_f32_array(self):
+        v = {"emb": np.arange(64, dtype=np.float32)}
+        assert native.dumps(v) == codec._py_dumps(v)
+        out_n = native.loads(codec._py_dumps(v))
+        out_p = codec._py_loads(native.dumps(v))
+        np.testing.assert_array_equal(out_n["emb"], out_p["emb"])
+
+    def test_cross_loads(self):
+        v = {"a": [1, 2.5, "x"], "b": None}
+        assert native.loads(codec._py_dumps(v)) == v
+        assert codec._py_loads(native.dumps(v)) == v
+
+    def test_bigint_falls_back(self):
+        v = {"big": 2**70}
+        # public dumps must still work (pure-Python fallback)
+        assert codec.loads(codec.dumps(v))["big"] == 2**70
+
+    def test_numpy_scalars(self):
+        v = {"i": np.int64(42), "f": np.float64(2.5)}
+        assert native.dumps(v) == codec._py_dumps(v)
+
+    def test_truncated_raises(self):
+        blob = native.dumps({"a": [1, 2, 3]})
+        with pytest.raises(ValueError):
+            native.loads(blob[:-2])
+
+
+class TestMemcomparableEquivalence:
+    @pytest.mark.parametrize(
+        "v", [None, True, False, -5, 0, 2**62, -2.5, 3.14, "a\x00b", b"\x00\xff", "", b""]
+    )
+    def test_value_identical(self, v):
+        assert native.mc_encode_value(v) == mc.encode_value(v)
+
+    def test_rows(self):
+        cols = [[3, 1, 2], ["c", "a", "b"], [None, 1.5, True]]
+        got = native.mc_encode_rows(cols)
+        ref = [mc.encode_tuple(t) for t in zip(*cols)]
+        assert got == ref
+
+    def test_str_fallback_for_exotic(self):
+        # dicts/lists in key columns degrade to str() in both paths
+        assert native.mc_encode_value([1, 2]) == mc.encode_value(str([1, 2]))

@@ -68,13 +68,27 @@ class SortedIndex:
             return mc.encode_value(str(v))
 
     def _build(self, store: ColumnStore):
+        from ..native import get as get_native
+
         rows = np.flatnonzero(store.valid_view())
         if len(rows):
             cols = [store.column_view(f)[rows] for f in self.fields]
-            keys = np.asarray(
-                [b"".join(self._encode(c[j]) for c in cols) for j in range(len(rows))],
-                dtype=object,
-            )
+            native = get_native()
+            if native is not None:
+                try:
+                    keys = np.asarray(
+                        native.mc_encode_rows([c.tolist() for c in cols]), dtype=object
+                    )
+                except (TypeError, OverflowError):
+                    native = None
+            if native is None:
+                keys = np.asarray(
+                    [
+                        b"".join(self._encode(c[j]) for c in cols)
+                        for j in range(len(rows))
+                    ],
+                    dtype=object,
+                )
             order = np.argsort(keys, kind="stable")
         else:
             keys = np.zeros(0, dtype=object)

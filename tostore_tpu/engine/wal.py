@@ -83,7 +83,7 @@ def read_wal(path: str, unwrap=None) -> list[dict]:
     for p in codec.iter_frames(data):
         try:
             out.append(codec.loads(unwrap(p)))
-        except ValueError:
+        except (ValueError, IndexError):
             break  # undecryptable/corrupt entry: stop at the intact prefix
     return out
 

@@ -151,13 +151,45 @@ def decode_value(mv: memoryview, pos: int = 0):
     raise ValueError(f"bad tag {tag} at {pos - 1}")
 
 
-def dumps(v) -> bytes:
+def _py_dumps(v) -> bytes:
     return bytes(encode_value(v))
 
 
-def loads(b: bytes):
+def _py_loads(b: bytes):
     v, _ = decode_value(memoryview(b), 0)
     return v
+
+
+def dumps(v) -> bytes:
+    native = _native()
+    if native is not None:
+        try:
+            return native.dumps(v)
+        except (TypeError, OverflowError):
+            pass  # exotic value (e.g. big int): pure-Python handles it
+    return _py_dumps(v)
+
+
+def loads(b: bytes):
+    native = _native()
+    if native is not None:
+        try:
+            return native.loads(b)
+        except ValueError:
+            pass  # e.g. >64-bit varint: the pure decoder handles it
+    return _py_loads(b)
+
+
+_native_mod = False
+
+
+def _native():
+    global _native_mod
+    if _native_mod is False:
+        from ..native import get
+
+        _native_mod = get()
+    return _native_mod
 
 
 # --- CRC-framed records (WAL entries / snapshot sections) --------------------
