@@ -42,8 +42,12 @@ from .runtime import LANE, NEG_INF, interpret_mode, round_up
 # Measured on v5e @ 1M x 768 bf16: 554 GB/s scan, 32k QPS at B=256.
 DEFAULT_BLK_N = 2048
 MAX_BLK_B = 256
-# Candidates kept per lane per block (top-2 -> exact unless 3+ bucket hits).
+# Candidates harvested per (lane, block) (top-2 -> exact unless 3+ of the
+# true top-k share one (block, lane) bucket).
 CANDS_PER_LANE = 2
+# Running per-lane candidate depth accumulated across the whole corpus in
+# VMEM scratch (bounds final candidate width to T*128 regardless of N).
+MAX_T_CANDS = 16
 # XLA chunk for the exact path.
 EXACT_CHUNK = 65536
 # Corpus size below which the exact path is always used (bucket collisions
@@ -110,7 +114,46 @@ def flat_topk_xla(q, corpus, bias, alpha, k):
 # --------------------------------------------------------------------------
 
 
-def _lane_topk_kernel(alpha, blk_n, q_ref, c_ref, b_ref, out_s_ref, out_i_ref):
+def _block_lane_top2(s, blk_n):
+    """Per-lane top-2 of one score block via sublane sweeps (cross-lane ops
+    are slow on the VPU; sublane compares are nearly free)."""
+    blk_b = s.shape[0]
+    r = blk_n // LANE
+    s3 = s.reshape(blk_b, r, LANE)
+
+    best = s3[:, 0, :]
+    bidx = jnp.zeros((blk_b, LANE), jnp.int32)
+    for ri in range(1, r):
+        v = s3[:, ri, :]
+        upd = v > best
+        best = jnp.where(upd, v, best)
+        bidx = jnp.where(upd, ri, bidx)
+
+    best2 = jnp.full((blk_b, LANE), NEG_INF, jnp.float32)
+    bidx2 = jnp.zeros((blk_b, LANE), jnp.int32)
+    for ri in range(r):
+        v = jnp.where(bidx == ri, NEG_INF, s3[:, ri, :])
+        upd = v > best2
+        best2 = jnp.where(upd, v, best2)
+        bidx2 = jnp.where(upd, ri, bidx2)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (blk_b, LANE), 1)
+    return best, bidx * LANE + lane, best2, bidx2 * LANE + lane
+
+
+def _lane_topk_kernel(alpha, blk_n, t_cands, q_ref, c_ref, b_ref, out_s_ref, out_i_ref,
+                      acc_s_ref, acc_i_ref):
+    """Scores one corpus block and folds its per-lane top-2 into a running
+    per-lane top-T kept in VMEM scratch across the whole ni sweep; only the
+    final [blk_b, T*128] candidate tile ever reaches HBM."""
+    ni = pl.program_id(1)
+    n_blocks = pl.num_programs(1)
+
+    @pl.when(ni == 0)
+    def _():
+        acc_s_ref[...] = jnp.full(acc_s_ref.shape, NEG_INF, jnp.float32)
+        acc_i_ref[...] = jnp.zeros(acc_i_ref.shape, jnp.int32)
+
     c = c_ref[...]
     if c.dtype == jnp.int8:  # int8 storage scores in bf16 on the MXU
         c = c.astype(jnp.bfloat16)
@@ -122,35 +165,62 @@ def _lane_topk_kernel(alpha, blk_n, q_ref, c_ref, b_ref, out_s_ref, out_i_ref):
         precision=_dot_precision(c.dtype),
     )
     s = alpha * s + b_ref[...]  # b_ref block (1, BLK_N) broadcasts over rows
-    blk_b = s.shape[0]
-    r = blk_n // LANE
-    s3 = s.reshape(blk_b, r, LANE)
 
-    # per-lane top-1 via manual sublane sweep (guaranteed fast lowering)
-    best = s3[:, 0, :]
-    bidx = jnp.zeros((blk_b, LANE), jnp.int32)
-    for ri in range(1, r):
-        v = s3[:, ri, :]
-        upd = v > best
-        best = jnp.where(upd, v, best)
-        bidx = jnp.where(upd, ri, bidx)
+    n_base = ni * blk_n
+    m1, g1, m2, g2 = _block_lane_top2(s, blk_n)
+    g1 = g1 + n_base
+    g2 = g2 + n_base
 
-    # per-lane top-2: second sweep masking the winner's sublane
-    best2 = jnp.full((blk_b, LANE), NEG_INF, jnp.float32)
-    bidx2 = jnp.zeros((blk_b, LANE), jnp.int32)
-    for ri in range(r):
-        v = jnp.where(bidx == ri, NEG_INF, s3[:, ri, :])
-        upd = v > best2
-        best2 = jnp.where(upd, v, best2)
-        bidx2 = jnp.where(upd, ri, bidx2)
+    # bubble-insert the two candidates into the running per-lane top-T
+    # (lists stay sorted descending per lane; scratch is laid out
+    # [T, blk_b, 128] so each step reads/writes one contiguous tile; a
+    # data-dependent skip guard was measured SLOWER — it serializes the
+    # DMA pipeline)
+    for v, gi in ((m1, g1), (m2, g2)):
+        for t in range(t_cands):
+            cur_s = acc_s_ref[t, :, :]
+            cur_i = acc_i_ref[t, :, :]
+            swap = v > cur_s
+            acc_s_ref[t, :, :] = jnp.where(swap, v, cur_s)
+            acc_i_ref[t, :, :] = jnp.where(swap, gi, cur_i)
+            v = jnp.where(swap, cur_s, v)
+            gi = jnp.where(swap, cur_i, gi)
 
+    @pl.when(ni == n_blocks - 1)
+    def _():
+        blk_b = out_s_ref.shape[0]
+        out_s_ref[...] = (
+            acc_s_ref[...].transpose(1, 0, 2).reshape(blk_b, t_cands * LANE)
+        )
+        out_i_ref[...] = (
+            acc_i_ref[...].transpose(1, 0, 2).reshape(blk_b, t_cands * LANE)
+        )
+
+
+def _lane_topk_block_kernel(alpha, blk_n, q_ref, c_ref, b_ref, out_s_ref, out_i_ref):
+    """Per-block candidate emission (no accumulator): writes each block's
+    per-lane top-2 straight to HBM. Faster than the accumulator variant for
+    large query blocks, where the bubble-insert RMW dominates (measured
+    B>=128 on v5e); stage 2 merges [B, G*256] with XLA TopK."""
+    c = c_ref[...]
+    if c.dtype == jnp.int8:
+        c = c.astype(jnp.bfloat16)
+    s = jax.lax.dot_general(
+        q_ref[...],
+        c,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(c.dtype),
+    )
+    s = alpha * s + b_ref[...]
     n_base = pl.program_id(1) * blk_n
-    lane = jax.lax.broadcasted_iota(jnp.int32, (blk_b, LANE), 1)
-    gidx1 = n_base + bidx * LANE + lane
-    gidx2 = n_base + bidx2 * LANE + lane
+    m1, g1, m2, g2 = _block_lane_top2(s, blk_n)
+    out_s_ref[...] = jnp.concatenate([m1, m2], axis=1)
+    out_i_ref[...] = jnp.concatenate([g1 + n_base, g2 + n_base], axis=1)
 
-    out_s_ref[...] = jnp.concatenate([best, best2], axis=1)
-    out_i_ref[...] = jnp.concatenate([gidx1, gidx2], axis=1)
+
+# accumulator path pays off while the bubble-insert RMW stays small
+ACC_MAX_BLK_B = 32
 
 
 @functools.partial(jax.jit, static_argnames=("k", "alpha", "blk_n"))
@@ -160,12 +230,80 @@ def fused_flat_topk(q, corpus, bias, *, k: int, alpha: float = 1.0, blk_n: int =
     q: [B, D] float; corpus: [N, D] (N % blk_n == 0, D % 128 == 0);
     bias: [N] f32 with -inf on invalid/padded rows. See module docstring for
     the (block, lane)-bucket exactness contract.
+
+    Two stage-1 variants, dispatched on query-block size (both measured on
+    v5e @ 1M x 768 bf16):
+      B <= 32: VMEM accumulator (2.6 ms, no candidate HBM traffic);
+      B > 32: per-block candidate emission + XLA TopK merge (B=128: 4.2 ms).
     """
     b, d = q.shape
     n = corpus.shape[0]
     if n % blk_n != 0 or d % LANE != 0:
         raise ValueError(f"corpus must be block-padded: N={n} (blk {blk_n}), D={d}")
+    if round_up(b, 8) > ACC_MAX_BLK_B:
+        return _fused_block_emit(q, corpus, bias, k=k, alpha=alpha, blk_n=blk_n)
 
+    # one corpus pass beats everything: pick blk_b to cover B when possible,
+    # then size the running per-lane depth T to the VMEM budget
+    # (blk_b * t_cands <= 2048 keeps the scratch under ~2 MB x2)
+    blk_b = min(MAX_BLK_B, round_up(b, 8))
+    t_cands = min(
+        MAX_T_CANDS if blk_b <= 64 else 8,
+        max(CANDS_PER_LANE, round_up(min(k, 16), 8)),
+    )
+    b_pad = round_up(b, blk_b)
+    if b_pad != b:
+        q = jnp.pad(q, ((0, b_pad - b), (0, 0)))
+    q_dtype = jnp.bfloat16 if corpus.dtype == jnp.int8 else corpus.dtype
+    q = q.astype(q_dtype)
+
+    n_blocks = n // blk_n
+    b_blocks = b_pad // blk_b
+    bias2d = bias.reshape(1, n).astype(jnp.float32)
+    cw = t_cands * LANE
+
+    kernel = functools.partial(_lane_topk_kernel, alpha, blk_n, t_cands)
+    out_shape = (
+        jax.ShapeDtypeStruct((b_pad, cw), jnp.float32),
+        jax.ShapeDtypeStruct((b_pad, cw), jnp.int32),
+    )
+    flat_s, flat_i = pl.pallas_call(
+        kernel,
+        grid=(b_blocks, n_blocks),
+        in_specs=[
+            pl.BlockSpec((blk_b, d), lambda bi, ni: (bi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk_n, d), lambda bi, ni: (ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_n), lambda bi, ni: (0, ni), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((blk_b, cw), lambda bi, ni: (bi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk_b, cw), lambda bi, ni: (bi, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((t_cands, blk_b, LANE), jnp.float32),
+            pltpu.VMEM((t_cands, blk_b, LANE), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n * d,
+            bytes_accessed=corpus.size * corpus.dtype.itemsize + b_pad * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(q, corpus, bias2d)
+
+    top_s, pos = jax.lax.top_k(flat_s, min(k, cw))
+    top_i = jnp.take_along_axis(flat_i, pos, axis=1)
+    if top_s.shape[1] < k:
+        pad = k - top_s.shape[1]
+        top_s = jnp.pad(top_s, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        top_i = jnp.pad(top_i, ((0, 0), (0, pad)))
+    return top_s[:b], top_i[:b]
+
+
+def _fused_block_emit(q, corpus, bias, *, k, alpha, blk_n):
+    b, d = q.shape
+    n = corpus.shape[0]
     blk_b = min(MAX_BLK_B, round_up(b, 8))
     b_pad = round_up(b, blk_b)
     if b_pad != b:
@@ -178,8 +316,7 @@ def fused_flat_topk(q, corpus, bias, *, k: int, alpha: float = 1.0, blk_n: int =
     bias2d = bias.reshape(1, n).astype(jnp.float32)
     cw = CANDS_PER_LANE * LANE
 
-    kernel = functools.partial(_lane_topk_kernel, alpha, blk_n)
-    # candidates land directly in merged [B, G*cw] layout — no transpose
+    kernel = functools.partial(_lane_topk_block_kernel, alpha, blk_n)
     out_shape = (
         jax.ShapeDtypeStruct((b_pad, n_blocks * cw), jnp.float32),
         jax.ShapeDtypeStruct((b_pad, n_blocks * cw), jnp.int32),
@@ -205,8 +342,12 @@ def fused_flat_topk(q, corpus, bias, *, k: int, alpha: float = 1.0, blk_n: int =
         interpret=interpret_mode(),
     )(q, corpus, bias2d)
 
-    top_s, pos = jax.lax.top_k(flat_s, k)
+    kk = min(k, n_blocks * cw)
+    top_s, pos = jax.lax.top_k(flat_s, kk)
     top_i = jnp.take_along_axis(flat_i, pos, axis=1)
+    if kk < k:
+        top_s = jnp.pad(top_s, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+        top_i = jnp.pad(top_i, ((0, 0), (0, k - kk)))
     return top_s[:b], top_i[:b]
 
 
