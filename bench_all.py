@@ -1,0 +1,249 @@
+"""Full benchmark sweep over the five BASELINE.json configs.
+
+Writes BENCH_REPORT.json and prints one JSON line per config. `bench.py`
+remains the single-line driver entry; this file is the evidence sweep.
+
+Timing methodology (tunneled TPU — see .claude/skills/verify/SKILL.md):
+device-generated data, many back-to-back dispatches before one forced host
+readback, persistent compile cache, best-of-3.
+"""
+
+import json
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, reps=30, trials=3):
+    float(jnp.sum(fn(*args)[0]))
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.time()
+        for _ in range(reps):
+            r = fn(*args)
+        float(jnp.sum(r[0]))
+        best = min(best, (time.time() - t0) / reps)
+    return best
+
+
+def recall_at_k(got: np.ndarray, ref: np.ndarray) -> float:
+    k = ref.shape[1]
+    return float(
+        np.mean([len(set(a.tolist()) & set(b.tolist())) / k for a, b in zip(got, ref)])
+    )
+
+
+def config1_flat_100k():
+    """#1: flat exact kNN, cosine top-10, 100k x 128 f32."""
+    from tostore_tpu.ops import topk, distance
+    from tostore_tpu.ops.runtime import round_up
+
+    n = round_up(100_000, 2048)
+    d, k, b = 128, 10, 32
+    corpus = distance.normalize(jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.float32))
+    bias = jnp.zeros(n, jnp.float32)
+    q = distance.normalize(jax.random.normal(jax.random.PRNGKey(1), (b, d), jnp.float32))
+
+    fused = jax.jit(lambda q, c, bb: topk.fused_flat_topk(q, c, bb, k=k))
+    exact = jax.jit(lambda q, c, bb: topk.flat_topk_xla(q, c, bb, 1.0, k))
+    _, i_f = fused(q, corpus, bias)
+    _, i_e = exact(q, corpus, bias)
+    rec = recall_at_k(np.asarray(i_f), np.asarray(i_e))
+    per = timeit(fused, q, corpus, bias)
+    return {
+        "config": "flat_exact_cosine_100kx128_f32_top10",
+        "recall_at_10_vs_exact": rec,
+        "qps": round(b / per, 1),
+        "ms_per_batch": round(per * 1e3, 3),
+    }
+
+
+def config2_flat_1m():
+    """#2: batched flat kNN, 1M x 768 bf16, L2 + dot."""
+    from tostore_tpu.ops import topk, distance
+    from tostore_tpu.ops.runtime import round_up
+
+    n = round_up(1_000_000, 2048)
+    d, k = 768, 10
+    corpus = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.bfloat16)
+    norms = distance.l2_norms(corpus)
+    out = {"config": "flat_batched_1Mx768_bf16_top10", "n": n}
+    for metric, bias, alpha in (
+        ("dot", jnp.zeros(n, jnp.float32), 1.0),
+        ("l2", -norms, 2.0),
+    ):
+        for b in (1, 128):
+            q = jax.random.normal(jax.random.PRNGKey(b), (b, d), jnp.float32)
+            f = jax.jit(
+                lambda q, c, bb, a=alpha: topk.fused_flat_topk(q, c, bb, k=k, alpha=a)
+            )
+            per = timeit(f, q, corpus, bias)
+            out[f"{metric}_b{b}_qps"] = round(b / per, 1)
+            out[f"{metric}_b{b}_ms"] = round(per * 1e3, 3)
+            out[f"{metric}_b{b}_scan_gbps"] = round((n * d * 2 / per) / 1e9, 1)
+    return out
+
+
+def config3_ivf_build():
+    """#3: IVF build (train + assign + buckets) at 1M x 768 + probe QPS."""
+    from tostore_tpu.vector.ivf import IVFVectorIndex
+    from tostore_tpu.ops.runtime import round_up
+
+    n = round_up(1_000_000, 2048)
+    d = 768
+    idx = IVFVectorIndex(d, metric="l2", precision="bfloat16", num_clusters=1024, nprobe=16)
+    c = idx.corpus
+    # populate the corpus directly on device (host->device rides a slow
+    # tunnel here; production ingest streams batches)
+    c._ensure_capacity(n)
+    vecs = jax.random.normal(jax.random.PRNGKey(0), (n, c.d_pad), jnp.bfloat16)
+    c.vectors = vecs
+    c.valid = jnp.ones(n, jnp.bool_)
+    c.sq_norms = jnp.sum(vecs.astype(jnp.float32) ** 2, axis=1)
+    c._slot_pks[:n] = np.arange(n, dtype=object)
+    c._pk_slot = {i: i for i in range(n)}
+    c._high = n
+    float(jnp.sum(c.sq_norms))  # sync
+
+    t0 = time.time()
+    idx.train(force=True)
+    float(jnp.sum(idx.buckets_slots.astype(jnp.float32)))  # sync
+    build_s = time.time() - t0
+    # warm build (compile cache populated): the steady-state retrain cost
+    t0 = time.time()
+    idx.train(force=True)
+    float(jnp.sum(idx.buckets_slots.astype(jnp.float32)))
+    build_warm_s = time.time() - t0
+
+    # device-side probe throughput (amortized over back-to-back dispatches;
+    # the host API adds 2 tunnel roundtrips per call in this environment)
+    from tostore_tpu.vector.ivf import _ivf_probe_scan
+    from tostore_tpu.ops import distance as D
+
+    b = 8
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, idx.corpus.d_pad), jnp.float32)
+    alpha = 2.0  # l2
+
+    def probe(qq):
+        return _ivf_probe_scan(
+            qq, idx.centroids, idx.buckets_slots, c.vectors, c.valid, c.sq_norms,
+            alpha, nprobe=16, k=10,
+        )
+
+    per = timeit(probe, q, reps=20)
+    t0 = time.time()
+    dists, slots, pks = idx.search_arrays(np.asarray(q), 10)
+    e2e_ms = (time.time() - t0) * 1e3
+    return {
+        "config": "ivf_build_1Mx768_bf16_C1024",
+        "build_seconds_cold": round(build_s, 2),
+        "build_seconds_warm": round(build_warm_s, 2),
+        "build_warm_gbps": round((n * d * 2 / build_warm_s) / 1e9, 2),
+        "probe16_b8_device_ms": round(per * 1e3, 2),
+        "probe16_b8_device_qps": round(b / per, 1),
+        "probe16_b8_api_ms_tunnel": round(e2e_ms, 1),
+        "top1_is_near": bool(dists[0][0] < dists[0][-1]),
+    }
+
+
+def config4_hybrid():
+    """#4: hybrid filtered search — predicate bitmask fused into the kernel;
+    parity vs post-filtered exact."""
+    from tostore_tpu.ops import topk, distance
+    from tostore_tpu.ops.runtime import round_up, NEG_INF
+
+    n = round_up(500_000, 2048)
+    d, k, b = 256, 10, 32
+    corpus = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.bfloat16)
+    # 25% selectivity predicate mask
+    sel = jax.random.uniform(jax.random.PRNGKey(2), (n,)) < 0.25
+    bias = jnp.where(sel, 0.0, NEG_INF)
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, d), jnp.float32)
+
+    fused = jax.jit(lambda q, c, bb: topk.fused_flat_topk(q, c, bb, k=k))
+    _, i_f = fused(q, corpus, bias)
+    # post-filter oracle: exact top-k over the selected subset
+    _, i_e = topk.flat_topk_xla(q, corpus, bias, 1.0, k)
+    rec = recall_at_k(np.asarray(i_f), np.asarray(i_e))
+    per = timeit(fused, q, corpus, bias)
+    sel_np = np.asarray(sel)
+    ok = bool(np.all(sel_np[np.asarray(i_f).ravel()]))
+    return {
+        "config": "hybrid_filtered_500kx256_bf16_sel25pct",
+        "parity_recall_vs_postfilter": rec,
+        "all_hits_satisfy_predicate": ok,
+        "qps": round(b / per, 1),
+        "ms_per_batch": round(per * 1e3, 3),
+    }
+
+
+def config5_sharded():
+    """#5: sharded corpus with per-shard top-k + merge. Only one physical
+    chip is attached here, so this validates the sharded program end-to-end
+    on a virtual mesh and reports single-shard-equivalent numbers."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax;"
+        "jax.config.update('jax_platforms','cpu');"
+        "jax.config.update('jax_num_cpu_devices',8);"
+        "import __graft_entry__ as g; g.dryrun_multichip(8);"
+        "print('OK')"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
+                       cwd=".", timeout=600)
+    return {
+        "config": "sharded_multichip_dryrun_8dev_virtual",
+        "dryrun_ok": r.stdout.strip().endswith("OK"),
+        "note": "1 physical chip attached; sharded search/train validated on 8-device virtual mesh",
+    }
+
+
+CONFIGS = {
+    "1": config1_flat_100k,
+    "2": config2_flat_1m,
+    "3": config3_ivf_build,
+    "4": config4_hybrid,
+    "5": config5_sharded,
+}
+
+
+def run_one(name: str):
+    try:
+        res = CONFIGS[name]()
+    except Exception as e:  # record failures instead of dying
+        res = {"config": f"config{name}", "error": repr(e)}
+    print(json.dumps(res), flush=True)
+    return res
+
+
+def main():
+    import subprocess
+    import sys
+
+    if len(sys.argv) > 1:  # child mode: one config, own process = own HBM
+        run_one(sys.argv[1])
+        return
+
+    report = {"device": str(jax.devices()[0]), "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+    for name in CONFIGS:
+        r = subprocess.run(
+            [sys.executable, __file__, name], capture_output=True, text=True, timeout=1800
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        res = json.loads(line[-1]) if line else {"config": f"config{name}", "error": r.stderr[-500:]}
+        print(json.dumps(res), flush=True)
+        report[res.get("config", f"config{name}")] = res
+    with open("BENCH_REPORT.json", "w") as f:
+        json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -238,3 +238,41 @@ class TestIVF:
         r1 = [r.primary_key for r in idx.search(x[42], top_k=5)]
         r2 = [r.primary_key for r in idx2.search(x[42], top_k=5)]
         assert r1[0] == r2[0] == 42
+
+    def test_pq_adc_search_with_rerank(self, rng):
+        # PQ mode: ADC candidate selection + exact re-rank (reference
+        # beam-with-ADC + rerank pool, ngh_graph_engine.dart:87-134)
+        nc, d, n = 16, 64, 2000
+        centers = rng.standard_normal((nc, d)).astype(np.float32) * 4
+        x = (centers[np.arange(n) % nc] + rng.standard_normal((n, d)) * 0.5).astype(
+            np.float32
+        )
+        idx = IVFVectorIndex(
+            d, metric="cosine", num_clusters=nc, nprobe=8,
+            pq_subspaces=8, min_train_size=100,
+        )
+        idx.upsert(list(range(n)), x)
+        assert idx.pq is not None and idx.codes is not None
+        q = x[123] + rng.standard_normal(d).astype(np.float32) * 0.05
+        assert idx.search(q, top_k=5)[0].primary_key == 123
+        # post-training inserts keep codes fresh
+        x2 = rng.standard_normal((20, d)).astype(np.float32)
+        idx.upsert(list(range(5000, 5020)), x2)
+        assert idx.search(x2[7], top_k=1)[0].primary_key == 5007
+        idx.delete([123])
+        assert idx.search(q, top_k=1)[0].primary_key != 123
+        idx2 = IVFVectorIndex.from_state_dict(idx.state_dict())
+        assert idx2.search(x2[7], top_k=1)[0].primary_key == 5007
+
+    def test_balanced_placement_caps_buckets(self, rng):
+        # pathological data (one dominant mode) must not explode bucket
+        # capacity: cap stays within BALANCE_FACTOR * average
+        d, n = 16, 4000
+        x = rng.standard_normal((n, d)).astype(np.float32) * 0.01  # one blob
+        idx = IVFVectorIndex(d, metric="l2", num_clusters=16, nprobe=16, min_train_size=100)
+        idx.upsert(list(range(n)), x)
+        cap = idx.buckets_slots.shape[1]
+        assert cap <= max(64, int(idx.BALANCE_FACTOR * (n / 16)) + 64)
+        # still fully searchable with full probe
+        q = x[7]
+        assert idx.search(q, top_k=1, nprobe=16)[0].primary_key == 7

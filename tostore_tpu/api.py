@@ -235,11 +235,17 @@ class ToStoreTPU:
     def compact(self):
         self._db.run_compaction()
 
-    def watch(self, table: str | None = None, callback: Callable | None = None):
-        return self._db.watch(table, callback)
+    def watch(self, table: str | None = None, callback: Callable | None = None, condition=None):
+        return self._db.watch(table, callback, condition)
 
     def status(self) -> dict:
         return self._db.status()
 
     def check_integrity(self) -> dict:
         return self._db.check_integrity()
+
+    def prewarm(self, table: str | None = None):
+        self._db.prewarm(table)
+
+    def explain(self, table: str) -> dict:
+        return self._db.explain(table)

@@ -425,9 +425,25 @@ class Database:
         for sub in self._subs.get((ev.space, None), []):
             sub._emit(ev)
 
-    def watch(self, table: str | None = None, callback: Callable | None = None) -> Subscription:
+    def watch(
+        self,
+        table: str | None = None,
+        callback: Callable | None = None,
+        condition: QueryCondition | None = None,
+    ) -> Subscription:
+        """Change stream for a table (or all tables with table=None),
+        optionally filtered by a condition over the changed record
+        (reference watch() streams, data_store_impl.dart:6245)."""
         key = (self.current_space, table)
         sub = Subscription(self, key, callback)
+        if condition is not None:
+            orig = sub._emit
+
+            def emit(ev):
+                if ev.record is None or condition.matches(ev.record):
+                    orig(ev)
+
+            sub._emit = emit
         self._subs.setdefault(key, []).append(sub)
         return sub
 
@@ -716,6 +732,29 @@ class Database:
         integrity_checker.dart)."""
         with self._lock:
             return self._integrity.check_database(self)
+
+    def prewarm(self, table: str | None = None):
+        """Flush buffered vector writes and warm the search executables
+        (reference loadDataToCache/prewarm, data_store_impl.dart:5441)."""
+        with self._lock:
+            tables = (
+                [self._table(table)]
+                if table
+                else [t for (_, n), t in self._tables.items()]
+            )
+        for t in tables:
+            t.flush_vectors()
+            for field, vi in t.vector_indexes.items():
+                if len(vi):
+                    vi.search(np.zeros(vi.dims, np.float32), top_k=1)
+
+    def explain(self, table: str, spec=None) -> dict:
+        """Query plan description (reference query_plan.dart explain())."""
+        from ..query.executor import QuerySpec
+
+        t = self._table(table)
+        info = self.executor.choose_plan(t, spec or QuerySpec())
+        return {"plan": info.plan, "index": info.index, "estimated_rows": info.estimated_rows}
 
     def query(self, table: str, spec: QuerySpec | None = None):
         self._counters["queries"] += 1

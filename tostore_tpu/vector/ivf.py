@@ -79,6 +79,55 @@ def _ivf_probe_scan(
     return jax.vmap(per_query)(q, probe)
 
 
+@functools.partial(jax.jit, static_argnames=("nprobe", "k", "rerank", "adc_metric"))
+def _ivf_probe_scan_pq(
+    q, q_raw, centroids, buckets_slots, codes, codebooks, vectors, valid, sq_norms,
+    alpha, *, nprobe: int, k: int, rerank: int, adc_metric: str
+):
+    """PQ-accelerated probe: ADC over gathered codes selects a re-rank pool
+    of `rerank` candidates, which are scored exactly against raw vectors —
+    the reference's beam-search-with-ADC + re-rank pipeline
+    (ngh_graph_engine.dart:87-134) as two fused device stages.
+
+    q: [B, Dp] prepped queries; q_raw: [B, dims] (un-padded, for ADC tables).
+    """
+    cap = buckets_slots.shape[1]
+    cs = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    if sq_norms is not None:
+        cnorm = jnp.sum(centroids * centroids, axis=1)
+        cs = 2.0 * cs - cnorm[None, :]
+    _, probe = jax.lax.top_k(cs, nprobe)
+
+    tables = adc_tables(codebooks, q_raw, metric=adc_metric)  # [B, M, K]
+    m = codebooks.shape[0]
+    idx_m = jnp.arange(m)[None, :]
+
+    def per_query(qv, probes, tab):
+        slots = buckets_slots[probes].reshape(nprobe * cap)
+        safe = jnp.maximum(slots, 0)
+        crow = codes[safe].astype(jnp.int32)  # [P, M]
+        d_adc = jnp.sum(tab[idx_m, crow], axis=1)  # [P] lower=better
+        ok = jnp.logical_and(slots >= 0, valid[safe])
+        s_adc = jnp.where(ok, -d_adc, NEG_INF)
+        r = min(rerank, nprobe * cap)
+        _, ri = jax.lax.top_k(s_adc, r)
+        cand = slots[ri]  # [R]
+        csafe = jnp.maximum(cand, 0)
+        vecs = vectors[csafe]
+        if vecs.dtype == jnp.int8:
+            vecs = vecs.astype(jnp.bfloat16)
+        s = alpha * jnp.dot(vecs, qv.astype(vecs.dtype), preferred_element_type=jnp.float32)
+        if sq_norms is not None:
+            s = s - sq_norms[csafe]
+        okc = jnp.logical_and(cand >= 0, valid[csafe])
+        s = jnp.where(okc, s, NEG_INF)
+        kk = min(k, r)
+        ts, ti = jax.lax.top_k(s, kk)
+        return ts, cand[ti]
+
+    return jax.vmap(per_query)(q, probe, tables)
+
+
 class IVFVectorIndex:
     index_type = "ivf"
 
@@ -109,7 +158,9 @@ class IVFVectorIndex:
         self.centroids: jax.Array | None = None  # [C, Dp] f32
         self.buckets_slots: jax.Array | None = None  # [C, cap] i32
         self._bucket_counts: np.ndarray | None = None  # host [C]
-        self._assign: dict = {}  # slot -> (cluster, position)
+        # slot -> (cluster, position) as parallel arrays (-1 = unassigned)
+        self._slot_cluster: np.ndarray = np.zeros(0, np.int32)
+        self._slot_pos: np.ndarray = np.zeros(0, np.int32)
         self._trained_size = 0
         self.pq: PQCodebook | None = None
         self.codes: jax.Array | None = None  # [Ncap, M] u8 (PQ mode)
@@ -135,6 +186,21 @@ class IVFVectorIndex:
 
     # --- training -------------------------------------------------------------
 
+    def _live_slots(self) -> np.ndarray:
+        c = self.corpus
+        if c._high == 0:
+            return np.zeros(0, np.int64)
+        return np.flatnonzero(c._slot_pks[: c._high] != None)  # noqa: E711
+
+    def _ensure_slot_arrays(self):
+        cap = self.corpus.capacity
+        if len(self._slot_cluster) < cap:
+            sc = np.full(cap, -1, np.int32)
+            sp = np.full(cap, -1, np.int32)
+            sc[: len(self._slot_cluster)] = self._slot_cluster
+            sp[: len(self._slot_pos)] = self._slot_pos
+            self._slot_cluster, self._slot_pos = sc, sp
+
     def train(self, force: bool = False):
         """(Re)train centroids (+ PQ) on the current corpus."""
         c = self.corpus
@@ -143,9 +209,7 @@ class IVFVectorIndex:
             return False
         if self.trained and not force:
             return False
-        live = np.flatnonzero(
-            np.asarray([pk is not None for pk in c._slot_pks[: c._high]])
-        )
+        live = self._live_slots()
         num_c = self.num_clusters_cfg or auto_num_clusters(n)
         num_c = min(num_c, max(8, len(live)))
         rng = np.random.default_rng(42)
@@ -180,36 +244,93 @@ class IVFVectorIndex:
 
     # --- bucket maintenance -----------------------------------------------------
 
-    def _assign_clusters(self, slots: np.ndarray) -> np.ndarray:
-        v = self._stored_matrix_f32(slots)
-        s = jnp.dot(v, self.centroids.T, preferred_element_type=jnp.float32)
-        if self.metric == "l2":
-            cn = jnp.sum(self.centroids * self.centroids, axis=1)
-            s = 2.0 * s - cn[None, :]
-        return np.asarray(jnp.argmax(s, axis=1), np.int64)
+    ASSIGN_CHUNK = 65536  # bounds the [chunk, C] score matrix + f32 gather
+    # bucket capacity cap as a multiple of the average cluster size: k-means
+    # on unstructured data can collapse most rows into few clusters, which
+    # would explode probe gather sizes; overflow rows take their 2nd/3rd
+    # nearest cluster instead (standard balanced-IVF placement)
+    BALANCE_FACTOR = 2.0
+    N_CHOICES = 3
+
+    def _assign_clusters(self, slots: np.ndarray, n_choices: int = 1) -> np.ndarray:
+        """Top-n_choices nearest clusters per slot: [len(slots), n_choices]."""
+        out = np.empty((len(slots), n_choices), np.int64)
+        for a in range(0, len(slots), self.ASSIGN_CHUNK):
+            chunk = slots[a : a + self.ASSIGN_CHUNK]
+            v = self._stored_matrix_f32(chunk)
+            s = jnp.dot(v, self.centroids.T, preferred_element_type=jnp.float32)
+            if self.metric == "l2":
+                cn = jnp.sum(self.centroids * self.centroids, axis=1)
+                s = 2.0 * s - cn[None, :]
+            _, top = jax.lax.top_k(s, n_choices)
+            out[a : a + len(chunk)] = np.asarray(top, np.int64)
+        return out if n_choices > 1 else out[:, 0]
+
+    def _bucket_cap(self, n_live: int) -> int:
+        num_c = self.centroids.shape[0]
+        avg = max(1, n_live // max(1, num_c))
+        return int(max(64, round_up(int(self.BALANCE_FACTOR * avg) + 1, 64)))
+
+    def _place_balanced(self, live: np.ndarray, choices: np.ndarray, cap: int):
+        """Greedy capped placement: first choice, then 2nd/3rd, then the
+        least-filled cluster. Returns (clusters, positions) per row."""
+        num_c = self.centroids.shape[0]
+        counts = np.zeros(num_c, np.int64)
+        cl_out = np.full(len(live), -1, np.int64)
+        pending = np.arange(len(live))
+        for choice in range(choices.shape[1]):
+            if not len(pending):
+                break
+            want = choices[pending, choice]
+            # order keeps placement deterministic; fill clusters up to cap
+            order = np.argsort(want, kind="stable")
+            w_sorted = want[order]
+            pos_in_cluster = self._group_positions(w_sorted) + counts[w_sorted]
+            fits = pos_in_cluster < cap
+            placed = pending[order[fits]]
+            cl_out[placed] = w_sorted[fits]
+            np.add.at(counts, w_sorted[fits], 1)
+            pending = pending[order[~fits]]
+        # last resort: spread leftovers over clusters with free capacity
+        # (total capacity >= BALANCE_FACTOR * live guarantees room)
+        if len(pending):
+            free = np.repeat(np.arange(num_c), np.maximum(cap - counts, 0))
+            take = free[: len(pending)]
+            cl_out[pending] = take
+            np.add.at(counts, take, 1)
+        # positions: recompute per final cluster
+        order = np.argsort(cl_out, kind="stable")
+        pos = np.empty(len(live), np.int64)
+        pos[order] = self._group_positions(cl_out[order])
+        return cl_out, pos, counts
+
+    @staticmethod
+    def _group_positions(sorted_groups: np.ndarray) -> np.ndarray:
+        """Cumulative count within runs of a sorted group array."""
+        n = len(sorted_groups)
+        if n == 0:
+            return np.zeros(0, np.int64)
+        starts = np.r_[0, np.flatnonzero(np.diff(sorted_groups)) + 1]
+        run_lens = np.diff(np.r_[starts, n])
+        return np.arange(n) - np.repeat(starts, run_lens)
 
     def _rebuild_buckets(self):
         c = self.corpus
-        live = np.flatnonzero(
-            np.asarray([pk is not None for pk in c._slot_pks[: c._high]])
-        )
+        live = self._live_slots()
         num_c = self.centroids.shape[0]
-        if len(live):
-            assign = self._assign_clusters(live)
-        else:
-            assign = np.zeros(0, np.int64)
-        counts = np.bincount(assign, minlength=num_c)
-        cap = int(max(64, round_up(int(counts.max() * 1.5) if len(live) else 64, 64)))
+        cap = self._bucket_cap(len(live))
         buckets = np.full((num_c, cap), -1, np.int32)
-        pos = np.zeros(num_c, np.int64)
-        self._assign = {}
-        for slot, cl in zip(live, assign):
-            p = pos[cl]
-            buckets[cl, p] = slot
-            self._assign[int(slot)] = (int(cl), int(p))
-            pos[cl] = p + 1
+        self._slot_cluster = np.full(c.capacity, -1, np.int32)
+        self._slot_pos = np.full(c.capacity, -1, np.int32)
+        counts = np.zeros(num_c, np.int64)
+        if len(live):
+            choices = self._assign_clusters(live, self.N_CHOICES)
+            cl, pos, counts = self._place_balanced(live, choices, cap)
+            buckets[cl, pos] = live
+            self._slot_cluster[live] = cl.astype(np.int32)
+            self._slot_pos[live] = pos.astype(np.int32)
         self.buckets_slots = jnp.asarray(buckets)
-        self._bucket_counts = pos
+        self._bucket_counts = counts
         if self.pq is not None:
             self._reencode_all()
 
@@ -223,26 +344,37 @@ class IVFVectorIndex:
             v = v / INT8_SCALE
         self.codes = pq_encode(self.pq.codebooks, v)
 
-    def _append_to_buckets(self, slots: np.ndarray, clusters: np.ndarray):
+    def _append_to_buckets(self, slots: np.ndarray, choices: np.ndarray):
+        """Capped append honoring 2nd/3rd-choice overflow; a full overflow
+        (all choices at capacity) triggers a rebuild with a larger layout."""
         cap = self.buckets_slots.shape[1]
-        # overflow check first
-        counts = self._bucket_counts.copy()
-        for cl in clusters:
-            counts[cl] += 1
-        if counts.max() > cap:
+        slots = np.asarray(slots)
+        counts = self._bucket_counts
+        cl_out = np.full(len(slots), -1, np.int64)
+        pos_out = np.full(len(slots), -1, np.int64)
+        pending = np.arange(len(slots))
+        for choice in range(choices.shape[1]):
+            if not len(pending):
+                break
+            want = choices[pending, choice]
+            order = np.argsort(want, kind="stable")
+            w_sorted = want[order]
+            pos = counts[w_sorted] + self._group_positions(w_sorted)
+            fits = pos < cap
+            sel = order[fits]
+            cl_out[pending[sel]] = w_sorted[fits]
+            pos_out[pending[sel]] = pos[fits]
+            np.add.at(counts, w_sorted[fits], 1)
+            pending = pending[order[~fits]]
+        if len(pending):
             self._rebuild_buckets()
             return
-        rows, cols, vals = [], [], []
-        for slot, cl in zip(slots, clusters):
-            p = self._bucket_counts[cl]
-            rows.append(cl)
-            cols.append(p)
-            vals.append(slot)
-            self._assign[int(slot)] = (int(cl), int(p))
-            self._bucket_counts[cl] = p + 1
+        self._ensure_slot_arrays()
+        self._slot_cluster[slots] = cl_out.astype(np.int32)
+        self._slot_pos[slots] = pos_out.astype(np.int32)
         self.buckets_slots = self.buckets_slots.at[
-            jnp.asarray(rows, jnp.int32), jnp.asarray(cols, jnp.int32)
-        ].set(jnp.asarray(np.asarray(vals, np.int32)))
+            jnp.asarray(cl_out, jnp.int32), jnp.asarray(pos_out, jnp.int32)
+        ].set(jnp.asarray(slots, jnp.int32))
 
     # --- mutation ------------------------------------------------------------------
 
@@ -252,21 +384,27 @@ class IVFVectorIndex:
         slots = self.corpus.upsert(pks, vectors)
         self._maybe_retrain()
         if self.trained:
+            self._ensure_slot_arrays()
             if existing:
-                # moved vectors may change cluster: simplest correct move is
-                # bucket rebuild for the touched slots' old entries
-                for pk in existing:
-                    slot = int(self.corpus._pk_slot[pk])
-                    old = self._assign.pop(slot, None)
-                    if old is not None:
-                        cl, p = old
-                        self.buckets_slots = self.buckets_slots.at[cl, p].set(-1)
-            fresh = np.asarray(
-                [s for s in slots if int(s) not in self._assign], np.int64
-            )
+                # overwritten vectors may change cluster: vacate their old
+                # bucket entries (holes are skipped in search, reclaimed at
+                # the next rebuild)
+                eslots = self.corpus.slots_for_pks(existing)
+                eslots = eslots[eslots >= 0]
+                assigned = eslots[self._slot_cluster[eslots] >= 0]
+                if len(assigned):
+                    cls = self._slot_cluster[assigned]
+                    ps = self._slot_pos[assigned]
+                    self.buckets_slots = self.buckets_slots.at[
+                        jnp.asarray(cls), jnp.asarray(ps)
+                    ].set(-1)
+                    self._slot_cluster[assigned] = -1
+                    self._slot_pos[assigned] = -1
+            fresh = np.asarray(slots, np.int64)
+            fresh = fresh[self._slot_cluster[fresh] < 0]
             if len(fresh):
-                clusters = self._assign_clusters(fresh)
-                self._append_to_buckets(fresh, clusters)
+                choices = self._assign_clusters(fresh, self.N_CHOICES)
+                self._append_to_buckets(fresh, choices)
             if self.pq is not None:
                 v = self._stored_matrix_f32(slots)[:, : self.corpus.dims]
                 codes = pq_encode(self.pq.codebooks, v)
@@ -281,13 +419,21 @@ class IVFVectorIndex:
         return slots
 
     def delete(self, pks) -> int:
-        # corpus tombstones are checked in-kernel via `valid`; bucket slots
-        # stay until compaction
+        # vacate bucket entries eagerly: a freed slot may be reused by a new
+        # vector, and a stale entry would surface it from the wrong cluster
         slots = self.corpus.slots_for_pks(pks)
         n = self.corpus.delete(pks)
-        for s in slots:
-            if s >= 0:
-                self._assign.pop(int(s), None)
+        live = slots[slots >= 0]
+        if len(live) and len(self._slot_cluster):
+            assigned = live[self._slot_cluster[live] >= 0]
+            if len(assigned) and self.buckets_slots is not None:
+                cls = self._slot_cluster[assigned]
+                ps = self._slot_pos[assigned]
+                self.buckets_slots = self.buckets_slots.at[
+                    jnp.asarray(cls), jnp.asarray(ps)
+                ].set(-1)
+            self._slot_cluster[live] = -1
+            self._slot_pos[live] = -1
         return n
 
     def compact(self):
@@ -346,17 +492,36 @@ class IVFVectorIndex:
 
         np_probe = int(nprobe or self.nprobe)
         np_probe = min(np_probe, self.centroids.shape[0])
-        scores, slots = _ivf_probe_scan(
-            qj,
-            self.centroids,
-            self.buckets_slots,
-            c.vectors,
-            valid,
-            sqn,
-            alpha,
-            nprobe=np_probe,
-            k=k,
-        )
+        if self.pq is not None and self.codes is not None:
+            q_raw = jnp.asarray(qx[:, : c.dims])
+            scores, slots = _ivf_probe_scan_pq(
+                qj,
+                q_raw,
+                self.centroids,
+                self.buckets_slots,
+                self.codes,
+                self.pq.codebooks,
+                c.vectors,
+                valid,
+                sqn,
+                alpha,
+                nprobe=np_probe,
+                k=k,
+                rerank=max(self.rerank_factor * k, 20),  # reference nge:115
+                adc_metric="dot" if self.metric == "dot" else "l2",
+            )
+        else:
+            scores, slots = _ivf_probe_scan(
+                qj,
+                self.centroids,
+                self.buckets_slots,
+                c.vectors,
+                valid,
+                sqn,
+                alpha,
+                nprobe=np_probe,
+                k=k,
+            )
         dists = D.scores_to_distances(self.metric, scores, qsq)
         dist_np = np.array(dists, np.float32)
         slot_np = np.array(slots, np.int64)
