@@ -32,7 +32,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        n = round_up(1_000_000, 2048)
+        n = round_up(1_000_000, 4096)
         d, k, b = 768, 10, 128
         reps = 30
     else:  # CI / CPU smoke: tiny shapes, same code path

@@ -69,7 +69,7 @@ def config2_flat_1m():
     from tostore_tpu.ops import topk, distance
     from tostore_tpu.ops.runtime import round_up
 
-    n = round_up(1_000_000, 2048)
+    n = round_up(1_000_000, 4096)
     d, k = 768, 10
     corpus = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.bfloat16)
     norms = distance.l2_norms(corpus)
@@ -95,7 +95,7 @@ def config3_ivf_build():
     from tostore_tpu.vector.ivf import IVFVectorIndex
     from tostore_tpu.ops.runtime import round_up
 
-    n = round_up(1_000_000, 2048)
+    n = round_up(1_000_000, 4096)
     d = 768
     idx = IVFVectorIndex(d, metric="l2", precision="bfloat16", num_clusters=1024, nprobe=16)
     c = idx.corpus

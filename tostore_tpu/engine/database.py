@@ -115,6 +115,7 @@ class Database:
         self._subs: dict[tuple, list[Subscription]] = {}
         self._closed = False
         self._crontab = None
+        self._migrations: list[dict] = []
         self._opened_ms = int(time.time() * 1000)
         self._counters = {"inserts": 0, "updates": 0, "deletes": 0, "queries": 0,
                           "vector_searches": 0, "flushes": 0, "recovered_wal_entries": 0}
@@ -323,6 +324,12 @@ class Database:
             self._wal_append(
                 {"op": "schema_update", "space": space, "table": name,
                  "schema": new_schema.to_json(), "renames": renames or {}}
+            )
+            # migration task history (reference queryMigrationTaskStatus,
+            # tostore.dart:1119 — synchronous here, so always 100%)
+            self._migrations.append(
+                {"table": name, "space": space, "ts_ms": int(time.time() * 1000),
+                 "progress": 100, "status": "completed", "report": report}
             )
             return DbResult.success(data=report)
 
@@ -1011,6 +1018,7 @@ class Database:
             "tables": tables,
             "counters": dict(self._counters),
             "resources": self.resources.status(),
+            "migrations": list(self._migrations),
             "uptime_ms": int(time.time() * 1000) - self._opened_ms,
         }
 

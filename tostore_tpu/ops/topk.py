@@ -224,7 +224,7 @@ ACC_MAX_BLK_B = 32
 
 
 @functools.partial(jax.jit, static_argnames=("k", "alpha", "blk_n"))
-def fused_flat_topk(q, corpus, bias, *, k: int, alpha: float = 1.0, blk_n: int = DEFAULT_BLK_N):
+def fused_flat_topk(q, corpus, bias, *, k: int, alpha: float = 1.0, blk_n: int | None = None):
     """Fused flat scan: returns (scores [B, k] f32 desc, idx [B, k] i32).
 
     q: [B, D] float; corpus: [N, D] (N % blk_n == 0, D % 128 == 0);
@@ -238,6 +238,15 @@ def fused_flat_topk(q, corpus, bias, *, k: int, alpha: float = 1.0, blk_n: int =
     """
     b, d = q.shape
     n = corpus.shape[0]
+    if blk_n is None:
+        # bigger blocks amortize per-step overhead on the emit path
+        # (B=128 @1Mx768: 4.30 -> 3.83 ms measured); the accumulator path
+        # prefers 2048 (lower latency, smaller score tile)
+        blk_n = (
+            4096
+            if round_up(b, 8) > ACC_MAX_BLK_B and n % 4096 == 0
+            else DEFAULT_BLK_N
+        )
     if n % blk_n != 0 or d % LANE != 0:
         raise ValueError(f"corpus must be block-padded: N={n} (blk {blk_n}), D={d}")
     if round_up(b, 8) > ACC_MAX_BLK_B:
