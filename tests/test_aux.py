@@ -122,6 +122,28 @@ class TestEncryptedDurability:
         assert db2.count("users") == 1
         db2.close()
 
+    def test_online_key_rotation(self, tmp_path):
+        db = ToStoreTPU(self.cfg(str(tmp_path)))
+        from tests.test_engine import users_schema
+
+        db.create_table(users_schema())
+        db.insert("users", {"username": "alice"})
+        r = db.rotate_encryption_key("n3w-key")
+        assert r.is_success and r.data["key_id"] == 2
+        db.insert("users", {"username": "bob"})  # WAL under new key
+        db.close()
+        # reopen with the NEW passphrase (key-id fallback finds it)
+        new_cfg = DataStoreConfig(
+            db_path=str(tmp_path),
+            encryption=EncryptionConfig(enable_encoding=True, encryption_key="n3w-key"),
+        )
+        db2 = ToStoreTPU(new_cfg)
+        assert db2.count("users") == 2
+        db2.close()
+        # the OLD passphrase no longer decrypts
+        with pytest.raises(Exception):
+            ToStoreTPU(self.cfg(str(tmp_path)))
+
     def test_wrong_key_fails_closed(self, tmp_path):
         db = ToStoreTPU(self.cfg(str(tmp_path)))
         from tests.test_engine import users_schema

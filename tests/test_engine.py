@@ -678,6 +678,25 @@ class TestBackupRestore:
         db.restore(path)
         assert db.count("users") == 1
 
+    def test_scoped_backup_restores_only_space(self, tmp_path):
+        db = ToStoreTPU.memory()
+        db.create_table(users_schema())
+        db.insert("users", {"username": "in_default"})
+        db.switch_space("t2")
+        db.create_table(users_schema())
+        db.insert("users", {"username": "in_t2"})
+        path = str(tmp_path / "scoped.zip")
+        db.backup(path, scope="currentSpace")  # t2 only
+        db.clear("users")  # wipe t2
+        db.switch_space("default")
+        db.clear("users")  # wipe default too
+        db.switch_space("t2")
+        db.restore(path)
+        assert db.count("users") == 1  # t2 restored
+        db.switch_space("default")
+        assert db.count("users") == 0  # default untouched by scoped restore
+        db.close()
+
     def test_backup_restore_file(self, tmp_path):
         db = ToStoreTPU.open(str(tmp_path / "db"), schemas=[users_schema()])
         db.insert("users", {"username": "alice"})
@@ -752,6 +771,45 @@ class TestVectorIntegration:
         unfiltered = db.vector_search("docs", "emb", vecs[10], top_k=300)
         post = [r for r in unfiltered if db.get_by_pk("docs", r.primary_key)["category"] == "art"][:5]
         assert [r.primary_key for r in res] == [r.primary_key for r in post]
+        db.close()
+
+    def test_hybrid_device_mask_path(self, rng):
+        # numeric predicates compile to device masks over resident filter
+        # columns (vector/filters.py); parity with the host-evaluated path
+        db, vecs = self.make_db(rng)
+        from tostore_tpu.vector import filters
+
+        t = db.engine._table("docs")
+        idx = t.vector_indexes["emb"]
+        cond = QueryCondition().where("views", ">", 150).where("views", "<=", 280)
+        t.flush_vectors()
+        assert filters.compilable(cond, set(t.filter_fields) & set(idx.corpus.filter_columns.columns))
+        res = (
+            db.vector_query("docs", "emb", vecs[10])
+            .where("views", ">", 150)
+            .where("views", "<=", 280)
+            .top_k(5)
+            .fetch()
+        )
+        assert res
+        for r in res:
+            v = db.get_by_pk("docs", r.primary_key)["views"]
+            assert 150 < v <= 280
+        # parity with post-filtered exact
+        unfiltered = db.vector_search("docs", "emb", vecs[10], top_k=300)
+        post = [
+            r for r in unfiltered
+            if 150 < db.get_by_pk("docs", r.primary_key)["views"] <= 280
+        ][:5]
+        assert [r.primary_key for r in res] == [r.primary_key for r in post]
+        # filter columns track updates
+        pk = res[0].primary_key
+        db.update_by_pk("docs", pk, {"views": 0})
+        res2 = (
+            db.vector_query("docs", "emb", vecs[10])
+            .where("views", ">", 150).where("views", "<=", 280).top_k(5).fetch()
+        )
+        assert pk not in [r.primary_key for r in res2]
         db.close()
 
     def test_delete_then_search(self, rng):

@@ -229,6 +229,9 @@ class ToStoreTPU:
 
     # --- maintenance / observability -----------------------------------------------------------
 
+    def rotate_encryption_key(self, new_passphrase: str):
+        return self._db.rotate_encryption_key(new_passphrase)
+
     def run_ttl_cleanup(self) -> int:
         return self._db.run_ttl_cleanup()
 

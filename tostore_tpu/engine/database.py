@@ -51,6 +51,12 @@ GLOBAL_SPACE = "global"
 KV_TABLE = "_system_kv"
 SYSTEM_PREFIX = "_system_"
 
+# engine on-disk format version + upgrade registry (reference upgrades/
+# version_upgrade_manager.dart: v2/v3 upgrade steps run once at open).
+# Upgrades map target_version -> fn(db); each runs inside open, in order.
+ENGINE_VERSION = 1
+UPGRADES: dict[int, Callable] = {}
+
 
 class ChangeEvent:
     __slots__ = ("type", "space", "table", "pk", "record")
@@ -175,6 +181,13 @@ class Database:
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 self.global_config = GlobalConfig.from_json(json.load(f))
+        if self.global_config.version < ENGINE_VERSION:
+            for v in range(self.global_config.version + 1, ENGINE_VERSION + 1):
+                fn = UPGRADES.get(v)
+                if fn is not None:
+                    fn(self)
+            self.global_config.version = ENGINE_VERSION
+            self._persist_manifest()
         if os.path.exists(snap_path):
             with open(snap_path, "rb") as f:
                 self._load_snapshot(codec.loads(self._unwrap_bytes(f.read())))
@@ -796,12 +809,26 @@ class Database:
         idx = t.vector_index_for(field)
         slot_mask = None
         if condition is not None and not condition.is_empty:
-            mask = condition.mask(lambda f: t.store.column_view(f), t.store.high)
-            rows = t.store.rows_for_mask(mask)
-            allowed = [t.store.pk_col.get(r) for r in rows]
+            from ..vector import filters
+
             import jax.numpy as jnp
 
-            slot_mask = jnp.asarray(t.slot_mask_from_pks(field, allowed))
+            fc = idx.corpus.filter_columns
+            device_ok = filters.compilable(
+                condition, set(t.filter_fields) & set(fc.columns)
+            )
+            if device_ok and idx.corpus.capacity:
+                for name in condition.referenced_fields():
+                    fc.ensure(name, idx.corpus.capacity)
+                slot_mask = filters.device_mask(
+                    condition, fc.columns, idx.corpus.capacity
+                )
+            else:
+                # host fallback: LIKE/text predicates, unindexed fields
+                mask = condition.mask(lambda f: t.store.column_view(f), t.store.high)
+                rows = t.store.rows_for_mask(mask)
+                allowed = [t.store.pk_col.get(r) for r in rows]
+                slot_mask = jnp.asarray(t.slot_mask_from_pks(field, allowed))
         kwargs = {}
         if idx.index_type == "ivf" and nprobe is not None:
             kwargs["nprobe"] = nprobe
@@ -912,16 +939,47 @@ class Database:
                 self._tables[(space, name)] = t
                 self._schemas[(space, name)] = t.schema
 
+    # ------------------------------------------------------------- key rotation
+
+    def rotate_encryption_key(self, new_passphrase: str) -> DbResult:
+        """Online key rotation (reference key_manager.dart + resumable
+        key_migration_runner): add the new key, re-encrypt the durable
+        artifacts at the next checkpoint (done eagerly here), retire the
+        old key. Artifacts written under the old key stay readable during
+        the window via the envelope key-id fallback."""
+        if self._envelope is None:
+            return DbResult.error(ResultType.schemaError, "encryption is not enabled")
+        with self._lock:
+            ring = self._envelope.ring
+            old_id = ring.current
+            ring.rotate(new_passphrase)
+            self.flush()  # snapshot re-sealed under the new key; WAL truncated
+            ring.retire(old_id)
+            return DbResult.success(data={"key_id": ring.current})
+
     # ------------------------------------------------------------- backup/restore
 
+    def _scoped_snapshot(self, scope: str) -> dict:
+        snap = self._snapshot_state()
+        if scope == "database":
+            return snap
+        keep = {self.current_space}
+        if scope == "currentSpaceWithGlobal":
+            keep.add(GLOBAL_SPACE)
+        elif scope != "currentSpace":
+            raise ValueError(f"unknown backup scope {scope!r}")
+        snap["tables"] = {s: t for s, t in snap["tables"].items() if s in keep}
+        return snap
+
     def backup(self, dest_path: str, scope: str = "database") -> str:
-        """Zip the database directory (reference backup_manager.dart:26-40).
-        scope: database | currentSpace | currentSpaceWithGlobal."""
+        """Zip backup (reference backup_manager.dart:26-40). scope:
+        database | currentSpace | currentSpaceWithGlobal. Scoped backups
+        (and memory mode) serialize a snapshot; full file-mode backups zip
+        the database directory verbatim."""
         with self._lock:
             self.flush()
-            if self.config.memory_mode:
-                # memory mode: serialize state directly
-                data = codec.dumps(self._snapshot_state())
+            if self.config.memory_mode or scope != "database":
+                data = self._wrap_bytes(codec.dumps(self._scoped_snapshot(scope)))
                 os.makedirs(os.path.dirname(dest_path) or ".", exist_ok=True)
                 with zipfile.ZipFile(dest_path, "w") as z:
                     z.writestr("memory.snap", data)
@@ -937,9 +995,14 @@ class Database:
             with zipfile.ZipFile(src_path) as z:
                 names = z.namelist()
                 if "memory.snap" in names:
-                    self._tables.clear()
-                    self._schemas.clear()
-                    self._load_snapshot(codec.loads(z.read("memory.snap")))
+                    snap = codec.loads(self._unwrap_bytes(z.read("memory.snap")))
+                    # replace only the spaces the backup contains (scoped
+                    # restores leave other spaces intact)
+                    for space in snap.get("tables", {}):
+                        for key in [k for k in self._tables if k[0] == space]:
+                            del self._tables[key]
+                            self._schemas.pop(key, None)
+                    self._load_snapshot(snap)
                     self._ensure_kv_table()
                     return DbResult.success()
                 if self.config.memory_mode:

@@ -167,6 +167,12 @@ class Table:
         # vector indexes + buffered writes (field -> {pk: vec|None})
         self.vector_indexes: dict[str, Any] = {}
         self._vec_pending: dict[str, dict] = {}
+        # device-resident predicate columns (vector/filters.py): numeric/
+        # bool/datetime fields mirror into slot-aligned f32 device arrays
+        # (owned by each index's corpus) so hybrid search masks compile on
+        # device instead of being uploaded per query
+        self.filter_fields: tuple[str, ...] = ()
+        self._filter_pending: dict[str, dict] = {}  # vfield -> {pk: {f: val}}
         for idx in schema.vector_indexes():
             field = idx.fields[0]
             fs = schema.field_map[field]
@@ -175,6 +181,14 @@ class Table:
                 vc.dimensions, vc.precision.value, idx
             )
             self._vec_pending[field] = {}
+            self._filter_pending[field] = {}
+        if self.vector_indexes:
+            self.filter_fields = tuple(
+                f.name
+                for f in schema.fields
+                if f.type in (DataType.integer, DataType.bigInt, DataType.double,
+                              DataType.boolean, DataType.datetime)
+            )
 
     # --- validation ------------------------------------------------------------
 
@@ -347,6 +361,11 @@ class Table:
                 self._vec_pending[field][pk] = (
                     None if v is None else np.asarray(v, np.float32)
                 )
+        if self.filter_fields:
+            touched = {f: record[f] for f in self.filter_fields if f in record}
+            if touched:
+                for vf in self.vector_indexes:
+                    self._filter_pending[vf].setdefault(pk, {}).update(touched)
 
     # --- vector flush + search ----------------------------------------------------
 
@@ -357,16 +376,32 @@ class Table:
         fields = [field] if field else list(self.vector_indexes)
         for f in fields:
             pend = self._vec_pending.get(f)
-            if not pend:
-                continue
             idx = self.vector_indexes[f]
-            dels = [pk for pk, v in pend.items() if v is None]
-            ups = [(pk, v) for pk, v in pend.items() if v is not None]
-            if dels:
-                idx.delete(dels)
-            if ups:
-                idx.upsert([pk for pk, _ in ups], np.stack([v for _, v in ups]))
-            pend.clear()
+            if pend:
+                dels = [pk for pk, v in pend.items() if v is None]
+                ups = [(pk, v) for pk, v in pend.items() if v is not None]
+                if dels:
+                    idx.delete(dels)
+                if ups:
+                    idx.upsert([pk for pk, _ in ups], np.stack([v for _, v in ups]))
+                pend.clear()
+            fpend = self._filter_pending.get(f)
+            if fpend:
+                c = idx.corpus
+                fc = c.filter_columns
+                pks = list(fpend)
+                slots = c.slots_for_pks(pks)
+                by_field: dict[str, tuple[list, list]] = {}
+                for pk, slot in zip(pks, slots):
+                    if slot < 0:
+                        continue  # no vector for this pk (null vector field)
+                    for fname, val in fpend[pk].items():
+                        s, v = by_field.setdefault(fname, ([], []))
+                        s.append(slot)
+                        v.append(val)
+                for fname, (s, v) in by_field.items():
+                    fc.update(fname, np.asarray(s, np.int64), v, c.capacity)
+                fpend.clear()
 
     def vector_index_for(self, field: str):
         idx = self.vector_indexes.get(field)

@@ -185,14 +185,27 @@ class Envelope:
         (key_id,) = struct.unpack_from("<H", blob2)
         nonce = blob2[2 : 2 + NONCE_LEN]
         ct = blob2[2 + NONCE_LEN :]
-        key = self.ring.keys.get(key_id)
-        if key is None:
-            raise ValueError(f"no key for id {key_id}")
-        if magic == MAGIC_AESGCM:
-            return AESGCM(key).decrypt(nonce, ct, aad or None)
-        if magic == MAGIC_CHACHA:
+        if magic not in (MAGIC_AESGCM, MAGIC_CHACHA):
+            raise ValueError(f"unknown envelope magic {magic!r}")
+
+        def _open(key):
+            if magic == MAGIC_AESGCM:
+                return AESGCM(key).decrypt(nonce, ct, aad or None)
             return chacha20poly1305_open(key, nonce, ct, aad)
-        raise ValueError(f"unknown envelope magic {magic!r}")
+
+        key = self.ring.keys.get(key_id)
+        if key is not None:
+            return _open(key)
+        # key-id fallback (reference encoder.dart:28-60): after a rotation
+        # the artifact may carry an id the fresh ring doesn't know — try the
+        # ring's keys; the AEAD tag authenticates the right one
+        last_err = None
+        for k in self.ring.keys.values():
+            try:
+                return _open(k)
+            except Exception as e:  # InvalidTag / ValueError
+                last_err = e
+        raise ValueError(f"no key decrypts envelope id {key_id}") from last_err
 
     @staticmethod
     def is_sealed(blob: bytes) -> bool:
