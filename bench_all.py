@@ -206,12 +206,60 @@ def config5_sharded():
     }
 
 
+def config6_ingest():
+    """Reference's own benchmark shape: batchInsert 10k / 100k records
+    (example/test/database_full_test.dart:23-67 printed elapsed ms)."""
+    from tests.test_engine import users_schema
+    from tostore_tpu import ToStoreTPU
+
+    out = {"config": "batch_insert_records"}
+    for n in (10_000, 100_000):
+        db = ToStoreTPU.memory(schemas=[users_schema()])
+        recs = [
+            {"username": f"user{i}", "email": f"u{i}@x.io", "age": i % 90,
+             "balance": float(i), "tags": ["a"], "profile": {"i": i}}
+            for i in range(n)
+        ]
+        t0 = time.time()
+        r = db.batch_insert("users", recs)
+        dt = time.time() - t0
+        assert r.is_success
+        out[f"n{n}_seconds"] = round(dt, 2)
+        out[f"n{n}_records_per_s"] = round(n / dt, 0)
+        db.close()
+    return out
+
+
+def config7_int8():
+    """int8 storage: 4x smaller corpus, bf16 MXU scoring."""
+    from tostore_tpu.ops import topk
+    from tostore_tpu.ops.runtime import round_up
+
+    n = round_up(1_000_000, 4096)
+    d, k, b = 768, 10, 128
+    corpus = jnp.clip(
+        (jax.random.normal(jax.random.PRNGKey(0), (n, d)) * 40), -127, 127
+    ).astype(jnp.int8)
+    bias = jnp.zeros(n, jnp.float32)
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, d), jnp.float32)
+    f = jax.jit(lambda q, c, bb: topk.fused_flat_topk(q, c, bb, k=k))
+    per = timeit(f, q, corpus, bias)
+    return {
+        "config": "flat_int8_1Mx768_top10",
+        "b128_qps": round(b / per, 1),
+        "b128_ms": round(per * 1e3, 3),
+        "scan_gbps": round((n * d / per) / 1e9, 1),
+    }
+
+
 CONFIGS = {
     "1": config1_flat_100k,
     "2": config2_flat_1m,
     "3": config3_ivf_build,
     "4": config4_hybrid,
     "5": config5_sharded,
+    "6": config6_ingest,
+    "7": config7_int8,
 }
 
 

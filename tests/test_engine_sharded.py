@@ -1,0 +1,105 @@
+"""Engine-integrated mesh-sharded vector indexes: with config
+mesh_shape set, tables' vector indexes stripe their corpora across the
+(virtual 8-device) mesh while the full engine surface — hybrid filters,
+durability, deletes — keeps working."""
+
+import numpy as np
+import pytest
+
+from tostore_tpu import (
+    DataStoreConfig,
+    DataType,
+    FieldSchema,
+    IndexSchema,
+    TableSchema,
+    ToStoreTPU,
+    VectorFieldConfig,
+)
+
+
+def docs_schema(dims=32):
+    return TableSchema(
+        name="docs",
+        fields=(
+            FieldSchema("views", DataType.integer, default_value=0),
+            FieldSchema("title", DataType.text),
+            FieldSchema(
+                "emb", DataType.vector, vector_config=VectorFieldConfig(dimensions=dims)
+            ),
+        ),
+        indexes=(IndexSchema(fields=("emb",), type="vector"),),
+    )
+
+
+@pytest.fixture
+def db():
+    cfg = DataStoreConfig(mesh_shape=(2, 4))  # dp=2, shard=4
+    d = ToStoreTPU(cfg, schemas=[docs_schema()])
+    yield d
+    d.close()
+
+
+class TestShardedEngine:
+    def test_index_is_sharded(self, db, rng):
+        t = db.engine._table("docs")
+        assert t.vector_indexes["emb"].index_type == "sharded_flat"
+        assert t.vector_indexes["emb"].nsh == 4
+
+    def test_search_and_mutation(self, db, rng):
+        vecs = rng.standard_normal((300, 32)).astype(np.float32)
+        db.batch_insert(
+            "docs",
+            [{"title": f"d{i}", "views": i, "emb": vecs[i].tolist()} for i in range(300)],
+        )
+        hit = db.vector_search("docs", "emb", vecs[42], top_k=1)[0]
+        assert hit.primary_key == 43
+        db.delete_by_pk("docs", 43)
+        hit = db.vector_search("docs", "emb", vecs[42], top_k=1)[0]
+        assert hit.primary_key != 43
+
+    def test_hybrid_device_filter_on_mesh(self, db, rng):
+        vecs = rng.standard_normal((200, 32)).astype(np.float32)
+        db.batch_insert(
+            "docs",
+            [{"title": f"d{i}", "views": i, "emb": vecs[i].tolist()} for i in range(200)],
+        )
+        res = (
+            db.vector_query("docs", "emb", vecs[10]).where("views", ">=", 100).top_k(5).fetch()
+        )
+        assert res
+        for r in res:
+            assert db.get_by_pk("docs", r.primary_key)["views"] >= 100
+
+    def test_durability_across_mesh_restart(self, tmp_path, rng):
+        cfg = DataStoreConfig(db_path=str(tmp_path), mesh_shape=(2, 4))
+        db = ToStoreTPU(cfg, schemas=[docs_schema()])
+        vecs = rng.standard_normal((100, 32)).astype(np.float32)
+        db.batch_insert("docs", [{"title": f"d{i}", "emb": vecs[i].tolist()} for i in range(100)])
+        db.flush()
+        db.close()
+        # reopen on a DIFFERENT mesh shape (re-striping)
+        db2 = ToStoreTPU(DataStoreConfig(db_path=str(tmp_path), mesh_shape=(1, 8)))
+        assert db2.engine._table("docs").vector_indexes["emb"].nsh == 8
+        hit = db2.vector_search("docs", "emb", vecs[7], top_k=1)[0]
+        assert hit.primary_key == 8
+        db2.close()
+        # and back to a single device
+        db3 = ToStoreTPU(DataStoreConfig(db_path=str(tmp_path)))
+        idx = db3.engine._table("docs").vector_indexes["emb"]
+        assert idx.index_type == "flat"
+        hit = db3.vector_search("docs", "emb", vecs[7], top_k=1)[0]
+        assert hit.primary_key == 8
+        db3.close()
+
+    def test_compaction_restripes(self, db, rng):
+        vecs = rng.standard_normal((120, 32)).astype(np.float32)
+        db.batch_insert("docs", [{"title": f"d{i}", "emb": vecs[i].tolist()} for i in range(120)])
+        db.engine._table("docs").flush_vectors()
+        idx = db.engine._table("docs").vector_indexes["emb"]
+        db.delete("docs").where("id", "<=", 30).execute()
+        db.engine._table("docs").flush_vectors()
+        assert idx.deleted_count == 30
+        assert idx.maybe_compact(0.10)
+        assert idx.deleted_count == 0 and len(idx) == 90
+        hit = db.vector_search("docs", "emb", vecs[99], top_k=1)[0]
+        assert hit.primary_key == 100

@@ -132,11 +132,26 @@ class Database:
         self.resources = ResourceManager(self.db_dir)
         self.weights = WeightManager()
         self._integrity = IntegrityChecker()
+        self._mesh = self._make_mesh()
 
         if not self.config.memory_mode:
             self._open_files()
         self._ensure_kv_table()
         self._start_crontab()
+
+    def _make_mesh(self):
+        """Optional device mesh for sharded vector corpora (config
+        mesh_shape: (shard,) or (dp, shard); BASELINE config #5)."""
+        shape = self.config.mesh_shape
+        if not shape:
+            return None
+        import math as _math
+
+        from ..parallel.mesh import make_mesh
+
+        n = _math.prod(shape)
+        dp = shape[0] if len(shape) == 2 else 1
+        return make_mesh(n_devices=n, dp=dp)
 
     def _make_envelope(self):
         enc = self.config.encryption
@@ -290,7 +305,7 @@ class Database:
                 return DbResult.error(
                     ResultType.schemaError, "system table names are reserved"
                 )
-            self._tables[key] = Table(schema, self.config.distributed.node_id)
+            self._tables[key] = Table(schema, self.config.distributed.node_id, self._mesh)
             self._schemas[key] = schema
             self._wal_append({"op": "create_table", "space": space, "schema": schema.to_json()})
             return DbResult.success()
@@ -399,7 +414,9 @@ class Database:
                 schema = TableSchema.from_json(e["schema"])
                 key = (e["space"], schema.name)
                 if key not in self._tables:
-                    self._tables[key] = Table(schema, self.config.distributed.node_id)
+                    self._tables[key] = Table(
+                        schema, self.config.distributed.node_id, self._mesh
+                    )
                     self._schemas[key] = schema
             elif op == "drop_table":
                 self._tables.pop((e["space"], e["table"]), None)
@@ -935,7 +952,9 @@ class Database:
     def _load_snapshot(self, snap: dict):
         for space, tbls in snap.get("tables", {}).items():
             for name, td in tbls.items():
-                t = Table.from_state_dict(_unpack_ndarrays(td), self.config.distributed.node_id)
+                t = Table.from_state_dict(
+                    _unpack_ndarrays(td), self.config.distributed.node_id, self._mesh
+                )
                 self._tables[(space, name)] = t
                 self._schemas[(space, name)] = t.schema
 

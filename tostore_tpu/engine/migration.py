@@ -154,7 +154,8 @@ def migrate_table(table, new_schema: TableSchema, renames: dict[str, str] | None
             new_vi[field] = old_idx
         else:
             new_vi[field] = _make_vector_index(
-                fs.vector_config.dimensions, fs.vector_config.precision.value, idx
+                fs.vector_config.dimensions, fs.vector_config.precision.value, idx,
+                getattr(table, "mesh", None),
             )
             # re-ingest vectors from the column store
             col = store.columns.get(field)

@@ -123,9 +123,18 @@ class SortedIndex:
         return self._order[a:b]
 
 
-def _make_vector_index(dims: int, precision: str, idx: IndexSchema):
+def _make_vector_index(dims: int, precision: str, idx: IndexSchema, mesh=None):
     cfg = idx.vector_config
     metric = cfg.metric.kernel_name
+    if mesh is not None and len(mesh.devices.flat) > 1:
+        # mesh-sharded corpus (BASELINE config #5); IVF-on-mesh lands in a
+        # later round — the sharded flat scan already covers the surface
+        from ..parallel.sharded import ShardedFlatIndex
+
+        return ShardedFlatIndex(
+            dims, mesh, metric=metric,
+            dtype="bfloat16" if precision == "bfloat16" else "float32",
+        )
     if cfg.index_type.value in ("ivf", "ngh"):
         return IVFVectorIndex(
             dims,
@@ -141,11 +150,12 @@ def _make_vector_index(dims: int, precision: str, idx: IndexSchema):
 
 
 class Table:
-    def __init__(self, schema: TableSchema, node_id: int = 0):
+    def __init__(self, schema: TableSchema, node_id: int = 0, mesh=None):
         self.schema = schema
         self.store = ColumnStore(schema)
         self.store.ensure_column(INGEST_TS_FIELD, DataType.datetime)
         self.node_id = node_id
+        self.mesh = mesh
 
         pk = schema.primary_key
         self._seq = SequentialIdGenerator(pk.initial_value, pk.increment)
@@ -178,7 +188,7 @@ class Table:
             fs = schema.field_map[field]
             vc = fs.vector_config
             self.vector_indexes[field] = _make_vector_index(
-                vc.dimensions, vc.precision.value, idx
+                vc.dimensions, vc.precision.value, idx, mesh
             )
             self._vec_pending[field] = {}
             self._filter_pending[field] = {}
@@ -348,11 +358,14 @@ class Table:
         self.store.ensure_column(INGEST_TS_FIELD, DataType.datetime)
         for m in self.unique_maps.values():
             m.clear()
-        for field, vi in self.vector_indexes.items():
-            self.vector_indexes[field] = type(vi)(
-                vi.dims, metric=vi.metric, precision=vi.corpus.precision
+        for idx in self.schema.vector_indexes():
+            field = idx.fields[0]
+            fs = self.schema.field_map[field]
+            self.vector_indexes[field] = _make_vector_index(
+                fs.vector_config.dimensions, fs.vector_config.precision.value, idx, self.mesh
             )
             self._vec_pending[field] = {}
+            self._filter_pending[field] = {}
 
     def _vector_stage(self, pk, record: dict):
         for field in self.vector_indexes:
@@ -457,9 +470,9 @@ class Table:
         }
 
     @staticmethod
-    def from_state_dict(d: dict, node_id: int = 0) -> "Table":
+    def from_state_dict(d: dict, node_id: int = 0, mesh=None) -> "Table":
         schema = TableSchema.from_json(d["schema"])
-        t = Table(schema, node_id)
+        t = Table(schema, node_id, mesh)
         t.store = ColumnStore.from_state_dict(schema, d["store"])
         t.store.ensure_column(INGEST_TS_FIELD, DataType.datetime)
         t._seq.restore(d.get("seq", 1))
@@ -469,6 +482,39 @@ class Table:
         vstates = d.get("vector_indexes", {})
         for f, vs in vstates.items():
             if f in t.vector_indexes:
-                cls = IVFVectorIndex if vs.get("type") == "ivf" else FlatVectorIndex
-                t.vector_indexes[f] = cls.from_state_dict(vs)
+                t.vector_indexes[f] = _index_from_state(vs, mesh)
         return t
+
+
+def _index_from_state(vs: dict, mesh=None):
+    """Restore a vector index, converting between single-device and
+    mesh-sharded layouts when the deployment changed across restarts."""
+    sharded_wanted = mesh is not None and len(mesh.devices.flat) > 1
+    vtype = vs.get("type", "flat")
+    if sharded_wanted:
+        from ..parallel.sharded import ShardedFlatIndex
+
+        if vtype == "sharded_flat":
+            return ShardedFlatIndex.from_state_dict(vs, mesh)
+        # single-device snapshot -> sharded: stored rows are already in
+        # storage space (normalized/padded), re-stripe them
+        cs = vs["corpus"]
+        vecs = np.asarray(cs["vectors"], np.float32)
+        if cs["precision"] == "int8":
+            vecs = vecs / 127.0
+        sh = ShardedFlatIndex(
+            cs["dims"], mesh, vs["metric"],
+            "bfloat16" if cs["precision"] == "bfloat16" else "float32",
+        )
+        if len(cs["pks"]):
+            sh.upsert(cs["pks"], vecs[:, : cs["dims"]], _prepped=vecs)
+        return sh
+    if vtype == "sharded_flat":
+        # sharded snapshot -> single device
+        flat = FlatVectorIndex(vs["dims"], metric=vs["metric"], precision=vs["precision"])
+        vecs = np.asarray(vs["vectors"], np.float32)
+        if len(vs["pks"]):
+            flat.corpus.upsert(vs["pks"], vecs[:, : vs["dims"]])
+        return flat
+    cls = IVFVectorIndex if vtype == "ivf" else FlatVectorIndex
+    return cls.from_state_dict(vs)

@@ -120,6 +120,10 @@ class ShardedFlatIndex:
         self._pk_slot: dict = {}
         # per-shard next free position (round-robin fill keeps stripes even)
         self._shard_fill = np.zeros(self.nsh, np.int64)
+        self.deleted_count = 0
+        from ..vector.filters import FilterColumns
+
+        self.filter_columns = FilterColumns()
 
     def __len__(self):
         return len(self._pk_slot)
@@ -169,12 +173,15 @@ class ShardedFlatIndex:
         self.vectors, self.valid, self.sq_norms = vec, val, nrm
         self.capacity = new_cap
 
-    def upsert(self, pks, raw: np.ndarray):
-        x = np.asarray(raw, np.float32)
-        if self.metric == "cosine":
-            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        if self.d_pad != x.shape[1]:
-            x = np.pad(x, ((0, 0), (0, self.d_pad - x.shape[1])))
+    def upsert(self, pks, raw: np.ndarray, _prepped: np.ndarray | None = None):
+        if _prepped is not None:  # already normalized + padded storage rows
+            x = np.asarray(_prepped, np.float32)
+        else:
+            x = np.asarray(raw, np.float32)
+            if self.metric == "cosine":
+                x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            if self.d_pad != x.shape[1]:
+                x = np.pad(x, ((0, 0), (0, self.d_pad - x.shape[1])))
         pks = list(pks)
         # assign slots: existing pks keep theirs; new ones round-robin
         new_count = sum(1 for pk in pks if pk not in self._pk_slot)
@@ -205,9 +212,123 @@ class ShardedFlatIndex:
         if not slots:
             return 0
         self.valid = self.valid.at[jnp.asarray(slots, jnp.int32)].set(False)
+        self.deleted_count += len(slots)
         return len(slots)
 
-    def search_arrays(self, q, k: int):
+    # engine duck-type parity with FlatVectorIndex/IVFVectorIndex ---------
+
+    @property
+    def corpus(self):
+        """The engine addresses `idx.corpus` for slot/pk/filter machinery;
+        the sharded index owns its slots, so it is its own corpus."""
+        return self
+
+    @property
+    def precision(self) -> str:
+        return "bfloat16" if self.dtype == jnp.bfloat16 else "float32"
+
+    @property
+    def deleted_ratio(self) -> float:
+        used = len(self._pk_slot) + self.deleted_count
+        return self.deleted_count / used if used else 0.0
+
+    def slots_for_pks(self, pks) -> np.ndarray:
+        return np.asarray([self._pk_slot.get(pk, -1) for pk in pks], np.int64)
+
+    def compact(self):
+        """Re-stripe live rows evenly across shards (one gather pass)."""
+        live_pks = list(self._pk_slot)
+        if not live_pks:
+            self.__init__(self.dims, self.mesh, self.metric, self.precision)
+            return
+        slots = self.slots_for_pks(live_pks)
+        vecs = np.asarray(self.vectors[jnp.asarray(slots, jnp.int32)], np.float32)
+        fcols = {
+            k: np.asarray(v[jnp.asarray(slots, jnp.int32)])
+            for k, v in self.filter_columns.columns.items()
+        }
+        metric, mesh, dims, prec = self.metric, self.mesh, self.dims, self.precision
+        self.__init__(dims, mesh, metric, prec)
+        # vectors are already normalized/padded in storage space: bypass
+        # upsert's prep by writing through the raw path
+        new_slots = self.upsert(live_pks, vecs[:, : dims], _prepped=vecs)
+        for k2, v in fcols.items():
+            self.filter_columns.ensure(k2, self.capacity)
+            self.filter_columns.columns[k2] = (
+                self.filter_columns.columns[k2]
+                .at[jnp.asarray(new_slots, jnp.int32)]
+                .set(jnp.asarray(v, jnp.float32))
+            )
+        self.deleted_count = 0
+
+    def maybe_compact(self, ratio_threshold: float = 0.10):
+        if self.deleted_ratio >= ratio_threshold and self.deleted_count > 0:
+            self.compact()
+            return True
+        return False
+
+    def state_dict(self) -> dict:
+        live_pks = list(self._pk_slot)
+        slots = self.slots_for_pks(live_pks)
+        vecs = (
+            np.asarray(self.vectors[jnp.asarray(slots, jnp.int32)])
+            if live_pks
+            else np.zeros((0, self.d_pad), np.float32)
+        )
+        return {
+            "type": "sharded_flat",
+            "metric": self.metric,
+            "dims": self.dims,
+            "precision": self.precision,
+            "vectors": vecs,
+            "pks": live_pks,
+            "filter_columns": {
+                k: np.asarray(v[jnp.asarray(slots, jnp.int32)])
+                for k, v in self.filter_columns.columns.items()
+            }
+            if live_pks
+            else {},
+        }
+
+    @staticmethod
+    def from_state_dict(d: dict, mesh) -> "ShardedFlatIndex":
+        idx = ShardedFlatIndex(d["dims"], mesh, d["metric"], d["precision"])
+        if d["pks"]:
+            vecs = np.asarray(d["vectors"], np.float32)
+            slots = idx.upsert(d["pks"], vecs[:, : d["dims"]], _prepped=vecs)
+            for k, v in d.get("filter_columns", {}).items():
+                idx.filter_columns.ensure(k, idx.capacity)
+                idx.filter_columns.columns[k] = (
+                    idx.filter_columns.columns[k]
+                    .at[jnp.asarray(slots, jnp.int32)]
+                    .set(jnp.asarray(v, jnp.float32))
+                )
+        return idx
+
+    def search(self, q, top_k: int = 10, threshold=None, slot_mask=None, mode="auto"):
+        from ..models.results import VectorSearchResult
+
+        dist, pks = self.search_arrays(q, top_k, slot_mask=slot_mask)
+        dist, pks = dist[0], pks[0]
+        score = np.asarray(
+            D.distances_to_scores(
+                self.metric, jnp.asarray(np.where(np.isfinite(dist), dist, 0))
+            )
+        )
+        out = []
+        for j in range(len(pks)):
+            if pks[j] is None or not np.isfinite(dist[j]):
+                continue
+            if threshold is not None and dist[j] > threshold:
+                continue
+            out.append(
+                VectorSearchResult(
+                    primary_key=pks[j], distance=float(dist[j]), score=float(score[j])
+                )
+            )
+        return out
+
+    def search_arrays(self, q, k: int, slot_mask=None):
         if self.capacity == 0 or len(self) == 0:
             b = 1 if np.asarray(q).ndim == 1 else np.asarray(q).shape[0]
             return (
@@ -233,7 +354,10 @@ class ShardedFlatIndex:
 
         qj = jax.device_put(jnp.asarray(qx), query_sharding(self.mesh))
         norms = self.sq_norms if self.metric == "l2" else None
-        bias = D.make_bias(self.metric, norms, self.valid)
+        valid = self.valid
+        if slot_mask is not None:
+            valid = jnp.logical_and(valid, jnp.asarray(slot_mask))
+        bias = D.make_bias(self.metric, norms, valid)
         alpha = D.metric_alpha(self.metric)
         scores, idx = sharded_flat_topk(qj, self.vectors, bias, k=k, alpha=alpha, mesh=self.mesh)
         scores = scores[:b]
