@@ -71,6 +71,37 @@ class Column:
         else:
             self.data[row] = value
 
+    def bulk_set(self, rows: np.ndarray, values: list | None):
+        """Set many rows at once; values=None means all-null."""
+        if len(rows) == 0:
+            return
+        self._grow(int(rows.max()) + 1)
+        if self.np_type is not None:
+            if values is None:
+                self.null[rows] = True
+                return
+            try:  # fast path: no Nones
+                arr = np.asarray(values, self.np_type)
+                nulls = np.zeros(len(values), np.bool_)
+            except (TypeError, ValueError):
+                arr = np.empty(len(values), self.np_type)
+                nulls = np.zeros(len(values), np.bool_)
+                for j, v in enumerate(values):
+                    if v is None:
+                        nulls[j] = True
+                        arr[j] = 0
+                    else:
+                        arr[j] = v
+            self.data[rows] = arr
+            self.null[rows] = nulls
+        else:
+            if values is None:
+                self.data[rows] = None
+            else:
+                out = np.empty(len(values), dtype=object)
+                out[:] = values  # keeps list/dict cells intact
+                self.data[rows] = out
+
     def get(self, row: int):
         if row >= len(self.data):
             return None
@@ -148,6 +179,34 @@ class ColumnStore:
 
     def drop_column(self, name: str):
         self.columns.pop(name, None)
+
+    def bulk_insert(self, pks: list, col_values: dict[str, list]) -> np.ndarray:
+        """Insert n brand-new records column-wise (caller guarantees pks are
+        new). The batch analogue of `upsert` — one pass per column instead
+        of one call per cell (reference batch_insert_compute.dart)."""
+        n = len(pks)
+        rows = np.empty(n, np.int64)
+        n_free = min(len(self._free), n)
+        for j in range(n_free):
+            rows[j] = self._free.pop()
+        fresh = n - n_free
+        if fresh:
+            rows[n_free:] = np.arange(self.high, self.high + fresh)
+            self.high += fresh
+        if self.high > len(self.valid):
+            v = np.zeros(max(self.high * 2, _GROW), np.bool_)
+            v[: len(self.valid)] = self.valid
+            self.valid = v
+        self.valid[rows] = True
+        for j, pk in enumerate(pks):
+            r = int(rows[j])
+            self._pk_row[pk] = r
+            self.pk_col.set(r, pk)
+        for name, col in self.columns.items():
+            vals = col_values.get(name)
+            col.bulk_set(rows, vals)
+        self.generation += 1
+        return rows
 
     def upsert(self, pk, record: dict) -> int:
         """Full-record write (insert or replace). Returns rowid."""

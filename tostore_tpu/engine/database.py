@@ -117,6 +117,7 @@ class Database:
         self._schemas: dict[tuple[str, str], TableSchema] = {}
         self.global_config = GlobalConfig()
         self._wal: WalWriter | None = None
+        self._wal_buffer: list | None = None
         self._txn: _Txn | None = None
         self._subs: dict[tuple, list[Subscription]] = {}
         self._closed = False
@@ -399,10 +400,32 @@ class Database:
         if self._txn is not None:
             self._txn.wal_ops.append(entry)
             return
+        if self._wal_buffer is not None:
+            self._wal_buffer.append(entry)
+            return
         if self._wal is not None:
             self._wal.append(entry)
             if self._wal.entries_since_checkpoint >= self.config.write_batch_size:
                 self.flush()
+
+    @contextlib.contextmanager
+    def _wal_group(self):
+        """Group-commit WAL window for batch ops: one framed write + flush
+        for the whole batch (the reference's write-buffer acks before its
+        async flush too, pjm:350; durability granularity is the batch)."""
+        if self._txn is not None or self._wal is None or self._wal_buffer is not None:
+            yield
+            return
+        buf: list[dict] = []
+        self._wal_buffer = buf
+        try:
+            yield
+        finally:
+            self._wal_buffer = None
+            if buf:
+                self._wal.append_many(buf)
+                if self._wal.entries_since_checkpoint >= self.config.write_batch_size:
+                    self.flush()
 
     def _replay(self, e: dict):
         op = e.get("op")
@@ -429,6 +452,18 @@ class Database:
                 t = self._tables.get((e["space"], e["table"]))
                 if t is not None and e["pk"] not in t.store:
                     t.apply_insert(e["pk"], e["rec"])
+            elif op == "batch_insert":
+                t = self._tables.get((e["space"], e["table"]))
+                if t is not None:
+                    fresh = [
+                        (pk, rec)
+                        for pk, rec in zip(e["pks"], e["recs"])
+                        if pk not in t.store
+                    ]
+                    if fresh:
+                        t.bulk_apply_insert(
+                            [p for p, _ in fresh], [r for _, r in fresh]
+                        )
             elif op == "update":
                 t = self._tables.get((e["space"], e["table"]))
                 if t is not None:
@@ -576,7 +611,85 @@ class Database:
                 )
                 return DbResult.error(code, str(e))
 
+    def _bulk_insert_fast(self, table: str, records: list[dict]):
+        """Columnar fast path for batch_insert: validate + unique-check per
+        record (cheap), then ONE columnar store pass and one WAL group.
+        Returns None when the batch needs the general path (FK tables,
+        in-transaction, Expr payloads, any failure with atomic semantics)."""
+        t = self._table(table)
+        if t.schema.foreign_keys or self._txn is not None:
+            return None
+        space = GLOBAL_SPACE if t.schema.is_global else self.current_space
+        pk_name = t.schema.primary_key.name
+        ok, failed, errors = [], [], {}
+        pks, recs = [], []
+        batch_unique: dict[tuple, object] = {}
+        for i, data in enumerate(records):
+            try:
+                if any(isinstance(v, Expr) for v in data.values()):
+                    return None  # general path handles expressions
+                rec = t.validate(
+                    {k: v for k, v in data.items() if k != pk_name}, is_insert=True
+                )
+                pk = data.get(pk_name)
+                if pk is None:
+                    pk = t.generate_pk()
+                elif t.schema.primary_key.type.value == "sequential":
+                    t._seq.observe(pk)
+                if pk in t.store:
+                    raise UniqueViolation(t.schema.name, pk_name, pk)
+                key_pk = ("pk", pk)
+                if key_pk in batch_unique:
+                    raise UniqueViolation(t.schema.name, pk_name, pk)
+                for name, key in t._unique_entries(pk, rec):
+                    holder = t.unique_maps[name].get(key)
+                    bkey = (name, key)
+                    if holder is not None or bkey in batch_unique:
+                        raise UniqueViolation(t.schema.name, name, key)
+                    batch_unique[bkey] = pk
+                batch_unique[key_pk] = pk
+                pks.append(pk)
+                recs.append(rec)
+                ok.append(pk)
+            except UniqueViolation as e:
+                failed.append(data.get(pk_name, i))
+                errors[data.get(pk_name, i)] = str(e)
+            except ValidationError as e:
+                failed.append(data.get(pk_name, i))
+                errors[data.get(pk_name, i)] = str(e)
+        if pks:
+            t.bulk_apply_insert(pks, recs)
+            self._wal_append(
+                {"op": "batch_insert", "space": space, "table": table,
+                 "pks": pks, "recs": [self._walable(r) for r in recs]}
+            )
+            self._counters["inserts"] += len(pks)
+            if self._subs:
+                for pk, rec in zip(pks, recs):
+                    self._notify(
+                        ChangeEvent("insert", space, table, pk, {**rec, pk_name: pk})
+                    )
+        if failed and ok:
+            return DbResult.partial(ok, failed, errors)
+        if failed:
+            return DbResult.error(
+                ResultType.validationFailed, next(iter(errors.values())), failed, errors
+            )
+        return DbResult.success(ok)
+
     def batch_insert(self, table: str, records: list[dict], allow_partial: bool = True) -> DbResult:
+        with self._lock, self._wal_group():
+            if allow_partial:
+                if self.resources.writes_blocked():
+                    return DbResult.error(
+                        ResultType.resourceLimit, "writes blocked: resource level critical"
+                    )
+                fast = self._bulk_insert_fast(table, records)
+                if fast is not None:
+                    return fast
+            return self._batch_insert_general(table, records, allow_partial)
+
+    def _batch_insert_general(self, table, records, allow_partial) -> DbResult:
         ok, failed, errors = [], [], {}
         with self._lock:
             for i, rec in enumerate(records):
@@ -625,6 +738,10 @@ class Database:
 
     def batch_upsert(self, table: str, records: list[dict]) -> DbResult:
         ok, failed, errors = [], [], {}
+        with self._lock, self._wal_group():
+            return self._batch_upsert_inner(table, records, ok, failed, errors)
+
+    def _batch_upsert_inner(self, table, records, ok, failed, errors) -> DbResult:
         for rec in records:
             r = self.upsert(table, rec)
             if r.is_success:

@@ -318,6 +318,22 @@ class Table:
 
     # --- mutation (called by Database under WAL) -----------------------------------
 
+    def bulk_apply_insert(self, pks: list, records: list[dict]):
+        """Columnar insert of pre-validated, all-new records (caller ran
+        validate + unique checks). One pass per column; unique maps and
+        vector staging update in bulk."""
+        now = int(time.time() * 1000)
+        for pk in pks:  # keep generated keys ahead of user-supplied ones
+            self._seq.observe(pk)
+        col_values = {
+            name: [rec.get(name) for rec in records] for name in self.store.columns
+        }
+        col_values[INGEST_TS_FIELD] = [now] * len(pks)
+        self.store.bulk_insert(pks, col_values)
+        for pk, rec in zip(pks, records):
+            self._unique_apply(pk, rec, None)
+            self._vector_stage(pk, rec)
+
     def apply_insert(self, pk, record: dict):
         if self.schema.primary_key.type == PrimaryKeyType.sequential:
             self._seq.observe(pk)
