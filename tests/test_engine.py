@@ -783,7 +783,7 @@ class TestVectorIntegration:
         idx = t.vector_indexes["emb"]
         cond = QueryCondition().where("views", ">", 150).where("views", "<=", 280)
         t.flush_vectors()
-        assert filters.compilable(cond, set(t.filter_fields) & set(idx.corpus.filter_columns.columns))
+        assert filters.compilable(cond, set(t.filter_fields) & idx.corpus.filter_columns.names())
         res = (
             db.vector_query("docs", "emb", vecs[10])
             .where("views", ">", 150)

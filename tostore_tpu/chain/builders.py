@@ -366,15 +366,7 @@ class SchemaBuilder:
         )
         res = self._db.update_schema(self._table, new_schema, self._renames)
         if self._new_name and not res.is_error:
-            # rename = move the table key
-            space = self._db.current_space
-            from ..engine.database import GLOBAL_SPACE
-
-            for sp in (space, GLOBAL_SPACE):
-                key = (sp, self._table)
-                if key in self._db._tables:
-                    t = self._db._tables.pop(key)
-                    self._db._schemas.pop(key)
-                    self._db._tables[(sp, self._new_name)] = t
-                    self._db._schemas[(sp, self._new_name)] = new_schema
+            res2 = self._db.rename_table(self._table, self._new_name)
+            if res2.is_error:
+                return res2
         return res

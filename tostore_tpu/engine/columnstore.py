@@ -80,10 +80,9 @@ class Column:
             if values is None:
                 self.null[rows] = True
                 return
-            try:  # fast path: no Nones
-                arr = np.asarray(values, self.np_type)
-                nulls = np.zeros(len(values), np.bool_)
-            except (TypeError, ValueError):
+            # np.asarray silently coerces None for bool/float dtypes, so the
+            # None scan must be explicit
+            if any(v is None for v in values):
                 arr = np.empty(len(values), self.np_type)
                 nulls = np.zeros(len(values), np.bool_)
                 for j, v in enumerate(values):
@@ -92,6 +91,9 @@ class Column:
                         arr[j] = 0
                     else:
                         arr[j] = v
+            else:
+                arr = np.asarray(values, self.np_type)
+                nulls = np.zeros(len(values), np.bool_)
             self.data[rows] = arr
             self.null[rows] = nulls
         else:

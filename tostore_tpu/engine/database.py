@@ -267,8 +267,10 @@ class Database:
         with self._lock:
             for key in [k for k in self._tables if k[0] == name]:
                 del self._tables[key]
-                del self._schemas[key]
+                self._schemas.pop(key, None)
             self._wal_append({"op": "drop_space", "space": name})
+            self._ensure_kv_table()  # deleting the active space must not
+            # leave its system KV table missing
 
     def _persist_manifest(self):
         if self.config.memory_mode:
@@ -369,6 +371,26 @@ class Database:
         if t is not None:
             migrate_table(t, schema, renames)
             self._schemas[(space, name)] = schema
+
+    def rename_table(self, old: str, new: str) -> DbResult:
+        """Move a table to a new name (WAL-logged so recovery replays it)."""
+        with self._lock:
+            for sp in (self.current_space, GLOBAL_SPACE):
+                key = (sp, old)
+                if key in self._tables:
+                    if (sp, new) in self._tables:
+                        return DbResult.error(
+                            ResultType.schemaError, f"table {new!r} already exists"
+                        )
+                    t = self._tables.pop(key)
+                    self._schemas.pop(key, None)
+                    self._tables[(sp, new)] = t
+                    self._schemas[(sp, new)] = t.schema
+                    self._wal_append(
+                        {"op": "rename_table", "space": sp, "old": old, "new": new}
+                    )
+                    return DbResult.success()
+            return DbResult.error(ResultType.notFound, f"table {old!r} not found")
 
     def get_schema(self, name: str) -> TableSchema | None:
         try:
@@ -480,6 +502,13 @@ class Database:
                 self._apply_schema_update(
                     e["space"], e["table"], TableSchema.from_json(e["schema"]), e.get("renames", {})
                 )
+            elif op == "rename_table":
+                key = (e["space"], e["old"])
+                t = self._tables.pop(key, None)
+                self._schemas.pop(key, None)
+                if t is not None:
+                    self._tables[(e["space"], e["new"])] = t
+                    self._schemas[(e["space"], e["new"])] = t.schema
         except (UniqueViolation, ValidationError, KeyError):
             pass  # recovery is best-effort per entry; torn semantics already cut
 
@@ -492,10 +521,21 @@ class Database:
         self._dispatch(ev)
 
     def _dispatch(self, ev: ChangeEvent):
-        for sub in self._subs.get((ev.space, ev.table), []):
-            sub._emit(ev)
-        for sub in self._subs.get((ev.space, None), []):
-            sub._emit(ev)
+        targets = [(ev.space, ev.table), (ev.space, None)]
+        if ev.space == GLOBAL_SPACE:
+            # global tables are visible from every space: deliver to
+            # watchers registered under any space
+            targets += [
+                k for k in self._subs
+                if k[0] != GLOBAL_SPACE and k[1] in (ev.table, None)
+            ]
+        seen = set()
+        for key in targets:
+            if key in seen:
+                continue
+            seen.add(key)
+            for sub in self._subs.get(key, []):
+                sub._emit(ev)
 
     def watch(
         self,
@@ -641,13 +681,17 @@ class Database:
                 key_pk = ("pk", pk)
                 if key_pk in batch_unique:
                     raise UniqueViolation(t.schema.name, pk_name, pk)
-                for name, key in t._unique_entries(pk, rec):
-                    holder = t.unique_maps[name].get(key)
-                    bkey = (name, key)
-                    if holder is not None or bkey in batch_unique:
+                # two-phase: check ALL of this record's unique keys first,
+                # reserve only after the record fully passes (a failing
+                # record must not poison later records' keys)
+                entries = [key_pk] + [
+                    (name, key) for name, key in t._unique_entries(pk, rec)
+                ]
+                for name, key in entries[1:]:
+                    if t.unique_maps[name].get(key) is not None or (name, key) in batch_unique:
                         raise UniqueViolation(t.schema.name, name, key)
+                for bkey in entries:
                     batch_unique[bkey] = pk
-                batch_unique[key_pk] = pk
                 pks.append(pk)
                 recs.append(rec)
                 ok.append(pk)
@@ -701,10 +745,13 @@ class Database:
                     failed.append(key)
                     errors[key] = r.message
                     if not allow_partial:
-                        # roll back the ones already applied
+                        # roll back the ones already applied (under the
+                        # table's own space — a global table's compensating
+                        # deletes must replay against the global key)
                         t = self._table(table)
+                        space = GLOBAL_SPACE if t.schema.is_global else self.current_space
                         for pk in ok:
-                            self._delete_pk(t, self.current_space, pk, wal=True)
+                            self._delete_pk(t, space, pk, wal=True)
                         return DbResult.error(
                             ResultType.validationFailed, r.message, failed, errors
                         )
@@ -949,14 +996,12 @@ class Database:
 
             fc = idx.corpus.filter_columns
             device_ok = filters.compilable(
-                condition, set(t.filter_fields) & set(fc.columns)
+                condition, set(t.filter_fields) & fc.names()
             )
             if device_ok and idx.corpus.capacity:
                 for name in condition.referenced_fields():
                     fc.ensure(name, idx.corpus.capacity)
-                slot_mask = filters.device_mask(
-                    condition, fc.columns, idx.corpus.capacity
-                )
+                slot_mask = filters.device_mask(condition, fc, idx.corpus.capacity)
             else:
                 # host fallback: LIKE/text predicates, unindexed fields
                 mask = condition.mask(lambda f: t.store.column_view(f), t.store.high)
@@ -1140,6 +1185,8 @@ class Database:
                             self._schemas.pop(key, None)
                     self._load_snapshot(snap)
                     self._ensure_kv_table()
+                    self.flush()  # checkpoint: the pre-restore WAL tail
+                    # must not replay over restored state after a crash
                     return DbResult.success()
                 if self.config.memory_mode:
                     return DbResult.error(

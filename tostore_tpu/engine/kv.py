@@ -39,12 +39,20 @@ class KvStore:
         with self._db._lock:
             t = self._t()
             rec = {"value": value, "expires_ms": expires}
+            txn = self._db._txn
             if key in t.store:
+                old = t.store.get(key)
                 t.apply_update(key, rec)
                 op = "update"
+                if txn is not None:
+                    txn.undo.append(
+                        ("update", t, key, {k: old.get(k) for k in rec})
+                    )
             else:
                 t.apply_insert(key, rec)
                 op = "insert"
+                if txn is not None:
+                    txn.undo.append(("delete", t, key))
             self._db._wal_append(
                 {"op": op, "space": self._space, "table": KV_TABLE, "pk": key,
                  **({"rec": rec} if op == "insert" else {"updates": rec})}
@@ -162,7 +170,12 @@ class KvStore:
             if key not in t.store:
                 return False
             expires = int(time.time() * 1000 + ttl_seconds * 1000) if ttl_seconds else 0
+            old = t.store.get(key)
             t.apply_update(key, {"expires_ms": expires})
+            if self._db._txn is not None:
+                self._db._txn.undo.append(
+                    ("update", t, key, {"expires_ms": old.get("expires_ms")})
+                )
             self._db._wal_append(
                 {"op": "update", "space": self._space, "table": KV_TABLE, "pk": key,
                  "updates": {"expires_ms": expires}}

@@ -428,8 +428,14 @@ class Table:
                         s, v = by_field.setdefault(fname, ([], []))
                         s.append(slot)
                         v.append(val)
+                int_kinds = (DataType.integer, DataType.bigInt, DataType.datetime)
                 for fname, (s, v) in by_field.items():
-                    fc.update(fname, np.asarray(s, np.int64), v, c.capacity)
+                    kind = (
+                        "int"
+                        if self.schema.field_map[fname].type in int_kinds
+                        else "float"
+                    )
+                    fc.update(fname, np.asarray(s, np.int64), v, c.capacity, kind=kind)
                 fpend.clear()
 
     def vector_index_for(self, field: str):

@@ -243,22 +243,13 @@ class ShardedFlatIndex:
             return
         slots = self.slots_for_pks(live_pks)
         vecs = np.asarray(self.vectors[jnp.asarray(slots, jnp.int32)], np.float32)
-        fcols = {
-            k: np.asarray(v[jnp.asarray(slots, jnp.int32)])
-            for k, v in self.filter_columns.columns.items()
-        }
+        fcols = self.filter_columns.gather_host(slots)
         metric, mesh, dims, prec = self.metric, self.mesh, self.dims, self.precision
         self.__init__(dims, mesh, metric, prec)
         # vectors are already normalized/padded in storage space: bypass
         # upsert's prep by writing through the raw path
         new_slots = self.upsert(live_pks, vecs[:, : dims], _prepped=vecs)
-        for k2, v in fcols.items():
-            self.filter_columns.ensure(k2, self.capacity)
-            self.filter_columns.columns[k2] = (
-                self.filter_columns.columns[k2]
-                .at[jnp.asarray(new_slots, jnp.int32)]
-                .set(jnp.asarray(v, jnp.float32))
-            )
+        self.filter_columns.scatter(fcols, new_slots, self.capacity)
         self.deleted_count = 0
 
     def maybe_compact(self, ratio_threshold: float = 0.10):
@@ -282,10 +273,7 @@ class ShardedFlatIndex:
             "precision": self.precision,
             "vectors": vecs,
             "pks": live_pks,
-            "filter_columns": {
-                k: np.asarray(v[jnp.asarray(slots, jnp.int32)])
-                for k, v in self.filter_columns.columns.items()
-            }
+            "filter_columns": self.filter_columns.gather_host(slots)
             if live_pks
             else {},
         }
@@ -296,13 +284,7 @@ class ShardedFlatIndex:
         if d["pks"]:
             vecs = np.asarray(d["vectors"], np.float32)
             slots = idx.upsert(d["pks"], vecs[:, : d["dims"]], _prepped=vecs)
-            for k, v in d.get("filter_columns", {}).items():
-                idx.filter_columns.ensure(k, idx.capacity)
-                idx.filter_columns.columns[k] = (
-                    idx.filter_columns.columns[k]
-                    .at[jnp.asarray(slots, jnp.int32)]
-                    .set(jnp.asarray(v, jnp.float32))
-                )
+            idx.filter_columns.scatter(d.get("filter_columns", {}), slots, idx.capacity)
         return idx
 
     def search(self, q, top_k: int = 10, threshold=None, slot_mask=None, mode="auto"):

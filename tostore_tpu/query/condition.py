@@ -144,6 +144,10 @@ class QueryCondition:
     # --- per-record evaluation ----------------------------------------------
 
     def matches(self, record: dict) -> bool:
+        if not self._clauses and not self._and:
+            # OR-only node: the result IS the disjunction (an empty AND part
+            # must not make it vacuously true)
+            return not self._or or any(c.matches(record) for c in self._or)
         base = all(self._match_leaf(record, f, op, v) for f, op, v in self._clauses) and all(
             c.matches(record) for c in self._and
         )
@@ -181,6 +185,13 @@ class QueryCondition:
     def mask(self, get_column: Callable[[str], np.ndarray], n: int) -> np.ndarray:
         """Vectorized evaluation: get_column(field) -> np array of length n
         (object dtype allowed). Returns bool[n]."""
+        if not self._clauses and not self._and:
+            if not self._or:
+                return np.ones(n, dtype=bool)
+            alt = np.zeros(n, dtype=bool)
+            for c in self._or:
+                alt |= c.mask(get_column, n)
+            return alt
         m = np.ones(n, dtype=bool)
         for f, op, v in self._clauses:
             m &= self._mask_leaf(get_column(f), op, v, n)

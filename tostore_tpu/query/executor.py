@@ -376,9 +376,11 @@ class QueryExecutor:
                     for f, desc in spec.order_by
                 )
             )
-        if spec.limit:
-            out = out[spec.offset : spec.offset + spec.limit]
-        return QueryResult(records=out, total=len(out))
+        total = len(out)
+        if spec.offset or spec.limit:
+            end = spec.offset + spec.limit if spec.limit else None
+            out = out[spec.offset : end]
+        return QueryResult(records=out, total=total)
 
 
 class _NegKey:

@@ -69,7 +69,7 @@ class TimeBasedIdGenerator:
         self._last_ms = 0
         self._seq = 0
 
-    def _tick(self) -> tuple[int, int]:
+    def _tick(self, max_seq: int) -> tuple[int, int]:
         with self._lock:
             ms = int(time.time() * 1000)
             if ms == self._last_ms:
@@ -77,17 +77,26 @@ class TimeBasedIdGenerator:
             else:
                 self._last_ms = ms
                 self._seq = 0
+            while self._seq > max_seq:  # burst overflow: wait out the ms
+                ms = int(time.time() * 1000)
+                if ms != self._last_ms:
+                    self._last_ms = ms
+                    self._seq = 0
             return ms, self._seq
 
     def next(self) -> str:
-        ms, seq = self._tick()
+        ms, seq = self._tick(0x3FF if self.mode == "shortCode" else 9999)
         if self.mode == "timestampBased":
             return f"{ms}{self.node_id:03d}{seq:04d}"
         if self.mode == "datePrefixed":
-            day = time.strftime("%Y%m%d", time.localtime(ms / 1000))
-            return f"{day}{ms % 86_400_000:08d}{seq:04d}"
+            lt = time.localtime(ms / 1000)
+            day = time.strftime("%Y%m%d", lt)
+            ms_of_day = ((lt.tm_hour * 60 + lt.tm_min) * 60 + lt.tm_sec) * 1000 + ms % 1000
+            return f"{day}{ms_of_day:08d}{seq:04d}"
         if self.mode == "shortCode":
-            v = (ms << 14) | (self.node_id << 4) | (seq & 0xF)
+            # 10 sequence bits: 1024 unique ids per ms per node (a 4-bit
+            # field collided under trivial burst ingest)
+            v = (ms << 20) | (self.node_id << 10) | (seq & 0x3FF)
             return base62(v)
         raise ValueError(self.mode)
 

@@ -189,11 +189,7 @@ class DeviceCorpus:
         if m:
             nrm = nrm.at[:m].set(self.sq_norms[gather])
         self.vectors, self.valid, self.sq_norms = vec, val, nrm
-        for name, col in list(self.filter_columns.columns.items()):
-            newc = jnp.full((new_cap,), jnp.nan, jnp.float32)
-            if m:
-                newc = newc.at[:m].set(col[gather])
-            self.filter_columns.columns[name] = newc
+        self.filter_columns.gather_permute(gather, new_cap)
 
         pks = np.empty(new_cap, dtype=object)
         pks[:m] = self._slot_pks[live]
@@ -240,9 +236,7 @@ class DeviceCorpus:
             "normalize": self.normalize,
             "vectors": np.asarray(self.vectors[:m]) if m else np.zeros((0, self.d_pad)),
             "pks": list(self._slot_pks[:m]),
-            "filter_columns": {
-                k: np.asarray(v[:m]) for k, v in self.filter_columns.columns.items()
-            },
+            "filter_columns": self.filter_columns.state_dict(upto=m),
         }
 
     @staticmethod
@@ -261,9 +255,5 @@ class DeviceCorpus:
             c._slot_pks[:m] = np.asarray(pks, dtype=object)
             c._pk_slot = {pk: j for j, pk in enumerate(pks)}
             c._high = m
-            for name, col in d.get("filter_columns", {}).items():
-                full = jnp.full((c.capacity,), jnp.nan, jnp.float32)
-                c.filter_columns.columns[name] = full.at[:m].set(
-                    jnp.asarray(col, jnp.float32)
-                )
+            c.filter_columns.load_state_dict(d.get("filter_columns", {}), c.capacity)
         return c
