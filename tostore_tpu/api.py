@@ -126,9 +126,10 @@ class ToStoreTPU:
             r = self._db.update(
                 table, {k: v for k, v in rec.items() if k != pk_name}, pk=pk
             )
-            (ok if r.is_success else failed).append(pk)
-            if r.is_error:
-                errors[pk] = r.message
+            hit = r.is_success and bool(r.success_keys)
+            (ok if hit else failed).append(pk)
+            if not hit:
+                errors[pk] = r.message or "primary key not found"
         from .models.results import DbResult
 
         if failed and ok:

@@ -173,6 +173,16 @@ def migrate_table(table, new_schema: TableSchema, renames: dict[str, str] | None
     for f in new_vi:
         table._vec_pending.setdefault(f, {})
 
+    # refresh device-filterable field set (renames/retypes change it; a
+    # stale set silently downgraded hybrid search to the host path)
+    if table.vector_indexes:
+        table.filter_fields = tuple(
+            f.name
+            for f in new_schema.fields
+            if f.type in (DataType.integer, DataType.bigInt, DataType.double,
+                          DataType.boolean, DataType.datetime)
+        )
+
     # rebuild unique maps from data
     for pk in store.pks():
         rec = store.get(pk)
