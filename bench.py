@@ -33,7 +33,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         n = round_up(1_000_000, 4096)
-        d, k, b = 768, 10, 128
+        d, k, b = 768, 10, 256
         reps = 30
     else:  # CI / CPU smoke: tiny shapes, same code path
         n, d, k, b = 4096, 128, 10, 8
@@ -43,7 +43,7 @@ def main():
     bias = jnp.zeros(n, jnp.float32)
     q = jax.random.normal(jax.random.PRNGKey(1), (b, d), jnp.float32)
 
-    fn = jax.jit(lambda q, c, bb: topk.fused_flat_topk(q, c, bb, k=k))
+    fn = jax.jit(lambda q, c, bb: topk.flat_search(q, c, bb, k=k))
     # warm-up / compile
     float(jnp.sum(fn(q, corpus, bias)[0]))
 

@@ -50,7 +50,7 @@ def config1_flat_100k():
     bias = jnp.zeros(n, jnp.float32)
     q = distance.normalize(jax.random.normal(jax.random.PRNGKey(1), (b, d), jnp.float32))
 
-    fused = jax.jit(lambda q, c, bb: topk.fused_flat_topk(q, c, bb, k=k))
+    fused = jax.jit(lambda q, c, bb: topk.flat_search(q, c, bb, k=k))
     exact = jax.jit(lambda q, c, bb: topk.flat_topk_xla(q, c, bb, 1.0, k))
     _, i_f = fused(q, corpus, bias)
     _, i_e = exact(q, corpus, bias)
@@ -81,7 +81,7 @@ def config2_flat_1m():
         for b in (1, 128):
             q = jax.random.normal(jax.random.PRNGKey(b), (b, d), jnp.float32)
             f = jax.jit(
-                lambda q, c, bb, a=alpha: topk.fused_flat_topk(q, c, bb, k=k, alpha=a)
+                lambda q, c, bb, a=alpha: topk.flat_search(q, c, bb, k=k, alpha=a)
             )
             per = timeit(f, q, corpus, bias)
             out[f"{metric}_b{b}_qps"] = round(b / per, 1)
@@ -166,7 +166,7 @@ def config4_hybrid():
     bias = jnp.where(sel, 0.0, NEG_INF)
     q = jax.random.normal(jax.random.PRNGKey(1), (b, d), jnp.float32)
 
-    fused = jax.jit(lambda q, c, bb: topk.fused_flat_topk(q, c, bb, k=k))
+    fused = jax.jit(lambda q, c, bb: topk.flat_search(q, c, bb, k=k))
     _, i_f = fused(q, corpus, bias)
     # post-filter oracle: exact top-k over the selected subset
     _, i_e = topk.flat_topk_xla(q, corpus, bias, 1.0, k)
@@ -242,7 +242,7 @@ def config7_int8():
     ).astype(jnp.int8)
     bias = jnp.zeros(n, jnp.float32)
     q = jax.random.normal(jax.random.PRNGKey(1), (b, d), jnp.float32)
-    f = jax.jit(lambda q, c, bb: topk.fused_flat_topk(q, c, bb, k=k))
+    f = jax.jit(lambda q, c, bb: topk.flat_search(q, c, bb, k=k))
     per = timeit(f, q, corpus, bias)
     return {
         "config": "flat_int8_1Mx768_top10",

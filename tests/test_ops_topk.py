@@ -198,3 +198,34 @@ class TestDistanceHelpers:
         x = rng.standard_normal((8, 32)).astype(np.float32)
         nx = np.asarray(distance.normalize(jnp.asarray(x)))
         np.testing.assert_allclose(np.linalg.norm(nx, axis=1), 1.0, rtol=1e-5)
+
+
+class TestLanePathXLA:
+    def test_matches_oracle(self, rng):
+        import tostore_tpu.ops.topk as tm
+
+        n, d, b, k = 40000, 128, 5, 2  # k<=2: unconditionally exact; odd n
+        corpus = make_corpus(rng, n, d)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        s, i = tm.flat_topk_lane(
+            jnp.asarray(q), jnp.asarray(corpus), jnp.zeros(n), k=k, ch=16384
+        )
+        ref_s, ref_i = np_topk_dot(q, corpus, k)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+        np.testing.assert_allclose(np.asarray(s), ref_s, rtol=1e-5, atol=1e-5)
+
+    def test_topk10_recall_and_mask(self, rng):
+        import tostore_tpu.ops.topk as tm
+
+        n, d, b, k = 33000, 64, 8, 10
+        corpus = make_corpus(rng, n, d)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        invalid = [0, 7, 32999]
+        valid = np.ones(n, bool)
+        valid[invalid] = False
+        bias = distance.make_bias("dot", None, jnp.asarray(valid))
+        _, i = tm.flat_topk_lane(jnp.asarray(q), jnp.asarray(corpus), bias, k=k, ch=16384)
+        assert not set(np.asarray(i).ravel()) & set(invalid)
+        _, ref_i = np_topk_dot(q, corpus, k, invalid=invalid)
+        recall = np.mean([len(set(a) & set(bb)) / k for a, bb in zip(np.asarray(i), ref_i)])
+        assert recall >= 0.95

@@ -15,7 +15,7 @@ from .distance import (
     scores_to_distances,
     distances_to_scores,
 )
-from .topk import flat_topk_xla, fused_flat_topk, flat_search
+from .topk import flat_topk_xla, flat_topk_lane, fused_flat_topk, flat_search
 
 __all__ = [
     "round_up",
@@ -27,6 +27,7 @@ __all__ = [
     "scores_to_distances",
     "distances_to_scores",
     "flat_topk_xla",
+    "flat_topk_lane",
     "fused_flat_topk",
     "flat_search",
 ]

