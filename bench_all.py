@@ -78,7 +78,7 @@ def config2_flat_1m():
         ("dot", jnp.zeros(n, jnp.float32), 1.0),
         ("l2", -norms, 2.0),
     ):
-        for b in (1, 128):
+        for b in (1, 128, 256):
             q = jax.random.normal(jax.random.PRNGKey(b), (b, d), jnp.float32)
             f = jax.jit(
                 lambda q, c, bb, a=alpha: topk.flat_search(q, c, bb, k=k, alpha=a)
