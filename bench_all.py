@@ -50,17 +50,26 @@ def config1_flat_100k():
     bias = jnp.zeros(n, jnp.float32)
     q = distance.normalize(jax.random.normal(jax.random.PRNGKey(1), (b, d), jnp.float32))
 
-    fused = jax.jit(lambda q, c, bb: topk.flat_search(q, c, bb, k=k))
+    # measure the APPROXIMATE kernels explicitly vs the exact oracle
+    # (flat_search auto would route this sub-MIN_FUSED_N corpus to the
+    # exact path, making recall-vs-exact vacuous)
+    fused = jax.jit(lambda q, c, bb: topk.fused_flat_topk(q, c, bb, k=k))
+    lane = jax.jit(lambda q, c, bb: topk.flat_topk_lane(q, c, bb, k=k))
     exact = jax.jit(lambda q, c, bb: topk.flat_topk_xla(q, c, bb, 1.0, k))
     _, i_f = fused(q, corpus, bias)
+    _, i_l = lane(q, corpus, bias)
     _, i_e = exact(q, corpus, bias)
-    rec = recall_at_k(np.asarray(i_f), np.asarray(i_e))
+    rec_f = recall_at_k(np.asarray(i_f), np.asarray(i_e))
+    rec_l = recall_at_k(np.asarray(i_l), np.asarray(i_e))
     per = timeit(fused, q, corpus, bias)
+    per_l = timeit(lane, q, corpus, bias)
     return {
         "config": "flat_exact_cosine_100kx128_f32_top10",
-        "recall_at_10_vs_exact": rec,
-        "qps": round(b / per, 1),
-        "ms_per_batch": round(per * 1e3, 3),
+        "recall_at_10_pallas_vs_exact": rec_f,
+        "recall_at_10_lane_vs_exact": rec_l,
+        "qps_pallas": round(b / per, 1),
+        "qps_lane": round(b / per_l, 1),
+        "ms_per_batch_pallas": round(per * 1e3, 3),
     }
 
 

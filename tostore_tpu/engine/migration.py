@@ -173,15 +173,25 @@ def migrate_table(table, new_schema: TableSchema, renames: dict[str, str] | None
     for f in new_vi:
         table._vec_pending.setdefault(f, {})
 
-    # refresh device-filterable field set (renames/retypes change it; a
-    # stale set silently downgraded hybrid search to the host path)
+    # refresh the device-filterable field set AND backfill device columns
+    # for fields whose column doesn't exist yet (renamed/added/retyped) —
+    # enabling the device path without backfilling would silently exclude
+    # every pre-migration row from hybrid search (NaN/null never matches)
     if table.vector_indexes:
-        table.filter_fields = tuple(
-            f.name
-            for f in new_schema.fields
-            if f.type in (DataType.integer, DataType.bigInt, DataType.double,
-                          DataType.boolean, DataType.datetime)
-        )
+        from .table import filterable_fields
+
+        table.filter_fields = filterable_fields(new_schema)
+        for vf, vi in table.vector_indexes.items():
+            have = vi.corpus.filter_columns.names()
+            missing = [f for f in table.filter_fields if f not in have]
+            if not missing:
+                continue
+            pend = table._filter_pending.setdefault(vf, {})
+            for pk in store.pks():
+                row = store.rowid(pk)
+                vals = {f: store.columns[f].get(row) for f in missing if f in store.columns}
+                if vals:
+                    pend.setdefault(pk, {}).update(vals)
 
     # rebuild unique maps from data
     for pk in store.pks():

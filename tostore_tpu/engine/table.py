@@ -149,6 +149,16 @@ def _make_vector_index(dims: int, precision: str, idx: IndexSchema, mesh=None):
     return FlatVectorIndex(dims, metric=metric, precision=precision)
 
 
+def filterable_fields(schema: TableSchema) -> tuple[str, ...]:
+    """Fields that mirror into device filter columns (vector/filters.py)."""
+    return tuple(
+        f.name
+        for f in schema.fields
+        if f.type in (DataType.integer, DataType.bigInt, DataType.double,
+                      DataType.boolean, DataType.datetime)
+    )
+
+
 class Table:
     def __init__(self, schema: TableSchema, node_id: int = 0, mesh=None):
         self.schema = schema
@@ -193,12 +203,7 @@ class Table:
             self._vec_pending[field] = {}
             self._filter_pending[field] = {}
         if self.vector_indexes:
-            self.filter_fields = tuple(
-                f.name
-                for f in schema.fields
-                if f.type in (DataType.integer, DataType.bigInt, DataType.double,
-                              DataType.boolean, DataType.datetime)
-            )
+            self.filter_fields = filterable_fields(schema)
 
     # --- validation ------------------------------------------------------------
 

@@ -1,25 +1,34 @@
-"""Fused flat-scan + top-k selection.
+"""Flat-scan + top-k selection.
 
 This replaces the reference's entire hot retrieval loop — beam search over
 paged PQ codes with fixed-capacity binary heaps (ngh_graph_engine.dart:145,
-_FixedHeap :1131) and the generic TopKHeap (handler/topk_heap.dart) — with a
-Pallas kernel that streams the corpus HBM->VMEM block by block, scores each
-block on the MXU, and reduces each block to a small per-lane candidate set
-in VMEM, so the full [B, N] score matrix is never materialized in HBM. A
-second-stage `jax.lax.top_k` (XLA's native TPU TopK) merges the candidates.
+_FixedHeap :1131) and the generic TopKHeap (handler/topk_heap.dart) — with
+streaming scans that never materialize the full [B, N] score matrix. All
+paths share one algorithmic core: score a chunk of corpus rows on the MXU,
+keep each chunk's per-lane top-2 (score, index) candidates via cheap
+sublane reductions (cross-lane max-extraction is slow on the VPU), and
+merge candidates with XLA's native TopK.
 
-Kernel strategy (v5e-measured): cross-lane iterative max-extraction is slow
-on the VPU, but *sublane* reductions are nearly free. Each corpus block
-[BLK_N, D] produces scores [B, BLK_N]; reshaped to [B, R, 128] (R = BLK_N /
-128 sublane groups), two sublane reduction sweeps yield the per-lane top-2
-(score, global index) — 2*128 candidates per block — at ~memory bandwidth.
+Three implementations, dispatched by `flat_search(mode=...)`:
+  - `fused_flat_topk` (Pallas): 2048-row blocks, per-lane top-2 either
+    accumulated in a VMEM running top-T (B<=32; no candidate HBM traffic)
+    or emitted per block. Lowest single-query latency (2.66 ms @1M x 768
+    bf16 on v5e).
+  - `flat_topk_lane` (XLA): the same algorithm as a lax.scan of fused
+    matmul+reduce chunks; XLA's DMA pipeline streams ~1.35x faster than a
+    Pallas kernel's ~580 GB/s ceiling, making it fastest for B>32
+    (B=256: ~5.6 ms = 46k QPS vs 7.7 ms Pallas).
+  - `flat_topk_xla` (exact): chunked matmul + lax.top_k, always exact.
 
-Exactness: the true global top-k is recovered exactly unless >2 of the true
-top-k rows land in the same (block, lane) bucket. Buckets are `N/128`
-fine-grained; for N = 1M, k = 10 the failure probability is ~1e-8 per
-query. `flat_search(..., mode="exact")` routes to the chunked XLA path for
-guaranteed exactness (used for small corpora, oracle tests, and strict
-callers); `mode="auto"` uses the fused kernel at scale.
+Exactness contract of the approximate paths: the true global top-k is
+recovered exactly unless >2 of the true top-k rows collide in one
+(chunk, lane) candidate bucket. Bucket counts: Pallas = N/2048 blocks x
+128 lanes (N=1M, k=10: miss ~1e-8/query); lane path = nch x 128 with
+nch >= 16 enforced (>=2048 buckets, miss <= ~3e-5/query; at N=1M with the
+default ~8M-element chunks, nch 8-30 per batch size -> ~1e-5). `mode=
+"auto"` uses the approximate paths only for block-aligned corpora
+(N % 2048 == 0, D % 128 == 0 — the engine always pads) above MIN_FUSED_N;
+everything else, and `mode="exact"`, takes the exact path.
 
 Scores are `alpha * q @ corpus.T + bias`, higher = better (see distance.py
 for the per-metric encoding). Invalid/padded rows carry bias = -inf.
@@ -375,9 +384,9 @@ def _fused_block_emit(q, corpus, bias, *, k, alpha, blk_n):
 # matmul+reduce pipeline streams HBM ~1.35x faster than a Pallas kernel can
 # (see the DMA-ceiling note above), which makes this the FASTEST flat scan
 # on v5e across batch sizes (measured @1M x 768 bf16, vs the Pallas paths):
-#   B=1: 2.52 ms (pallas 2.66) | B=128: 3.46 (4.19) | B=256: 5.03 ms = 51k
-#   QPS (7.71). Exactness contract: per-(chunk, lane) top-2, chunk = CH
-#   rows — same shape of guarantee as the Pallas kernel, coarser buckets.
+#   B=128: 4.1 ms (pallas 4.19) | B=256: 5.6 ms = 46k QPS (pallas 7.71).
+#   Exactness: per-(chunk, lane) top-2 — same shape of guarantee as the
+#   Pallas kernel with coarser buckets (see module docstring).
 # ---------------------------------------------------------------------------
 
 # score-chunk budget: CH ~ 8M elements / B, clamped (measured sweet spots)
@@ -387,6 +396,10 @@ _LANE_CH_MAX = 131072
 
 def _lane_chunk_for(b: int, n: int) -> int:
     target = max(_LANE_CH_MIN, min(_LANE_CH_MAX, (8 << 20) // max(b, 1)))
+    # bucket-count floor: at least ~16 chunks so candidate buckets stay
+    # >= 2048 and the top-k miss probability stays negligible (a single
+    # whole-corpus chunk would degrade to 128 buckets, ~0.7% top-10 miss)
+    target = max(_LANE_CH_MIN, min(target, ((n // 16) // LANE) * LANE))
     # prefer a 128-aligned divisor of n near the target: an even split lets
     # the scan consume a free reshape instead of per-chunk dynamic slices
     best = None
@@ -408,9 +421,10 @@ def _lane_chunk_for(b: int, n: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("k", "alpha", "ch"))
 def flat_topk_lane(q, corpus, bias, *, k: int, alpha: float = 1.0, ch: int | None = None):
-    """Lane-candidate flat scan in pure XLA. Same contract as
-    fused_flat_topk; requires D % 128 == 0 (rows need no special padding —
-    the remainder after CH-chunking is scanned separately)."""
+    """Lane-candidate flat scan in pure XLA. Same contract shape as
+    fused_flat_topk (see module docstring); no alignment requirements —
+    chunks are 128-aligned internally and the remainder after CH-chunking
+    is scanned separately with -inf padding."""
     b, d = q.shape
     n = corpus.shape[0]
     if ch is None:
@@ -493,13 +507,14 @@ def flat_search(q, corpus, bias, *, k: int, alpha: float = 1.0, mode: str = "aut
              small N or huge k -> exact chunked path.
       'fused' forces Pallas; 'exact' forces the chunked exact scan."""
     n, d = corpus.shape
-    lane_ok = k <= CANDS_PER_LANE * LANE
+    # approximate paths only for aligned corpora (the engine block-pads;
+    # unaligned external callers keep the previous exact guarantee)
+    aligned = n % DEFAULT_BLK_N == 0 and d % LANE == 0
+    approx_ok = aligned and k <= CANDS_PER_LANE * LANE
     if mode == "fused":
         return fused_flat_topk(q, corpus, bias, k=k, alpha=alpha)
-    if mode == "exact" or not lane_ok or n < MIN_FUSED_N:
+    if mode == "exact" or not approx_ok or n < MIN_FUSED_N:
         return flat_topk_xla(q, corpus, bias, alpha, k)
-    b = q.shape[0]
-    pallas_ok = n % DEFAULT_BLK_N == 0 and d % LANE == 0
-    if round_up(b, 8) <= ACC_MAX_BLK_B and pallas_ok:
+    if round_up(q.shape[0], 8) <= ACC_MAX_BLK_B:
         return fused_flat_topk(q, corpus, bias, k=k, alpha=alpha)
     return flat_topk_lane(q, corpus, bias, k=k, alpha=alpha)
