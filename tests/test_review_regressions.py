@@ -178,6 +178,35 @@ class TestRenameTableDurability:
         db2.close()
 
 
+class TestMigrationFilterBackfill:
+    def test_renamed_field_device_filter_covers_old_rows(self):
+        schema = TableSchema(
+            name="docs",
+            fields=(
+                FieldSchema("score", DataType.integer),
+                FieldSchema(
+                    "emb", DataType.vector, vector_config=VectorFieldConfig(dimensions=8)
+                ),
+            ),
+            indexes=(IndexSchema(fields=("emb",), type="vector"),),
+        )
+        db = ToStoreTPU.memory(schemas=[schema])
+        v = np.eye(8, dtype=np.float32)
+        db.insert("docs", {"score": 5, "emb": v[0].tolist()})  # pre-migration row
+        db.insert("docs", {"score": 1, "emb": v[1].tolist()})
+        db.vector_search("docs", "emb", v[0], top_k=1)  # flush columns
+        r = db.update_schema("docs").rename_field("score", "rating").execute()
+        assert r.is_success
+        # post-migration update touches ONE row; the other must still be
+        # visible to the device-compiled filter
+        db.update_by_pk("docs", 2, {"rating": 2})
+        res = (
+            db.vector_query("docs", "emb", v[0]).where("rating", ">", 3).top_k(2).fetch()
+        )
+        assert [x.primary_key for x in res] == [1]  # pre-migration row found
+        db.close()
+
+
 class TestDeleteSpaceKv:
     def test_kv_usable_after_deleting_active_space(self):
         db = ToStoreTPU.memory()

@@ -664,6 +664,13 @@ class Database:
         ok, failed, errors = [], [], {}
         pks, recs = [], []
         batch_unique: dict[tuple, object] = {}
+        # one lock acquisition for the whole batch's generated ids (gaps on
+        # per-record failures are fine — sequences only promise uniqueness)
+        gen_iter = None
+        if t.schema.primary_key.type.value == "sequential" and not any(
+            pk_name in r for r in records
+        ):
+            gen_iter = iter(t._seq.next_batch(len(records)))
         for i, data in enumerate(records):
             try:
                 if any(isinstance(v, Expr) for v in data.values()):
@@ -673,7 +680,7 @@ class Database:
                 )
                 pk = data.get(pk_name)
                 if pk is None:
-                    pk = t.generate_pk()
+                    pk = next(gen_iter) if gen_iter is not None else t.generate_pk()
                 elif t.schema.primary_key.type.value == "sequential":
                     t._seq.observe(pk)
                 if pk in t.store:

@@ -168,6 +168,7 @@ class Table:
         self.mesh = mesh
 
         pk = schema.primary_key
+        self._known_fields = frozenset(f.name for f in schema.fields) | {pk.name}
         self._seq = SequentialIdGenerator(pk.initial_value, pk.increment)
         self._timegen = (
             TimeBasedIdGenerator(pk.type.value, node_id)
@@ -221,25 +222,27 @@ class Table:
         """Type/constraint validation + defaults. Returns a clean record
         (without PK). Reference: _validateAndProcessData dsi:1562 +
         record_compute.dart batches."""
+        known = self._known_fields
+        for k in data:  # cheaper than building set differences per record
+            if k not in known:
+                raise ValidationError(
+                    f"table {self.schema.name!r}: unknown fields "
+                    f"{sorted(set(data) - known)}"
+                )
         out = {}
-        fmap = self.schema.field_map
-        unknown = set(data) - set(fmap) - {self.schema.primary_key.name}
-        if unknown:
-            raise ValidationError(
-                f"table {self.schema.name!r}: unknown fields {sorted(unknown)}"
-            )
         for f in self.schema.fields:
-            present = f.name in data
-            v = data.get(f.name)
+            name = f.name
+            present = name in data
+            v = data.get(name)
             if not present and is_insert:
                 v = f.default_value
             if v is None:
                 if not f.nullable and is_insert:
-                    raise ValidationError(f"field {f.name!r} is not nullable")
+                    raise ValidationError(f"field {name!r} is not nullable")
                 if present or is_insert:
-                    out[f.name] = None
+                    out[name] = None
                 continue
-            out[f.name] = self._coerce(f, v)
+            out[name] = self._coerce(f, v)
         return out
 
     def _coerce(self, f, v):
@@ -328,8 +331,11 @@ class Table:
         validate + unique checks). One pass per column; unique maps and
         vector staging update in bulk."""
         now = int(time.time() * 1000)
-        for pk in pks:  # keep generated keys ahead of user-supplied ones
-            self._seq.observe(pk)
+        # keep generated keys ahead of user-supplied ones (observe the max
+        # once — one lock acquisition instead of one per record)
+        int_pks = [p for p in pks if isinstance(p, int) and not isinstance(p, bool)]
+        if int_pks:
+            self._seq.observe(max(int_pks))
         col_values = {
             name: [rec.get(name) for rec in records] for name in self.store.columns
         }

@@ -43,6 +43,14 @@ class SequentialIdGenerator:
             self._next += self._inc
             return v
 
+    def next_batch(self, n: int) -> range:
+        """Reserve n consecutive ids in one lock acquisition (reference
+        pool-based batch generation, id_generator.dart:669)."""
+        with self._lock:
+            start = self._next
+            self._next += self._inc * n
+            return range(start, start + self._inc * n, self._inc)
+
     def observe(self, value):
         """Advance past user-supplied keys so generated keys never collide."""
         if isinstance(value, bool) or not isinstance(value, int):
