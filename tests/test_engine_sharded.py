@@ -91,6 +91,48 @@ class TestShardedEngine:
         assert hit.primary_key == 8
         db3.close()
 
+    def test_sharded_ivf_via_engine(self, rng):
+        from tostore_tpu.models.schema import VectorIndexConfig, VectorIndexType
+        import dataclasses
+
+        base = docs_schema()
+        schema = dataclasses.replace(
+            base,
+            indexes=(
+                IndexSchema(
+                    fields=("emb",),
+                    type="vector",
+                    vector_config=VectorIndexConfig(
+                        index_type=VectorIndexType.ivf, num_clusters=8, nprobe=8
+                    ),
+                ),
+            ),
+        )
+        cfg = DataStoreConfig(mesh_shape=(2, 4))
+        db = ToStoreTPU(cfg, schemas=[schema])
+        t = db.engine._table("docs")
+        assert t.vector_indexes["emb"].index_type == "sharded_ivf"
+        nc = 8
+        centers = rng.standard_normal((nc, 32)).astype(np.float32) * 4
+        n = 5000
+        vecs = (centers[np.arange(n) % nc] + rng.standard_normal((n, 32)) * 0.5).astype(
+            np.float32
+        )
+        db.batch_insert(
+            "docs",
+            [{"title": f"d{i}", "views": i, "emb": vecs[i].tolist()} for i in range(n)],
+        )
+        hit = db.vector_search("docs", "emb", vecs[321], top_k=1)[0]
+        assert hit.primary_key == 322
+        assert t.vector_indexes["emb"].trained
+        # hybrid on sharded ivf
+        res = (
+            db.vector_query("docs", "emb", vecs[321]).where("views", ">=", 2500).top_k(5).fetch()
+        )
+        for r in res:
+            assert db.get_by_pk("docs", r.primary_key)["views"] >= 2500
+        db.close()
+
     def test_compaction_restripes(self, db, rng):
         vecs = rng.standard_normal((120, 32)).astype(np.float32)
         db.batch_insert("docs", [{"title": f"d{i}", "emb": vecs[i].tolist()} for i in range(120)])

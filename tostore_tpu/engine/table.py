@@ -127,14 +127,18 @@ def _make_vector_index(dims: int, precision: str, idx: IndexSchema, mesh=None):
     cfg = idx.vector_config
     metric = cfg.metric.kernel_name
     if mesh is not None and len(mesh.devices.flat) > 1:
-        # mesh-sharded corpus (BASELINE config #5); IVF-on-mesh lands in a
-        # later round — the sharded flat scan already covers the surface
+        # mesh-sharded corpus (BASELINE config #5)
+        dtype = "bfloat16" if precision == "bfloat16" else "float32"
+        if cfg.index_type.value in ("ivf", "ngh"):
+            from ..parallel.sharded_ivf import ShardedIVFIndex
+
+            return ShardedIVFIndex(
+                dims, mesh, metric=metric, dtype=dtype,
+                num_clusters=cfg.num_clusters, nprobe=cfg.nprobe,
+            )
         from ..parallel.sharded import ShardedFlatIndex
 
-        return ShardedFlatIndex(
-            dims, mesh, metric=metric,
-            dtype="bfloat16" if precision == "bfloat16" else "float32",
-        )
+        return ShardedFlatIndex(dims, mesh, metric=metric, dtype=dtype)
     if cfg.index_type.value in ("ivf", "ngh"):
         return IVFVectorIndex(
             dims,
@@ -527,6 +531,10 @@ def _index_from_state(vs: dict, mesh=None):
     if sharded_wanted:
         from ..parallel.sharded import ShardedFlatIndex
 
+        if vtype == "sharded_ivf":
+            from ..parallel.sharded_ivf import ShardedIVFIndex
+
+            return ShardedIVFIndex.from_state_dict(vs, mesh)
         if vtype == "sharded_flat":
             return ShardedFlatIndex.from_state_dict(vs, mesh)
         # single-device snapshot -> sharded: stored rows are already in
@@ -542,7 +550,7 @@ def _index_from_state(vs: dict, mesh=None):
         if len(cs["pks"]):
             sh.upsert(cs["pks"], vecs[:, : cs["dims"]], _prepped=vecs)
         return sh
-    if vtype == "sharded_flat":
+    if vtype in ("sharded_flat", "sharded_ivf"):
         # sharded snapshot -> single device
         flat = FlatVectorIndex(vs["dims"], metric=vs["metric"], precision=vs["precision"])
         vecs = np.asarray(vs["vectors"], np.float32)
