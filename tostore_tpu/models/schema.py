@@ -109,6 +109,11 @@ class VectorIndexConfig:
     metric: VectorDistanceMetric = VectorDistanceMetric.cosine
     # IVF
     num_clusters: int = 0  # 0 = auto: ~sqrt(N), rounded to a multiple of 8
+
+    def __post_init__(self):
+        # accept plain strings for ergonomic construction
+        object.__setattr__(self, "index_type", VectorIndexType(self.index_type))
+        object.__setattr__(self, "metric", VectorDistanceMetric(self.metric))
     nprobe: int = 8
     # PQ (0 subspaces = no PQ; auto rule mirrors ngh_index_meta.dart:237:
     # clamp(D/8, 8, 128))
@@ -143,6 +148,9 @@ class VectorFieldConfig:
 
     dimensions: int
     precision: VectorPrecision = VectorPrecision.float32
+
+    def __post_init__(self):
+        object.__setattr__(self, "precision", VectorPrecision(self.precision))
 
     def to_json(self):
         return {"dimensions": self.dimensions, "precision": self.precision.value}
