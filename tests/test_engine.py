@@ -580,6 +580,18 @@ class TestSchemaMigration:
         assert r.is_success
         assert db.get_by_pk("users", 1)["age"] == "5"
 
+    def test_writes_after_migration_use_new_schema(self, db):
+        db.insert("users", {"username": "a"})
+        db.update_schema("users").add_field(
+            FieldSchema("nickname", DataType.text, unique=True)
+        ).remove_field("profile").execute()
+        # new field accepted (and its unique constraint enforced)...
+        assert db.insert("users", {"username": "b", "nickname": "nick"}).is_success
+        r = db.insert("users", {"username": "c", "nickname": "nick"})
+        assert r.is_error and r.type.name == "uniqueViolation"
+        # ...removed field rejected
+        assert db.insert("users", {"username": "d", "profile": {}}).is_error
+
     def test_rename_table(self, db):
         db.insert("users", {"username": "a"})
         r = db.update_schema("users").rename_table("members").execute()

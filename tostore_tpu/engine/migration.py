@@ -139,6 +139,13 @@ def migrate_table(table, new_schema: TableSchema, renames: dict[str, str] | None
     for idx in new_schema.btree_indexes():
         if idx.unique:
             table.unique_maps[idx.index_name] = {}
+    table._unique_field_names = tuple(new_schema.unique_fields())
+    table._unique_index_specs = tuple(
+        (idx.index_name, idx.fields) for idx in new_schema.btree_indexes() if idx.unique
+    )
+    table._known_fields = frozenset(f.name for f in new_schema.fields) | {
+        new_schema.primary_key.name
+    }
     from .table import SortedIndex, _make_vector_index
 
     table.sorted_indexes = {

@@ -180,11 +180,17 @@ class Table:
             else None
         )
 
-        # unique maps: field/index-name -> {key: pk}
+        # unique maps: field/index-name -> {key: pk} (+ cached constraint
+        # specs — schema accessors rebuild lists per call, too hot for the
+        # per-record write path)
         self.unique_maps: dict[str, dict] = {f: {} for f in schema.unique_fields()}
         for idx in schema.btree_indexes():
             if idx.unique:
                 self.unique_maps[idx.index_name] = {}
+        self._unique_field_names = tuple(schema.unique_fields())
+        self._unique_index_specs = tuple(
+            (idx.index_name, idx.fields) for idx in schema.btree_indexes() if idx.unique
+        )
         self.sorted_indexes: dict[str, SortedIndex] = {
             idx.index_name: SortedIndex(idx.fields) for idx in schema.btree_indexes()
         }
@@ -302,16 +308,15 @@ class Table:
 
     def _unique_entries(self, pk, record: dict):
         """Yield (map_name, key) pairs for this record's unique constraints."""
-        for f in self.schema.unique_fields():
+        for f in self._unique_field_names:
             v = record.get(f)
             if v is not None:
                 yield f, v
-        for idx in self.schema.btree_indexes():
-            if idx.unique:
-                key = tuple(record.get(x) for x in idx.fields)
-                if any(k is None for k in key):
-                    continue
-                yield idx.index_name, key
+        for name, fields in self._unique_index_specs:
+            key = tuple(record.get(x) for x in fields)
+            if any(k is None for k in key):
+                continue
+            yield name, key
 
     def check_unique(self, pk, record: dict, old: dict | None = None):
         for name, key in self._unique_entries(pk, record):
