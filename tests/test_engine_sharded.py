@@ -133,6 +133,55 @@ class TestShardedEngine:
             assert db.get_by_pk("docs", r.primary_key)["views"] >= 2500
         db.close()
 
+    def test_sharded_ivf_compact_preserves_config(self, rng):
+        from tostore_tpu.parallel import make_mesh
+        from tostore_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        mesh = make_mesh(8, dp=2)
+        idx = ShardedIVFIndex(16, mesh, metric="l2", num_clusters=8, nprobe=5,
+                              min_train_size=500)
+        x = rng.standard_normal((1200, 16)).astype(np.float32)
+        idx.upsert(list(range(1200)), x)
+        assert idx.trained and idx.nprobe == 5
+        idx.delete(list(range(200)))
+        assert idx.maybe_compact(0.10)
+        # config + training survive the background-compaction path
+        assert idx.nprobe == 5 and idx.num_clusters_cfg == 8 and idx.trained
+        assert idx.search(x[777], top_k=1, nprobe=8)[0].primary_key == 777
+
+    def test_ivf_snapshot_crosses_topologies(self, tmp_path, rng):
+        import dataclasses
+        from tostore_tpu.models.schema import VectorIndexConfig
+
+        schema = dataclasses.replace(
+            docs_schema(),
+            indexes=(IndexSchema(fields=("emb",), type="vector",
+                                 vector_config=VectorIndexConfig(index_type="ivf",
+                                                                 num_clusters=8,
+                                                                 nprobe=6)),),
+        )
+        cfg = DataStoreConfig(db_path=str(tmp_path), mesh_shape=(2, 4))
+        db = ToStoreTPU(cfg, schemas=[schema])
+        vecs = rng.standard_normal((5000, 32)).astype(np.float32)
+        db.batch_insert("docs", [{"title": f"d{i}", "emb": vecs[i].tolist()} for i in range(5000)])
+        db.vector_search("docs", "emb", vecs[0], top_k=1)  # flush + train
+        assert db.engine._table("docs").vector_indexes["emb"].trained
+        db.flush()
+        db.close()
+        # reopen single-device: stays IVF with config intact
+        db2 = ToStoreTPU(DataStoreConfig(db_path=str(tmp_path)))
+        idx = db2.engine._table("docs").vector_indexes["emb"]
+        assert idx.index_type == "ivf" and idx.nprobe == 6 and idx.trained
+        assert db2.vector_search("docs", "emb", vecs[42], top_k=1)[0].primary_key == 43
+        db2.flush()
+        db2.close()
+        # and back onto a mesh
+        db3 = ToStoreTPU(DataStoreConfig(db_path=str(tmp_path), mesh_shape=(1, 8)))
+        idx = db3.engine._table("docs").vector_indexes["emb"]
+        assert idx.index_type == "sharded_ivf" and idx.nprobe == 6 and idx.trained
+        assert db3.vector_search("docs", "emb", vecs[42], top_k=1)[0].primary_key == 43
+        db3.close()
+
     def test_compaction_restripes(self, db, rng):
         vecs = rng.standard_normal((120, 32)).astype(np.float32)
         db.batch_insert("docs", [{"title": f"d{i}", "emb": vecs[i].tolist()} for i in range(120)])

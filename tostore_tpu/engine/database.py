@@ -1016,7 +1016,7 @@ class Database:
                 allowed = [t.store.pk_col.get(r) for r in rows]
                 slot_mask = jnp.asarray(t.slot_mask_from_pks(field, allowed))
         kwargs = {}
-        if idx.index_type == "ivf" and nprobe is not None:
+        if nprobe is not None and idx.index_type in ("ivf", "sharded_ivf"):
             kwargs["nprobe"] = nprobe
         results = idx.search(
             np.asarray(query, np.float32), top_k=top_k, threshold=threshold,

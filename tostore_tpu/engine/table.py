@@ -531,36 +531,82 @@ class Table:
 def _index_from_state(vs: dict, mesh=None):
     """Restore a vector index, converting between single-device and
     mesh-sharded layouts when the deployment changed across restarts."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
     sharded_wanted = mesh is not None and len(mesh.devices.flat) > 1
     vtype = vs.get("type", "flat")
     if sharded_wanted:
         from ..parallel.sharded import ShardedFlatIndex
+        from ..parallel.sharded_ivf import ShardedIVFIndex
 
         if vtype == "sharded_ivf":
-            from ..parallel.sharded_ivf import ShardedIVFIndex
-
             return ShardedIVFIndex.from_state_dict(vs, mesh)
         if vtype == "sharded_flat":
             return ShardedFlatIndex.from_state_dict(vs, mesh)
         # single-device snapshot -> sharded: stored rows are already in
-        # storage space (normalized/padded), re-stripe them
+        # storage space (normalized/padded), re-stripe them — preserving
+        # the IVF configuration + centroids when the snapshot was IVF
         cs = vs["corpus"]
         vecs = np.asarray(cs["vectors"], np.float32)
         if cs["precision"] == "int8":
             vecs = vecs / 127.0
-        sh = ShardedFlatIndex(
-            cs["dims"], mesh, vs["metric"],
-            "bfloat16" if cs["precision"] == "bfloat16" else "float32",
-        )
+        dtype = "bfloat16" if cs["precision"] == "bfloat16" else "float32"
+        if vtype == "ivf":
+            sh = ShardedIVFIndex(
+                cs["dims"], mesh, vs["metric"], dtype,
+                num_clusters=vs.get("num_clusters_cfg", 0),
+                nprobe=vs.get("nprobe", 8),
+            )
+            orig_min = sh.min_train_size
+            sh.min_train_size = 1 << 62
+            try:
+                if len(cs["pks"]):
+                    sh.upsert(cs["pks"], vecs[:, : cs["dims"]], _prepped=vecs)
+            finally:
+                sh.min_train_size = orig_min
+            if vs.get("centroids") is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                cents = np.asarray(vs["centroids"], np.float32)
+                if cents.shape[1] < sh.d_pad:
+                    cents = np.pad(cents, ((0, 0), (0, sh.d_pad - cents.shape[1])))
+                sh.centroids = _jax.device_put(
+                    _jnp.asarray(cents), NamedSharding(mesh, P())
+                )
+                sh._trained_size = vs.get("trained_size", len(sh))
+                sh._rebuild_buckets()
+            return sh
+        sh = ShardedFlatIndex(cs["dims"], mesh, vs["metric"], dtype)
         if len(cs["pks"]):
             sh.upsert(cs["pks"], vecs[:, : cs["dims"]], _prepped=vecs)
         return sh
     if vtype in ("sharded_flat", "sharded_ivf"):
-        # sharded snapshot -> single device
-        flat = FlatVectorIndex(vs["dims"], metric=vs["metric"], precision=vs["precision"])
+        # sharded snapshot -> single device (IVF keeps its config/centroids)
         vecs = np.asarray(vs["vectors"], np.float32)
+        if vtype == "sharded_ivf":
+            ivf = IVFVectorIndex(
+                vs["dims"], metric=vs["metric"], precision=vs["precision"],
+                num_clusters=vs.get("num_clusters_cfg", 0),
+                nprobe=vs.get("nprobe", 8),
+            )
+            if len(vs["pks"]):
+                slots = ivf.corpus.upsert(vs["pks"], vecs[:, : vs["dims"]])
+                ivf.corpus.filter_columns.scatter(
+                    vs.get("filter_columns", {}), slots, ivf.corpus.capacity
+                )
+            if vs.get("centroids") is not None:
+                cents = np.asarray(vs["centroids"], np.float32)
+                ivf.centroids = _jnp.asarray(cents)
+                ivf._trained_size = vs.get("trained_size", len(ivf.corpus))
+                ivf._rebuild_buckets()
+            return ivf
+        flat = FlatVectorIndex(vs["dims"], metric=vs["metric"], precision=vs["precision"])
         if len(vs["pks"]):
-            flat.corpus.upsert(vs["pks"], vecs[:, : vs["dims"]])
+            slots = flat.corpus.upsert(vs["pks"], vecs[:, : vs["dims"]])
+            flat.corpus.filter_columns.scatter(
+                vs.get("filter_columns", {}), slots, flat.corpus.capacity
+            )
         return flat
     cls = IVFVectorIndex if vtype == "ivf" else FlatVectorIndex
     return cls.from_state_dict(vs)

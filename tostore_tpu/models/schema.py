@@ -109,11 +109,6 @@ class VectorIndexConfig:
     metric: VectorDistanceMetric = VectorDistanceMetric.cosine
     # IVF
     num_clusters: int = 0  # 0 = auto: ~sqrt(N), rounded to a multiple of 8
-
-    def __post_init__(self):
-        # accept plain strings for ergonomic construction
-        object.__setattr__(self, "index_type", VectorIndexType(self.index_type))
-        object.__setattr__(self, "metric", VectorDistanceMetric(self.metric))
     nprobe: int = 8
     # PQ (0 subspaces = no PQ; auto rule mirrors ngh_index_meta.dart:237:
     # clamp(D/8, 8, 128))
@@ -122,6 +117,11 @@ class VectorIndexConfig:
     # exact re-rank pool multiplier (reference rerank pool max(2k, 20),
     # ngh_graph_engine.dart:115)
     rerank_factor: int = 2
+
+    def __post_init__(self):
+        # accept plain strings for ergonomic construction
+        object.__setattr__(self, "index_type", VectorIndexType(self.index_type))
+        object.__setattr__(self, "metric", VectorDistanceMetric(self.metric))
 
     def to_json(self):
         d = asdict(self)

@@ -287,10 +287,11 @@ class ShardedFlatIndex:
             idx.filter_columns.scatter(d.get("filter_columns", {}), slots, idx.capacity)
         return idx
 
-    def search(self, q, top_k: int = 10, threshold=None, slot_mask=None, mode="auto"):
+    def search(self, q, top_k: int = 10, threshold=None, slot_mask=None, **kw):
+        """kw (e.g. nprobe) forwards to the subclass's search_arrays."""
         from ..models.results import VectorSearchResult
 
-        dist, pks = self.search_arrays(q, top_k, slot_mask=slot_mask)
+        dist, pks = self.search_arrays(q, top_k, slot_mask=slot_mask, **kw)
         dist, pks = dist[0], pks[0]
         score = np.asarray(
             D.distances_to_scores(

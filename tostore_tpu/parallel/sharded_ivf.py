@@ -167,11 +167,15 @@ class ShardedIVFIndex(ShardedFlatIndex):
     def _rebuild_buckets(self):
         num_c = self.centroids.shape[0]
         rps = self._rows_per_shard()
-        live = np.asarray(
-            [s for s in (self._pk_slot[pk] for pk in self._pk_slot)], np.int64
+        live = np.fromiter(
+            self._pk_slot.values(), np.int64, len(self._pk_slot)
         )
-        if len(live) == 0:
-            cap = 64
+        n_live = len(live)
+        avg = max(1, n_live // max(1, num_c))  # per-cluster across shards
+        cap = int(
+            max(64, round_up(int(self.BALANCE_FACTOR * avg / max(1, self.nsh)) + 1, 64))
+        )
+        if n_live == 0:
             self.buckets = jax.device_put(
                 jnp.full((self.nsh * num_c, cap), -1, jnp.int32),
                 NamedSharding(self.mesh, P("shard", None)),
@@ -181,7 +185,10 @@ class ShardedIVFIndex(ShardedFlatIndex):
         assign = self._assign(live)
         shard_of = live // rps
         pos_in_shard = live % rps
-        # per (shard, cluster) grouping
+        # per (shard, cluster) grouping with a bounded cap: overflow rows
+        # spill round-robin into the same shard's non-full buckets (bounded
+        # memory even when k-means collapses; a no-spill cap let one skewed
+        # cluster inflate the table to C x N/nsh entries)
         group = shard_of * num_c + assign
         order = np.argsort(group, kind="stable")
         g_sorted = group[order]
@@ -189,34 +196,91 @@ class ShardedIVFIndex(ShardedFlatIndex):
         from ..vector.ivf import IVFVectorIndex
 
         within = IVFVectorIndex._group_positions(g_sorted)
-        counts2d = np.bincount(group, minlength=self.nsh * num_c).reshape(
-            self.nsh, num_c
-        )
-        avg = max(1, len(live) // max(1, num_c))  # per-cluster across shards
-        cap = int(max(64, round_up(int(self.BALANCE_FACTOR * avg / max(1, self.nsh)) + 1, 64)))
-        cap = max(cap, int(round_up(counts2d.max(), 64)))  # no spill across shards
         buckets = np.full((self.nsh * num_c, cap), -1, np.int32)
         keep = within < cap
         buckets[g_sorted[keep], within[keep]] = p_sorted[keep]
+        counts2d = np.bincount(group[order[keep]], minlength=self.nsh * num_c).reshape(
+            self.nsh, num_c
+        )
+        if not keep.all():
+            ov_group = g_sorted[~keep]
+            ov_pos = p_sorted[~keep]
+            for sh in range(self.nsh):
+                sel = (ov_group // num_c) == sh
+                m = int(sel.sum())
+                if not m:
+                    continue
+                free = np.repeat(
+                    np.arange(num_c), np.maximum(cap - counts2d[sh], 0)
+                )
+                take = free[:m]  # already sorted by cluster
+                cols = counts2d[sh][take] + IVFVectorIndex._group_positions(take)
+                buckets[sh * num_c + take, cols] = ov_pos[sel]
+                np.add.at(counts2d[sh], take, 1)
         self.buckets = jax.device_put(
             jnp.asarray(buckets), NamedSharding(self.mesh, P("shard", None))
         )
-        self._bucket_counts = np.minimum(counts2d, cap)
+        self._bucket_counts = counts2d
+
+    def _append_to_buckets(self, slots: np.ndarray) -> bool:
+        """Incremental bucket append for freshly inserted slots; returns
+        False when any bucket would overflow (caller rebuilds)."""
+        num_c = self.centroids.shape[0]
+        rps = self._rows_per_shard()
+        cap = self.buckets.shape[1]
+        assign = self._assign(slots)
+        group = (slots // rps) * num_c + assign
+        order = np.argsort(group, kind="stable")
+        g_sorted = group[order]
+        p_sorted = (slots % rps)[order]
+        from ..vector.ivf import IVFVectorIndex
+
+        within = IVFVectorIndex._group_positions(g_sorted)
+        flat_counts = self._bucket_counts.reshape(-1)
+        pos = flat_counts[g_sorted] + within
+        if pos.max() >= cap:
+            return False
+        self.buckets = self.buckets.at[
+            jnp.asarray(g_sorted, jnp.int32), jnp.asarray(pos, jnp.int32)
+        ].set(jnp.asarray(p_sorted, jnp.int32))
+        np.add.at(flat_counts, g_sorted, 1)
+        self._bucket_counts = flat_counts.reshape(self.nsh, num_c)
+        return True
 
     def upsert(self, pks, raw, _prepped=None):
+        existing = [pk for pk in pks if pk in self._pk_slot]
         slots = super().upsert(pks, raw, _prepped=_prepped)
         self._maybe_retrain()
         if self.trained:
-            # incremental appends would need per-shard cursors; rebuild is
-            # vectorized and cheap relative to device transfers — refine in
-            # a later round
-            self._rebuild_buckets()
+            if existing or not self._append_to_buckets(np.asarray(slots, np.int64)):
+                # overwrites may change cluster; overflow needs a new layout
+                self._rebuild_buckets()
         return slots
+
+    def compact(self):
+        """Re-stripe live rows, preserving IVF configuration + training
+        (the inherited compact re-runs __init__, which would reset
+        num_clusters/nprobe and drop the centroids — reachable from the
+        background compaction cron)."""
+        cfg = (self.num_clusters_cfg, self.nprobe, self.min_train_size)
+        cents, tsize = self.centroids, self._trained_size
+        sup_min = self.min_train_size
+        self.min_train_size = 1 << 62  # suppress retrain during re-stripe
+        try:
+            super().compact()
+        finally:
+            self.num_clusters_cfg, self.nprobe, self.min_train_size = cfg
+            self.min_train_size = sup_min
+        self.centroids = cents
+        self._trained_size = tsize
+        if self.trained:
+            self._rebuild_buckets()
 
     # --- search -----------------------------------------------------------------
 
     def search_arrays(self, q, k: int, slot_mask=None, nprobe: int | None = None):
-        if not self.trained:
+        if not self.trained or self.capacity == 0 or len(self) == 0:
+            # incl. trained-but-emptied indexes restored from snapshots
             return super().search_arrays(q, k, slot_mask=slot_mask)
         qx = np.asarray(q, np.float32)
         single = qx.ndim == 1
@@ -256,24 +320,8 @@ class ShardedIVFIndex(ShardedFlatIndex):
         pks[miss] = None
         return dists, pks
 
-    def search(self, q, top_k: int = 10, threshold=None, slot_mask=None, nprobe=None):
-        dist, pks = self.search_arrays(q, top_k, slot_mask=slot_mask, nprobe=nprobe)
-        dist, pks = dist[0], pks[0]
-        score = np.asarray(
-            D.distances_to_scores(
-                self.metric, jnp.asarray(np.where(np.isfinite(dist), dist, 0))
-            )
-        )
-        out = []
-        for j in range(len(pks)):
-            if pks[j] is None or not np.isfinite(dist[j]):
-                continue
-            if threshold is not None and dist[j] > threshold:
-                continue
-            out.append(
-                VectorSearchResult(primary_key=pks[j], distance=float(dist[j]), score=float(score[j]))
-            )
-        return out
+    # search(): inherited — the base passes extra kwargs (nprobe) through
+    # to search_arrays polymorphically.
 
     # --- persistence ----------------------------------------------------------------
 
@@ -292,10 +340,18 @@ class ShardedIVFIndex(ShardedFlatIndex):
             d["dims"], mesh, d["metric"], d["precision"],
             num_clusters=d.get("num_clusters_cfg", 0), nprobe=d.get("nprobe", 8),
         )
-        if d["pks"]:
-            vecs = np.asarray(d["vectors"], np.float32)
-            slots = idx.upsert(d["pks"], vecs[:, : d["dims"]], _prepped=vecs)
-            idx.filter_columns.scatter(d.get("filter_columns", {}), slots, idx.capacity)
+        orig_min = idx.min_train_size
+        idx.min_train_size = 1 << 62  # the saved centroids are about to be
+        # installed — a retrain during the restore upsert would be thrown away
+        try:
+            if d["pks"]:
+                vecs = np.asarray(d["vectors"], np.float32)
+                slots = idx.upsert(d["pks"], vecs[:, : d["dims"]], _prepped=vecs)
+                idx.filter_columns.scatter(
+                    d.get("filter_columns", {}), slots, idx.capacity
+                )
+        finally:
+            idx.min_train_size = orig_min
         if d.get("centroids") is not None:
             idx.centroids = jax.device_put(
                 jnp.asarray(d["centroids"], jnp.float32), NamedSharding(mesh, P())
