@@ -105,6 +105,16 @@ class QueryBuilder(_ConditionMixin):
         self._spec.distinct = True
         return self
 
+    def no_cache(self):
+        """Bypass the generation-keyed result cache for this query
+        (reference query-cache controls, query_builder.dart:258-266)."""
+        self._spec.use_cache = False
+        return self
+
+    def use_cache(self, enabled: bool = True):
+        self._spec.use_cache = enabled
+        return self
+
     # joins (reference join/joinReferencedTable/joinReferencingTable)
     def join(self, table: str, left_field: str, right_field: str, kind: str = "inner"):
         self._spec.joins.append(JoinSpec(table, left_field, right_field, kind))
