@@ -1,0 +1,148 @@
+"""Differential fuzz test: random operation sequences applied both to the
+engine and to a naive in-Python model; query results must agree.
+
+This is the property tier the reference lacks entirely (SURVEY.md §4) —
+its integration scenarios only check hand-picked cases.
+"""
+
+import numpy as np
+import pytest
+
+from tostore_tpu import (
+    DataType,
+    FieldSchema,
+    IndexSchema,
+    QueryCondition,
+    TableSchema,
+    ToStoreTPU,
+)
+
+
+def schema():
+    return TableSchema(
+        name="t",
+        fields=(
+            FieldSchema("a", DataType.integer),
+            FieldSchema("b", DataType.double),
+            FieldSchema("s", DataType.text),
+            FieldSchema("flag", DataType.boolean),
+        ),
+        indexes=(IndexSchema(fields=("a",)),),
+    )
+
+
+class NaiveModel:
+    def __init__(self):
+        self.rows: dict[int, dict] = {}
+        self.next_pk = 1
+
+    def insert(self, rec):
+        pk = self.next_pk
+        self.next_pk += 1
+        self.rows[pk] = {"id": pk, **rec}
+        return pk
+
+    def update(self, cond, updates):
+        for pk, r in self.rows.items():
+            if cond.matches(r):
+                r.update(updates)
+
+    def delete(self, cond):
+        for pk in [pk for pk, r in self.rows.items() if cond.matches(r)]:
+            del self.rows[pk]
+
+    def query(self, cond):
+        return sorted(
+            (r for r in self.rows.values() if cond is None or cond.matches(r)),
+            key=lambda r: r["id"],
+        )
+
+
+def random_value(rng, field):
+    if rng.random() < 0.1:
+        return None
+    if field == "a":
+        return int(rng.integers(-20, 20))
+    if field == "b":
+        return float(np.round(rng.normal() * 10, 3))
+    if field == "s":
+        return rng.choice(["alpha", "beta", "gamma", "", "a%b", "zeta"]).item()
+    return bool(rng.random() < 0.5)
+
+
+def random_condition(rng) -> QueryCondition:
+    c = QueryCondition()
+    n_leaves = int(rng.integers(1, 4))
+    for _ in range(n_leaves):
+        f = rng.choice(["a", "b", "s", "flag"]).item()
+        op = rng.choice(["=", "!=", ">", "<", ">=", "<=", "in", "between", "like", "is", "isNot"]).item()
+        if op in ("is", "isNot"):
+            c.where(f, op, None)
+        elif op == "in":
+            c.where(f, "in", [random_value(rng, f) for _ in range(3)])
+        elif op == "between":
+            lo, hi = sorted(
+                [random_value(rng, f) or 0, random_value(rng, f) or 1],
+                key=lambda x: (x is None, x if not isinstance(x, str) else 0)
+                if not isinstance(x, bool) else (False, int(x)),
+            ) if f in ("a", "b") else (0, 1)
+            c.where(f, "between", (lo, hi))
+        elif op == "like":
+            c.where("s", "like", rng.choice(["a%", "%a%", "be_a", "%"]).item())
+        else:
+            v = random_value(rng, f)
+            if v is None:
+                v = 0 if f in ("a", "b") else "alpha"
+            c.where(f, op, v)
+    if rng.random() < 0.3:
+        sub = QueryCondition().where(
+            rng.choice(["a", "b"]).item(), ">", int(rng.integers(-10, 10))
+        )
+        (c.or_ if rng.random() < 0.5 else c.and_)(sub)
+    return c
+
+
+@pytest.mark.parametrize("seed", list(range(1, 13)))
+def test_differential_random_ops(seed):
+    rng = np.random.default_rng(seed)
+    db = ToStoreTPU.memory(schemas=[schema()])
+    model = NaiveModel()
+    fields = ["a", "b", "s", "flag"]
+    for step in range(120):
+        roll = rng.random()
+        if roll < 0.45 or not model.rows:
+            rec = {f: random_value(rng, f) for f in fields}
+            r = db.insert("t", rec)
+            assert r.is_success, r.message
+            mpk = model.insert(rec)
+            assert r.success_keys[0] == mpk
+        elif roll < 0.65:
+            cond = random_condition(rng)
+            updates = {rng.choice(fields).item(): random_value(rng, rng.choice(fields).item())}
+            f = list(updates)[0]
+            updates = {f: random_value(rng, f)}
+            db.update("t", updates).condition(cond).execute()
+            model.update(cond, updates)
+        elif roll < 0.8:
+            cond = random_condition(rng)
+            db.delete("t").condition(cond).execute()
+            model.delete(cond)
+        else:
+            cond = random_condition(rng)
+            got = db.query("t").condition(cond).limit(10_000).fetch().records
+            want = model.query(cond)
+            assert len(got) == len(want), f"step {step}: {len(got)} vs {len(want)} for {cond}"
+            for g, w in zip(got, want):
+                assert g["id"] == w["id"], f"step {step}: ids diverge {g['id']} vs {w['id']}"
+                for f in fields:
+                    gv, wv = g.get(f), w.get(f)
+                    if isinstance(wv, float) and wv is not None and gv is not None:
+                        assert abs(gv - wv) < 1e-9
+                    else:
+                        assert gv == wv, f"step {step} pk {g['id']} field {f}: {gv!r} vs {wv!r}"
+    # final full-table parity
+    got = db.query("t").limit(10_000).fetch().records
+    want = model.query(None)
+    assert [g["id"] for g in got] == [w["id"] for w in want]
+    assert db.check_integrity()["ok"]
+    db.close()
