@@ -146,3 +146,84 @@ def test_differential_random_ops(seed):
     assert [g["id"] for g in got] == [w["id"] for w in want]
     assert db.check_integrity()["ok"]
     db.close()
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23, 24])
+def test_differential_ordering_pagination_aggregates(seed):
+    rng = np.random.default_rng(seed)
+    db = ToStoreTPU.memory(schemas=[schema()])
+    model = NaiveModel()
+    fields = ["a", "b", "s", "flag"]
+    for _ in range(150):
+        rec = {f: random_value(rng, f) for f in fields}
+        db.insert("t", rec)
+        model.insert(rec)
+
+    def sort_key(r, f, desc):
+        v = r.get(f)
+        if v is None:
+            k = (0, 0)
+        elif isinstance(v, bool):
+            k = (1, int(v))
+        elif isinstance(v, (int, float)):
+            k = (2, v)
+        else:
+            k = (3, str(v))
+        return k
+
+    for _ in range(25):
+        f = rng.choice(["a", "b", "s"]).item()
+        desc = bool(rng.random() < 0.5)
+        limit = int(rng.integers(1, 40))
+        offset = int(rng.integers(0, 30))
+        got = (
+            db.query("t").order_by(f, desc=desc).offset(offset).limit(limit).fetch().records
+        )
+        want = sorted(
+            model.query(None),
+            key=lambda r: (
+                tuple(
+                    (lambda k: _Neg(k) if desc else k)(sort_key(r, ff, desc))
+                    for ff in [f]
+                ),
+                r["id"],
+            ),
+        )[offset : offset + limit]
+        assert [g["id"] for g in got] == [w["id"] for w in want], (f, desc, offset, limit)
+
+    # cursor pagination walks the same total set exactly once
+    page = db.query("t").order_by("a").limit(17).fetch()
+    seen = [r["id"] for r in page]
+    while page.next_cursor:
+        page = page.next()
+        seen.extend(r["id"] for r in page)
+    assert sorted(seen) == sorted(r["id"] for r in model.query(None))
+    assert len(seen) == len(set(seen))
+
+    # aggregates
+    from tostore_tpu.models.aggregation import Agg
+
+    res = db.query("t").aggregate(
+        Agg.count(alias="n"), Agg.sum("a", "sa"), Agg.min("b", "mb"), Agg.max("b", "xb")
+    ).fetch()[0]
+    rows = model.query(None)
+    a_vals = [r["a"] for r in rows if r["a"] is not None]
+    b_vals = [r["b"] for r in rows if r["b"] is not None]
+    assert res["n"] == len(rows)
+    assert res["sa"] == sum(a_vals)
+    assert res["mb"] == pytest.approx(min(b_vals))
+    assert res["xb"] == pytest.approx(max(b_vals))
+    db.close()
+
+
+class _Neg:
+    __slots__ = ("k",)
+
+    def __init__(self, k):
+        self.k = k
+
+    def __lt__(self, o):
+        return o.k < self.k
+
+    def __eq__(self, o):
+        return o.k == self.k
