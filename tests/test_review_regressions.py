@@ -216,3 +216,210 @@ class TestDeleteSpaceKv:
         db.kv.set("k", 2)  # must not raise
         assert db.kv.get("k") == 2
         db.close()
+
+
+class TestShardedIvfRetrainNoDuplicates:
+    """Advisor r1 (high): a batch that crosses min_train_size triggered
+    train()->_rebuild_buckets() (placing the new slots) and then
+    _append_to_buckets() on the same slots again — every pk appeared twice
+    in the bucket table and search returned duplicate neighbors."""
+
+    def test_training_batch_not_double_appended(self, rng):
+        from tostore_tpu.parallel.mesh import make_mesh
+        from tostore_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        mesh = make_mesh(8, dp=1)
+        idx = ShardedIVFIndex(
+            16, mesh, metric="l2", num_clusters=8, nprobe=8, min_train_size=64
+        )
+        x = rng.standard_normal((100, 16)).astype(np.float32)
+        idx.upsert(list(range(100)), x)  # crosses min_train_size -> trains
+        assert idx.trained
+        assert int(idx._bucket_counts.sum()) == 100
+        buckets = np.asarray(idx.buckets)
+        entries = buckets[buckets >= 0]
+        # shard-local positions may repeat across shards; count live entries
+        assert len(entries) == 100
+        dists, pks = idx.search_arrays(x[0], k=10, nprobe=8)
+        found = [p for p in pks[0] if p is not None]
+        assert len(found) == len(set(found)), f"duplicate pks: {found}"
+
+    def test_force_retrain_at_growth_not_double_appended(self, rng):
+        from tostore_tpu.parallel.mesh import make_mesh
+        from tostore_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        mesh = make_mesh(8, dp=1)
+        idx = ShardedIVFIndex(
+            16, mesh, metric="l2", num_clusters=8, nprobe=8, min_train_size=32
+        )
+        x = rng.standard_normal((200, 16)).astype(np.float32)
+        idx.upsert(list(range(40)), x[:40])  # trains at 40
+        idx.upsert(list(range(40, 200)), x[40:])  # 200 >= 4*40 -> force retrain
+        assert int(idx._bucket_counts.sum()) == 200
+        dists, pks = idx.search_arrays(x[50], k=10, nprobe=8)
+        found = [p for p in pks[0] if p is not None]
+        assert len(found) == len(set(found)), f"duplicate pks: {found}"
+
+
+class TestInsertExprResolution:
+    """Advisor r1 (medium): insert() validated before resolving Expr, so
+    Expr payloads failed coercion on typed fields and stored their repr on
+    text fields; Expr default_values were never resolvable at all."""
+
+    def _db(self, extra_fields=(), **field_kw):
+        schema = TableSchema(
+            name="t",
+            fields=(
+                FieldSchema("ts", DataType.datetime, **field_kw),
+                FieldSchema("note", DataType.text),
+                *extra_fields,
+            ),
+        )
+        return ToStoreTPU.memory(schemas=[schema])
+
+    def test_expr_now_on_datetime_insert(self):
+        from tostore_tpu.models.expr import Expr
+
+        db = self._db()
+        r = db.insert("t", {"ts": Expr.now(), "note": "x"})
+        assert r.is_success, r
+        rec = db.get_by_pk("t", r.success_keys[0])
+        assert isinstance(rec["ts"], int) and rec["ts"] > 1_000_000_000_000
+        db.close()
+
+    def test_expr_on_text_not_stored_as_repr(self):
+        from tostore_tpu.models.expr import Expr
+
+        db = self._db()
+        r = db.insert("t", {"ts": 0, "note": Expr.value("hello")})
+        assert r.is_success, r
+        rec = db.get_by_pk("t", r.success_keys[0])
+        assert rec["note"] == "hello"
+        db.close()
+
+    def test_expr_default_value_resolved(self):
+        from tostore_tpu.models.expr import Expr
+
+        db = self._db(default_value=Expr.now())
+        r = db.insert("t", {"note": "d"})
+        assert r.is_success, r
+        rec = db.get_by_pk("t", r.success_keys[0])
+        assert isinstance(rec["ts"], int) and rec["ts"] > 1_000_000_000_000
+        db.close()
+
+
+class TestMutableCellAliasing:
+    """Advisor r1 (medium): records returned by get/read_row aliased the
+    stored list/dict cells — mutating a returned record silently mutated
+    the column store (bypassing the WAL) and poisoned cached queries."""
+
+    def _db(self):
+        schema = TableSchema(
+            name="t",
+            fields=(
+                FieldSchema("tags", DataType.array),
+                FieldSchema("meta", DataType.json),
+            ),
+        )
+        return ToStoreTPU.memory(schemas=[schema])
+
+    def test_get_by_pk_copy_on_read(self):
+        db = self._db()
+        r = db.insert("t", {"tags": ["a"], "meta": {"n": 1}})
+        pk = r.success_keys[0]
+        rec = db.get_by_pk("t", pk)
+        rec["tags"].append("EVIL")
+        rec["meta"]["n"] = 99
+        fresh = db.get_by_pk("t", pk)
+        assert fresh["tags"] == ["a"] and fresh["meta"] == {"n": 1}
+        db.close()
+
+    def test_query_cache_not_poisoned(self):
+        db = self._db()
+        db.insert("t", {"tags": ["a"], "meta": {}})
+        first = db.query("t").fetch().records
+        first[0]["tags"].append("EVIL")
+        again = db.query("t").fetch().records  # cache hit
+        assert again[0]["tags"] == ["a"]
+        db.close()
+
+    def test_insert_payload_mutation_does_not_drift_store(self):
+        db = self._db()
+        payload = {"tags": ["a"], "meta": {"n": 1}}
+        pk = db.insert("t", payload).success_keys[0]
+        payload["tags"].append("EVIL")
+        assert db.get_by_pk("t", pk)["tags"] == ["a"]
+        db.close()
+
+
+class TestMigrationUniqueCollision:
+    """Advisor r1 (low): adding a unique constraint over duplicate existing
+    values silently succeeded with a last-write-wins unique map."""
+
+    def test_duplicate_values_fail_migration(self):
+        schema = TableSchema(name="t", fields=(FieldSchema("v", DataType.integer),))
+        db = ToStoreTPU.memory(schemas=[schema])
+        db.insert("t", {"v": 7})
+        db.insert("t", {"v": 7})
+        new = TableSchema(
+            name="t", fields=(FieldSchema("v", DataType.integer, unique=True),)
+        )
+        r = db.engine.update_schema("t", new)
+        assert not r.is_success and "unique" in (r.message or "").lower()
+        # table untouched: old schema still allows another duplicate
+        assert db.insert("t", {"v": 7}).is_success
+        db.close()
+
+    def test_distinct_values_migrate_and_enforce(self):
+        schema = TableSchema(name="t", fields=(FieldSchema("v", DataType.integer),))
+        db = ToStoreTPU.memory(schemas=[schema])
+        db.insert("t", {"v": 1})
+        db.insert("t", {"v": 2})
+        new = TableSchema(
+            name="t", fields=(FieldSchema("v", DataType.integer, unique=True),)
+        )
+        assert db.engine.update_schema("t", new).is_success
+        assert not db.insert("t", {"v": 1}).is_success
+        db.close()
+
+
+class TestKdfSalt:
+    """Advisor r1 (low): constant KDF salt + 10k iterations. New databases
+    must use a random per-database salt persisted in the manifest."""
+
+    def test_new_db_has_random_salt_and_reopens(self, tmp_path):
+        import json as _json
+
+        from tostore_tpu.models.config import DataStoreConfig, EncryptionConfig
+
+        cfg = DataStoreConfig(
+            encryption=EncryptionConfig(
+                enable_encoding=True, encryption_key="sekrit",
+            )
+        )
+        db = ToStoreTPU.open(str(tmp_path), config=cfg)
+        db.kv.set("k", 42)
+        db.close()
+        with open(tmp_path / "default" / "manifest.json") as f:
+            extras = _json.load(f)["extras"]
+        assert len(bytes.fromhex(extras["kdf_salt"])) == 16
+        assert extras["kdf_iters"] >= 600_000
+        db2 = ToStoreTPU.open(str(tmp_path), config=cfg)
+        assert db2.kv.get("k") == 42
+        db2.close()
+
+    def test_two_dbs_different_salts(self, tmp_path):
+        import json as _json
+
+        from tostore_tpu.models.config import DataStoreConfig, EncryptionConfig
+
+        salts = []
+        for name in ("a", "b"):
+            cfg = DataStoreConfig(
+                encryption=EncryptionConfig(enable_encoding=True, encryption_key="pw")
+            )
+            db = ToStoreTPU.open(str(tmp_path / name), config=cfg)
+            db.close()
+            with open(tmp_path / name / "default" / "manifest.json") as f:
+                salts.append(_json.load(f)["extras"]["kdf_salt"])
+        assert salts[0] != salts[1]

@@ -13,6 +13,8 @@ NumPy kernels.
 
 from __future__ import annotations
 
+import copy
+
 import numpy as np
 
 from ..models.schema import DataType, TableSchema
@@ -69,6 +71,8 @@ class Column:
                 else:
                     self.data[row] = value
         else:
+            if isinstance(value, (list, dict)):  # copy-on-write, see get()
+                value = copy.deepcopy(value)
             self.data[row] = value
 
     def bulk_set(self, rows: np.ndarray, values: list | None):
@@ -101,7 +105,10 @@ class Column:
                 self.data[rows] = None
             else:
                 out = np.empty(len(values), dtype=object)
-                out[:] = values  # keeps list/dict cells intact
+                out[:] = [
+                    copy.deepcopy(v) if isinstance(v, (list, dict)) else v
+                    for v in values
+                ]  # object assignment keeps list/dict cells intact
                 self.data[rows] = out
 
     def get(self, row: int):
@@ -118,7 +125,13 @@ class Column:
             if self.dtype == DataType.boolean:
                 return bool(v)
             return v
-        return self.data[row]
+        v = self.data[row]
+        # copy-on-read: callers own the returned record; handing out the
+        # stored list/dict would let mutations bypass the WAL and poison
+        # cached query results
+        if isinstance(v, (list, dict)):
+            return copy.deepcopy(v)
+        return v
 
     def view(self, n: int) -> np.ndarray:
         """First n entries as an array for vectorized predicates. Typed

@@ -154,6 +154,30 @@ class Database:
         dp = shape[0] if len(shape) == 2 else 1
         return make_mesh(n_devices=n, dp=dp)
 
+    def _kdf_params(self) -> tuple[bytes, int]:
+        """Per-database KDF salt + iteration count. New databases get a
+        random salt (persisted in the manifest) and 600k iterations;
+        databases whose manifest predates kdf_salt keep the legacy fixed
+        salt so their artifacts stay decryptable."""
+        import secrets
+
+        from ..utils.crypto import DEFAULT_KDF_ITERS, LEGACY_KDF_ITERS, LEGACY_KDF_SALT
+
+        if not self.config.memory_mode:
+            manifest_path = os.path.join(self.db_dir, "manifest.json")
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as f:
+                    extras = json.load(f).get("extras", {})
+                if "kdf_salt" in extras:
+                    return bytes.fromhex(extras["kdf_salt"]), int(
+                        extras.get("kdf_iters", DEFAULT_KDF_ITERS)
+                    )
+                return LEGACY_KDF_SALT, LEGACY_KDF_ITERS  # round-1 database
+        salt = secrets.token_bytes(16)
+        self.global_config.extras["kdf_salt"] = salt.hex()
+        self.global_config.extras["kdf_iters"] = DEFAULT_KDF_ITERS
+        return salt, DEFAULT_KDF_ITERS
+
     def _make_envelope(self):
         enc = self.config.encryption
         if not enc.enable_encoding:
@@ -163,8 +187,10 @@ class Database:
         passphrase = enc.encryption_key or enc.encoding_key
         if not passphrase:
             raise ValueError("encryption enabled but no key configured")
+        salt, iters = self._kdf_params()
         return Envelope(
-            KeyRing.from_passphrase(passphrase, enc.key_id), enc.algorithm
+            KeyRing.from_passphrase(passphrase, enc.key_id, salt=salt, iters=iters),
+            enc.algorithm,
         )
 
     def _wrap_bytes(self, b: bytes) -> bytes:
@@ -197,6 +223,8 @@ class Database:
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 self.global_config = GlobalConfig.from_json(json.load(f))
+        else:
+            self._persist_manifest()  # pin fresh-database state (KDF salt)
         if self.global_config.version < ENGINE_VERSION:
             for v in range(self.global_config.version + 1, ENGINE_VERSION + 1):
                 fn = UPGRADES.get(v)
@@ -621,10 +649,13 @@ class Database:
             t = self._table(table)
             try:
                 pk_name = t.schema.primary_key.name
-                rec = t.validate(
-                    {k: v for k, v in data.items() if k != pk_name}, is_insert=True
+                # resolve expressions BEFORE validation so Expr payloads
+                # coerce as their materialized values (mirrors _update_pk);
+                # a second pass after validate catches Expr default_values
+                rec = resolve_expr_values(
+                    {k: v for k, v in data.items() if k != pk_name}, {}, True
                 )
-                rec = resolve_expr_values(rec, {}, True)
+                rec = t.validate(rec, is_insert=True)
                 pk = data.get(pk_name)
                 if pk is None:
                     pk = t.generate_pk()

@@ -84,6 +84,59 @@ def cast_value(v, src: DataType, dst: DataType):
     return None
 
 
+def _precheck_unique(table, new_schema: TableSchema, renames: dict[str, str]):
+    """Evaluate the new schema's unique constraints against the CURRENT
+    data (renames + casts applied virtually) and raise before anything
+    mutates. The reference fails such migrations; last-write-wins unique
+    map rebuilds left the constraint unenforced for existing rows."""
+    from .table import ValidationError
+
+    store = table.store
+    old_fields = {f.name: f for f in table.schema.fields}
+    specs = [(f, (f,)) for f in new_schema.unique_fields()]
+    specs += [
+        (idx.index_name, tuple(idx.fields))
+        for idx in new_schema.btree_indexes()
+        if idx.unique
+    ]
+    if not specs or len(store) == 0:
+        return
+    rev = {v: k for k, v in renames.items()}
+    new_map = new_schema.field_map
+    seen: dict[str, dict] = {name: {} for name, _ in specs}
+    for pk in store.pks():
+        row = store.rowid(pk)
+        for name, fields in specs:
+            key = []
+            for fn in fields:
+                src = rev.get(fn, fn)
+                col = store.columns.get(src)
+                f_new = new_map.get(fn)
+                if col is None:
+                    v = f_new.default_value if f_new is not None else None
+                else:
+                    v = col.get(row)
+                    f_old = old_fields.get(src)
+                    if (
+                        v is not None
+                        and f_old is not None
+                        and f_new is not None
+                        and f_old.type != f_new.type
+                    ):
+                        v = cast_value(v, f_old.type, f_new.type)
+                key.append(v)
+            if any(v is None for v in key):
+                continue
+            tkey = tuple(key)
+            holder = seen[name].get(tkey)
+            if holder is not None and holder != pk:
+                raise ValidationError(
+                    f"unique constraint {name!r} violated by existing data: "
+                    f"value {tkey!r} held by pks {holder!r} and {pk!r}"
+                )
+            seen[name][tkey] = pk
+
+
 def migrate_table(table, new_schema: TableSchema, renames: dict[str, str] | None = None):
     """Transform a Table in place to `new_schema`. Returns a report dict."""
     old_schema = table.schema
@@ -95,6 +148,11 @@ def migrate_table(table, new_schema: TableSchema, renames: dict[str, str] | None
     old_fields = {f.name: f for f in old_schema.fields}
     new_fields = {f.name: f for f in new_schema.fields}
     report = {"renamed": renames, "added": [], "removed": [], "retyped": []}
+
+    # 0. pre-check unique constraints over existing data BEFORE any store
+    # mutation — a new unique constraint over duplicate values must fail
+    # the migration atomically, not silently rebuild last-write-wins
+    _precheck_unique(table, new_schema, renames)
 
     store = table.store
     # 1. renames: move column object under the new name

@@ -17,6 +17,7 @@ from typing import Any
 
 import numpy as np
 
+from ..models.expr import Expr
 from ..models.results import UniqueViolation
 from ..models.schema import (
     DataType,
@@ -246,6 +247,8 @@ class Table:
             v = data.get(name)
             if not present and is_insert:
                 v = f.default_value
+                if isinstance(v, Expr):  # e.g. default_value=Expr.now()
+                    v = v.evaluate({}, True)
             if v is None:
                 if not f.nullable and is_insert:
                     raise ValidationError(f"field {name!r} is not nullable")

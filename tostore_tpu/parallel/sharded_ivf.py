@@ -142,13 +142,17 @@ class ShardedIVFIndex(ShardedFlatIndex):
         self._rebuild_buckets()
         return True
 
-    def _maybe_retrain(self):
+    def _maybe_retrain(self) -> bool:
+        """Returns True when a (re)train ran — train() ends in
+        _rebuild_buckets(), which already places every live slot, so the
+        caller must NOT append the same batch again."""
         n = len(self)
         if not self.trained:
             if n >= self.min_train_size:
-                self.train()
+                return self.train()
         elif n >= 4 * max(self._trained_size, 1):
-            self.train(force=True)
+            return self.train(force=True)
+        return False
 
     # --- buckets -------------------------------------------------------------
 
@@ -250,8 +254,8 @@ class ShardedIVFIndex(ShardedFlatIndex):
     def upsert(self, pks, raw, _prepped=None):
         existing = [pk for pk in pks if pk in self._pk_slot]
         slots = super().upsert(pks, raw, _prepped=_prepped)
-        self._maybe_retrain()
-        if self.trained:
+        rebuilt = self._maybe_retrain()
+        if self.trained and not rebuilt:
             if existing or not self._append_to_buckets(np.asarray(slots, np.int64)):
                 # overwrites may change cluster; overflow needs a new layout
                 self._rebuild_buckets()

@@ -11,6 +11,7 @@ reference surface.
 
 from __future__ import annotations
 
+import copy
 import base64
 import json
 from dataclasses import dataclass, field
@@ -82,6 +83,16 @@ def _decode_cursor(tok: str):
     return json.loads(base64.urlsafe_b64decode(tok.encode()))
 
 
+def _copy_record(r: dict) -> dict:
+    """Cache-boundary copy: callers own returned records, so list/dict
+    cells must not alias the cached copy (columnstore get() guards the
+    store the same way)."""
+    return {
+        k: copy.deepcopy(v) if isinstance(v, (list, dict)) else v
+        for k, v in r.items()
+    }
+
+
 def _sort_key(v):
     # None sorts first; mixed types compare via (typeclass, value)
     if v is None:
@@ -141,7 +152,7 @@ class QueryExecutor:
             if hit is not None and hit[0] == self._gen_signature(space, table_name, spec):
                 res = hit[1]
                 return QueryResult(
-                    records=[dict(r) for r in res.records],
+                    records=[_copy_record(r) for r in res.records],
                     next_cursor=res.next_cursor,
                     prev_cursor=res.prev_cursor,
                     has_more=res.has_more,
@@ -253,7 +264,7 @@ class QueryExecutor:
             self._cache[cache_key] = (
                 self._gen_signature(space, table_name, spec),
                 QueryResult(
-                    records=[dict(r) for r in page],
+                    records=[_copy_record(r) for r in page],
                     next_cursor=next_cursor,
                     prev_cursor=prev_cursor,
                     has_more=has_more,

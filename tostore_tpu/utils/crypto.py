@@ -123,7 +123,18 @@ MAGIC_AESGCM = b"TAe1"
 NONCE_LEN = 12
 
 
-def derive_key(passphrase: str, salt: bytes = b"tostore_tpu.v1", iters: int = 10_000) -> bytes:
+# Legacy v1 artifacts used a fixed salt + 10k iterations; new databases
+# generate a random per-database salt (persisted in the manifest) and use
+# DEFAULT_KDF_ITERS. The legacy values stay as signature defaults only so
+# round-1 databases keep decrypting.
+LEGACY_KDF_SALT = b"tostore_tpu.v1"
+LEGACY_KDF_ITERS = 10_000
+DEFAULT_KDF_ITERS = 600_000  # OWASP 2023+ guidance for PBKDF2-SHA256
+
+
+def derive_key(
+    passphrase: str, salt: bytes = LEGACY_KDF_SALT, iters: int = LEGACY_KDF_ITERS
+) -> bytes:
     return hashlib.pbkdf2_hmac("sha256", passphrase.encode(), salt, iters, dklen=32)
 
 
@@ -131,21 +142,34 @@ class KeyRing:
     """key_id -> 32-byte key; `current` encrypts, all ids decrypt
     (reference encoder.dart keyId fallbacks + key rotation)."""
 
-    def __init__(self, keys: dict[int, bytes], current: int):
+    def __init__(
+        self,
+        keys: dict[int, bytes],
+        current: int,
+        salt: bytes = LEGACY_KDF_SALT,
+        iters: int = LEGACY_KDF_ITERS,
+    ):
         if current not in keys:
             raise ValueError("current key id not in ring")
         self.keys = dict(keys)
         self.current = current
+        self.salt = salt
+        self.iters = iters
 
     @staticmethod
-    def from_passphrase(passphrase: str, key_id: int = 1) -> "KeyRing":
-        return KeyRing({key_id: derive_key(passphrase)}, key_id)
+    def from_passphrase(
+        passphrase: str,
+        key_id: int = 1,
+        salt: bytes = LEGACY_KDF_SALT,
+        iters: int = LEGACY_KDF_ITERS,
+    ) -> "KeyRing":
+        return KeyRing({key_id: derive_key(passphrase, salt, iters)}, key_id, salt, iters)
 
     def rotate(self, new_passphrase: str) -> int:
         """Add a new key; returns its id. Old keys stay for decryption until
         artifacts are re-encrypted (next checkpoint) and `retire` is called."""
         new_id = max(self.keys) + 1
-        self.keys[new_id] = derive_key(new_passphrase)
+        self.keys[new_id] = derive_key(new_passphrase, self.salt, self.iters)
         self.current = new_id
         return new_id
 
