@@ -102,8 +102,13 @@ class TestEncryptedDurability:
         db.flush()
         db.close()
         # snapshot + wal bytes must not contain plaintext
-        snap = open(os.path.join(str(tmp_path), "default", "current.snap"), "rb").read()
-        assert b"alice" not in snap and snap[:4] == b"TCh1"
+        import glob as _glob
+
+        snaps = _glob.glob(os.path.join(str(tmp_path), "default", "tables", "*.snap"))
+        assert snaps
+        for p in snaps:
+            snap = open(p, "rb").read()
+            assert b"alice" not in snap and snap[:4] == b"TCh1"
         db2 = ToStoreTPU(self.cfg(str(tmp_path)))
         assert db2.get_by_pk("users", 1)["username"] == "alice"
         db2.close()
@@ -114,8 +119,11 @@ class TestEncryptedDurability:
 
         db.create_table(users_schema())
         db.insert("users", {"username": "bob"})
-        wal = open(os.path.join(str(tmp_path), "default", "wal.log"), "rb").read()
-        assert b"bob" not in wal
+        import glob as _glob
+
+        segs = _glob.glob(os.path.join(str(tmp_path), "default", "wal", "wal-*.log"))
+        data = b"".join(open(p, "rb").read() for p in segs)
+        assert data and b"bob" not in data
         db.engine._wal.close()
         db.engine._crontab.stop()
         db2 = ToStoreTPU(self.cfg(str(tmp_path)))

@@ -1,0 +1,163 @@
+"""Incremental durability: per-table snapshot files written only when
+dirty, segmented WAL with a checkpoint pointer, fsync policies, legacy
+layout migration (reference wal_manager.dart:608 checkpoint pointer +
+parallel_journal_manager.dart:1209-1228 dirty-only flush)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from tostore_tpu.api import ToStoreTPU
+from tostore_tpu.models.config import DataStoreConfig
+from tostore_tpu.models.schema import DataType, FieldSchema, TableSchema
+
+
+def two_tables():
+    return [
+        TableSchema(name="a", fields=(FieldSchema("v", DataType.integer),)),
+        TableSchema(name="b", fields=(FieldSchema("v", DataType.integer),)),
+    ]
+
+
+def snap_path(tmp_path, table, space="default"):
+    return os.path.join(str(tmp_path), "default", "tables", f"{space}%40{table}.snap")
+
+
+def snap_files(tmp_path):
+    return {
+        os.path.basename(p): os.stat(p).st_mtime_ns
+        for p in glob.glob(os.path.join(str(tmp_path), "default", "tables", "*.snap"))
+    }
+
+
+def wal_segments(tmp_path):
+    return sorted(glob.glob(os.path.join(str(tmp_path), "default", "wal", "wal-*.log")))
+
+
+class TestIncrementalCheckpoint:
+    def test_only_dirty_tables_rewritten(self, tmp_path):
+        db = ToStoreTPU.open(str(tmp_path), schemas=two_tables())
+        db.insert("a", {"v": 1})
+        db.insert("b", {"v": 1})
+        db.flush()
+        before = snap_files(tmp_path)
+        db.insert("a", {"v": 2})
+        db.flush()
+        after = snap_files(tmp_path)
+        changed = {k for k in before if before[k] != after[k]}
+        assert any("a.snap" in k for k in changed)
+        assert not any("b.snap" in k for k in changed), changed
+        db.close()
+
+    def test_clean_flush_writes_nothing(self, tmp_path):
+        db = ToStoreTPU.open(str(tmp_path), schemas=two_tables())
+        db.insert("a", {"v": 1})
+        db.flush()
+        before = snap_files(tmp_path)
+        db.flush()
+        assert snap_files(tmp_path) == before
+        db.close()
+
+    def test_dropped_table_snap_removed(self, tmp_path):
+        db = ToStoreTPU.open(str(tmp_path), schemas=two_tables())
+        db.insert("a", {"v": 1})
+        db.flush()
+        db.drop_table("a")
+        db.flush()
+        assert not any("a.snap" in k for k in snap_files(tmp_path))
+        db.close()
+
+    def test_reopen_after_checkpoint_and_tail(self, tmp_path):
+        db = ToStoreTPU.open(str(tmp_path), schemas=two_tables())
+        for i in range(5):
+            db.insert("a", {"v": i})
+        db.flush()
+        for i in range(5, 9):
+            db.insert("a", {"v": i})
+        db.engine._wal.close()  # crash: no final checkpoint
+        db.engine._crontab.stop()
+        db2 = ToStoreTPU.open(str(tmp_path))
+        assert db2.count("a") == 9
+        assert db2.engine._counters["recovery_apply_errors"] == 0
+        db2.close()
+
+
+class TestWalSegments:
+    def test_segments_rotate_and_recover(self, tmp_path):
+        cfg = DataStoreConfig(wal_segment_max_bytes=512)
+        db = ToStoreTPU.open(str(tmp_path), schemas=two_tables(), config=cfg)
+        for i in range(50):
+            db.insert("a", {"v": i})
+        assert len(wal_segments(tmp_path)) > 1
+        db.engine._wal.close()
+        db.engine._crontab.stop()
+        db2 = ToStoreTPU.open(str(tmp_path), config=cfg)
+        assert db2.count("a") == 50
+        db2.close()
+
+    def test_checkpoint_prunes_covered_segments(self, tmp_path):
+        cfg = DataStoreConfig(wal_segment_max_bytes=512)
+        db = ToStoreTPU.open(str(tmp_path), schemas=two_tables(), config=cfg)
+        for i in range(50):
+            db.insert("a", {"v": i})
+        db.flush()
+        segs = wal_segments(tmp_path)
+        assert len(segs) == 1, segs  # only the fresh post-checkpoint segment
+        db.close()
+
+    def test_torn_tail_in_last_segment(self, tmp_path):
+        db = ToStoreTPU.open(str(tmp_path), schemas=two_tables())
+        db.insert("a", {"v": 1})
+        db.engine._wal.close()
+        db.engine._crontab.stop()
+        with open(wal_segments(tmp_path)[-1], "ab") as f:
+            f.write(b"\xa7torn")
+        db2 = ToStoreTPU.open(str(tmp_path))
+        assert db2.count("a") == 1
+        db2.close()
+
+
+class TestFsyncPolicy:
+    def test_bad_policy_rejected(self, tmp_path):
+        cfg = DataStoreConfig(recovery_flush_policy="yolo")
+        with pytest.raises(ValueError):
+            ToStoreTPU.open(str(tmp_path), config=cfg)
+
+    def test_commit_policy(self, tmp_path):
+        cfg = DataStoreConfig(persist_recovery_on_commit=True)
+        db = ToStoreTPU.open(str(tmp_path), schemas=two_tables(), config=cfg)
+        db.insert("a", {"v": 1})
+        assert db.engine._wal.sync_policy == "commit"
+        db.close()
+
+
+class TestVectorTableCheckpoint:
+    def test_vector_index_persists_incrementally(self, tmp_path, rng):
+        from tostore_tpu.models.schema import IndexSchema, VectorFieldConfig
+
+        schema = TableSchema(
+            name="docs",
+            fields=(
+                FieldSchema("emb", DataType.vector,
+                            vector_config=VectorFieldConfig(dimensions=8)),
+            ),
+            indexes=(IndexSchema(fields=("emb",), type="vector"),),
+        )
+        db = ToStoreTPU.open(str(tmp_path), schemas=[schema, *two_tables()])
+        vecs = rng.standard_normal((20, 8)).astype(np.float32)
+        for v in vecs:
+            db.insert("docs", {"emb": v.tolist()})
+        db.flush()
+        before = snap_files(tmp_path)
+        db.insert("a", {"v": 1})
+        db.flush()
+        after = snap_files(tmp_path)
+        assert before[[k for k in before if "docs" in k][0]] == \
+            after[[k for k in after if "docs" in k][0]]
+        db.close()
+        db2 = ToStoreTPU.open(str(tmp_path))
+        res = db2.vector_search("docs", "emb", vecs[3], top_k=1)
+        assert res[0].primary_key == 4
+        db2.close()

@@ -628,8 +628,10 @@ class TestDurability:
         db.insert("users", {"username": "alice"})
         db.engine._wal.close()
         db.engine._crontab.stop()
-        wal = os.path.join(str(tmp_path), "default", "wal.log")
-        with open(wal, "ab") as f:
+        import glob as _glob
+
+        segs = sorted(_glob.glob(os.path.join(str(tmp_path), "default", "wal", "wal-*.log")))
+        with open(segs[-1], "ab") as f:
             f.write(b"\xa7garbage-torn-frame")
         db2 = ToStoreTPU.open(str(tmp_path))
         assert db2.count("users") == 1  # intact prefix replayed, tail dropped

@@ -288,21 +288,65 @@ class ColumnStore:
 
     # --- persistence -------------------------------------------------------
 
+    def _pack_column(self, col: Column, rows: np.ndarray) -> dict:
+        """Vectorized column serialization — one fancy-index per typed
+        column instead of one Python call per cell (checkpoints must be
+        O(dirty data), not O(cells) of interpreter time)."""
+        col._grow(self.high)
+        if col.np_type is not None:
+            return {"data": col.data[rows], "null": col.null[rows]}
+        return {"values": col.data[rows].tolist()}
+
+    @staticmethod
+    def _unpack_column(col: Column, packed: dict, n: int):
+        if "values" in packed:
+            out = np.empty(n, dtype=object)
+            out[:] = packed["values"]
+            col.data = out
+        else:
+            col.data = np.asarray(packed["data"], col.np_type).copy()
+            col.null = np.asarray(packed["null"], np.bool_).copy()
+
     def state_dict(self) -> dict:
         rows = np.flatnonzero(self.valid_view())
-        recs = {name: [col.get(r) for r in rows] for name, col in self.columns.items()}
+        self.pk_col._grow(self.high)
         return {
-            "pks": [self.pk_col.get(r) for r in rows],
-            "columns": recs,
+            "fmt": 2,
+            "n": int(len(rows)),
+            "pk": self._pack_column(self.pk_col, rows),
+            "pk_dtype": self.pk_col.dtype.value,
+            "columns": {
+                name: self._pack_column(col, rows) for name, col in self.columns.items()
+            },
             "column_types": {name: col.dtype.value for name, col in self.columns.items()},
         }
 
     @staticmethod
     def from_state_dict(schema: TableSchema, d: dict) -> "ColumnStore":
         cs = ColumnStore(schema)
-        cols = d["columns"]
         for name, tval in d.get("column_types", {}).items():
             cs.ensure_column(name, DataType(tval))  # system/extra columns
+        if d.get("fmt", 1) >= 2:
+            n = int(d["n"])
+            cs.high = n
+            cs.valid = np.zeros(max(n, _GROW), np.bool_)
+            cs.valid[:n] = True
+            ColumnStore._unpack_column(cs.pk_col, d["pk"], n)
+            if cs.pk_col.np_type is not None and cs.pk_col.null is None:
+                cs.pk_col.null = np.zeros(n, np.bool_)
+            pks = (
+                cs.pk_col.data[:n].tolist()
+                if cs.pk_col.np_type is not None
+                else list(cs.pk_col.data[:n])
+            )
+            cs._pk_row = {pk: i for i, pk in enumerate(pks)}
+            for name, packed in d["columns"].items():
+                if name in cs.columns:
+                    ColumnStore._unpack_column(cs.columns[name], packed, n)
+            cs.generation = 0
+            return cs
+        # legacy fmt 1: one value list per column
+        cols = d["columns"]
         names = list(cs.columns)
         for j, pk in enumerate(d["pks"]):
             rec = {n: cols[n][j] if n in cols else None for n in names}

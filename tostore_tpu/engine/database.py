@@ -44,8 +44,17 @@ from ..models.schema import DataType, ForeignKeyAction, TableSchema
 from ..query.condition import QueryCondition
 from ..query.executor import QueryExecutor, QuerySpec
 from ..utils import codec
+from ..utils.logging import Logger
 from .table import Table, ValidationError, INGEST_TS_FIELD
-from .wal import WalWriter, atomic_write, read_wal
+from .wal import (
+    SegmentedWalWriter,
+    atomic_write,
+    list_segments,
+    read_wal,
+    read_wal_segments,
+)
+
+log = Logger("engine")
 
 GLOBAL_SPACE = "global"
 KV_TABLE = "_system_kv"
@@ -116,7 +125,8 @@ class Database:
         self._tables: dict[tuple[str, str], Table] = {}
         self._schemas: dict[tuple[str, str], TableSchema] = {}
         self.global_config = GlobalConfig()
-        self._wal: WalWriter | None = None
+        self._wal: SegmentedWalWriter | None = None
+        self._ckpt_gens: dict[tuple[str, str], int] = {}  # per-table clean marks
         self._wal_buffer: list | None = None
         self._txn: _Txn | None = None
         self._subs: dict[tuple, list[Subscription]] = {}
@@ -125,7 +135,12 @@ class Database:
         self._migrations: list[dict] = []
         self._opened_ms = int(time.time() * 1000)
         self._counters = {"inserts": 0, "updates": 0, "deletes": 0, "queries": 0,
-                          "vector_searches": 0, "flushes": 0, "recovered_wal_entries": 0}
+                          "vector_searches": 0, "flushes": 0,
+                          "recovered_wal_entries": 0,
+                          "recovery_decode_errors": 0,  # CRC-valid frames that
+                          # failed to decode (wrong key / corruption)
+                          "recovery_apply_errors": 0}  # replayed entries whose
+        # re-application raised (benign double-apply or genuine divergence)
         self.executor = QueryExecutor(self)
         self._envelope = self._make_envelope()
         from .maintenance import IntegrityChecker, ResourceManager, WeightManager
@@ -219,7 +234,6 @@ class Database:
         d = self.db_dir
         os.makedirs(d, exist_ok=True)
         manifest_path = os.path.join(d, "manifest.json")
-        snap_path = os.path.join(d, "current.snap")
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 self.global_config = GlobalConfig.from_json(json.load(f))
@@ -232,23 +246,64 @@ class Database:
                     fn(self)
             self.global_config.version = ENGINE_VERSION
             self._persist_manifest()
-        if os.path.exists(snap_path):
-            with open(snap_path, "rb") as f:
+
+        # table snapshots: per-table files via the manifest catalog; a
+        # legacy round-1 monolithic current.snap loads once and migrates
+        legacy_snap = os.path.join(d, "current.snap")
+        legacy_wal = os.path.join(d, "wal.log")
+        legacy = os.path.exists(legacy_snap) or os.path.exists(legacy_wal)
+        if os.path.exists(legacy_snap):
+            with open(legacy_snap, "rb") as f:
                 self._load_snapshot(codec.loads(self._unwrap_bytes(f.read())))
+        catalog = self.global_config.extras.get("catalog", {})
+        for space, tbls in catalog.items():
+            for name, rel in tbls.items():
+                p = os.path.join(d, rel)
+                if not os.path.exists(p):
+                    continue  # checkpointed before the table's first write
+                with open(p, "rb") as f:
+                    td = codec.loads(self._unwrap_bytes(f.read()))
+                t = Table.from_state_dict(
+                    _unpack_ndarrays(td), self.config.distributed.node_id, self._mesh
+                )
+                self._tables[(space, name)] = t
+                self._schemas[(space, name)] = t.schema
+        for key, t in self._tables.items():
+            self._ckpt_gens[key] = t.store.generation
         self._ensure_kv_table()  # must exist before WAL replay of KV writes
-        # WAL replay (crash recovery)
-        wal_path = os.path.join(d, "wal.log")
-        entries = read_wal(wal_path, unwrap=self._unwrap_bytes)
+
+        # WAL replay (crash recovery): segments at/after the checkpoint
+        # pointer, plus any legacy single-file log
+        wal_dir = os.path.join(d, "wal")
+        start_seq = int(self.global_config.extras.get("wal_start_seq", 1))
+        legacy_read = read_wal(legacy_wal, unwrap=self._unwrap_bytes)
+        entries, decode_errors = read_wal_segments(
+            wal_dir, start_seq, unwrap=self._unwrap_bytes
+        )
+        entries = legacy_read.entries + entries
         for e in entries:
             self._replay(e)
         self._counters["recovered_wal_entries"] = len(entries)
-        self._wal = WalWriter(
-            wal_path,
-            sync=self.config.persist_recovery_on_commit,
+        self._counters["recovery_decode_errors"] = legacy_read.errors + decode_errors
+        segs = list_segments(wal_dir)
+        next_seq = max(start_seq, segs[-1][0] + 1 if segs else start_seq)
+        self._wal = SegmentedWalWriter(
+            wal_dir,
+            next_seq,
+            sync_policy=(
+                "commit"
+                if self.config.persist_recovery_on_commit
+                else self.config.recovery_flush_policy
+            ),
+            interval_ms=self.config.recovery_flush_interval_ms,
             wrap=self._wrap_bytes if self._envelope is not None else None,
+            segment_max_bytes=self.config.wal_segment_max_bytes,
         )
-        if entries:
+        if entries or legacy:
             self.flush()  # fold replayed tail into a fresh checkpoint
+            for p in (legacy_snap, legacy_wal):
+                if os.path.exists(p):
+                    os.remove(p)
 
     def _start_crontab(self):
         from .crontab import CrontabManager
@@ -537,8 +592,12 @@ class Database:
                 if t is not None:
                     self._tables[(e["space"], e["new"])] = t
                     self._schemas[(e["space"], e["new"])] = t.schema
-        except (UniqueViolation, ValidationError, KeyError):
-            pass  # recovery is best-effort per entry; torn semantics already cut
+        except (UniqueViolation, ValidationError, KeyError) as exc:
+            # best-effort per entry, but COUNTED and logged: a benign
+            # double-apply after a checkpoint race and genuine recovery
+            # divergence must be distinguishable in status()
+            self._counters["recovery_apply_errors"] += 1
+            log.warning(f"WAL replay: {op} entry failed to apply: {exc}")
 
     # ------------------------------------------------------------- notifications
 
@@ -1122,21 +1181,63 @@ class Database:
             out[k] = v
         return out
 
-    def flush(self) -> None:
-        """Checkpoint: atomic snapshot + WAL truncate (reference
-        pjm:1209-1228 flushAll -> advanceCheckpoint)."""
+    def _table_dirty(self, key: tuple[str, str], t: Table) -> bool:
+        return (
+            key not in self._ckpt_gens
+            or t.store.generation != self._ckpt_gens[key]
+            or any(t._vec_pending.values())
+            or any(t._filter_pending.values())
+        )
+
+    def flush(self, force_all: bool = False) -> None:
+        """Incremental checkpoint: rewrite only the tables dirtied since the
+        last checkpoint (per-table atomic snapshot files), persist the
+        catalog + WAL checkpoint pointer, prune covered segments (reference
+        pjm:1209-1228 flushAll -> advanceCheckpoint; wal_manager.dart:608
+        checkpoint pointer). Cost is O(dirty tables), not O(database).
+        `force_all` rewrites everything (key rotation re-seals artifacts)."""
         if self.config.memory_mode:
             return
         with self._lock:
-            snap = self._snapshot_state()
-            atomic_write(
-                os.path.join(self.db_dir, "current.snap"),
-                self._wrap_bytes(codec.dumps(snap)),
-            )
+            from urllib.parse import quote
+
+            tdir = os.path.join(self.db_dir, "tables")
+            os.makedirs(tdir, exist_ok=True)
+            catalog: dict[str, dict[str, str]] = {}
+            written = 0
+            for (space, name), t in self._tables.items():
+                rel = "tables/" + quote(space, safe="") + "@" + quote(name, safe="") + ".snap"
+                catalog.setdefault(space, {})[name] = rel
+                if force_all or self._table_dirty((space, name), t):
+                    gen = t.store.generation
+                    atomic_write(
+                        os.path.join(self.db_dir, rel),
+                        self._wrap_bytes(codec.dumps(self._pack_table(t))),
+                    )
+                    self._ckpt_gens[(space, name)] = gen
+                    written += 1
+            # stale snap files: dropped/renamed tables
+            live = {
+                os.path.normpath(os.path.join(self.db_dir, rel))
+                for tbls in catalog.values()
+                for rel in tbls.values()
+            }
+            for p in glob.glob(os.path.join(tdir, "*.snap")):
+                if os.path.normpath(p) not in live:
+                    os.remove(p)
+            self._ckpt_gens = {
+                k: v for k, v in self._ckpt_gens.items() if k in self._tables
+            }
+            new_seq = self._wal.checkpoint_rotate() if self._wal is not None else 1
+            self.global_config.extras["catalog"] = catalog
+            self.global_config.extras["wal_start_seq"] = new_seq
             self._persist_manifest()
             if self._wal is not None:
-                self._wal.truncate()
+                self._wal.prune_before(new_seq)
             self._counters["flushes"] += 1
+            self._counters["tables_checkpointed"] = (
+                self._counters.get("tables_checkpointed", 0) + written
+            )
 
     def _snapshot_state(self) -> dict:
         tables = {}
@@ -1172,7 +1273,8 @@ class Database:
             ring = self._envelope.ring
             old_id = ring.current
             ring.rotate(new_passphrase)
-            self.flush()  # snapshot re-sealed under the new key; WAL truncated
+            # every artifact re-sealed under the new key; WAL rotated
+            self.flush(force_all=True)
             ring.retire(old_id)
             return DbResult.success(data={"key_id": ring.current})
 
@@ -1230,14 +1332,22 @@ class Database:
                     return DbResult.error(
                         ResultType.ioError, "cannot restore a file backup into memory mode"
                     )
-                for f in glob.glob(os.path.join(self.db_dir, "*")):
+                if self._wal:
+                    self._wal.close()
+                    self._wal = None
+                for f in glob.glob(
+                    os.path.join(self.db_dir, "**"), recursive=True
+                ):
                     if os.path.isfile(f):
                         os.remove(f)
                 z.extractall(self.db_dir)
             self._tables.clear()
             self._schemas.clear()
+            self._ckpt_gens.clear()
             if self._wal:
                 self._wal.close()
+            # the restored manifest may carry a different KDF salt
+            self._envelope = self._make_envelope()
             self._open_files()
             self._ensure_kv_table()
             return DbResult.success()

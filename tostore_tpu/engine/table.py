@@ -521,9 +521,16 @@ class Table:
         t.store = ColumnStore.from_state_dict(schema, d["store"])
         t.store.ensure_column(INGEST_TS_FIELD, DataType.datetime)
         t._seq.restore(d.get("seq", 1))
-        for pk in t.store.pks():
-            rec = t.store.get(pk)
-            t._unique_apply(pk, rec, None)
+        # rebuild unique maps touching only the constrained fields (restores
+        # must be O(rows x unique-fields), not O(cells))
+        needed = set(t._unique_field_names)
+        for _, fields in t._unique_index_specs:
+            needed.update(fields)
+        if needed:
+            cols = {f: t.store.columns[f] for f in needed if f in t.store.columns}
+            for pk, row in t.store._pk_row.items():
+                rec = {f: c.get(row) for f, c in cols.items()}
+                t._unique_apply(pk, rec, None)
         vstates = d.get("vector_indexes", {})
         for f, vs in vstates.items():
             if f in t.vector_indexes:

@@ -1,66 +1,136 @@
-"""Write-ahead log + checkpointed snapshots.
+"""Write-ahead log (segmented) + checkpointed snapshots.
 
 Durability contract matches the reference (SURVEY.md §2.3): every mutation
-is WAL-appended before it is acknowledged; a checkpoint persists a full
-consistent snapshot (tables + vector corpora + meta) and truncates the log;
-crash recovery = load snapshot + replay the WAL tail, discarding any torn
-tail frame (reference wal_manager.dart:608 initializeAndRecover +
-parallel_journal_manager.dart:1209-1228 flushAll->advanceCheckpoint).
+is WAL-appended before it is acknowledged; a checkpoint persists the dirty
+tables' snapshots and advances a checkpoint pointer past the log segments
+it covered (reference wal_manager.dart:608 initializeAndRecover +
+parallel_journal_manager.dart:1209-1228 flushAll->advanceCheckpoint);
+crash recovery = load per-table snapshots + replay segments at/after the
+pointer, discarding any torn tail frame.
 
 The reference needs an A/B parallel journal, page redo logs and pending-
 batch registries because it mutates thousands of 16 KB pages in place; here
-a snapshot is written to a temp file and atomically renamed, so the redo
-machinery collapses to "rename is the commit point".
+each table snapshot is written to a temp file and atomically renamed, so
+the redo machinery collapses to "rename is the commit point".
+
+Fsync policy (reference data_store_config.dart:125 recoveryFlushPolicy):
+"commit" fsyncs every append (persistRecoveryOnCommit), "interval" fsyncs
+at most once per `interval_ms` piggybacked on appends (default, bounds the
+power-loss window to ~1s), "os" never fsyncs explicitly (page cache only).
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import os
+import re
 import threading
+import time
 
 from ..utils import codec
 
+_SEG_RE = re.compile(r"wal-(\d{8})\.log$")
 
-class WalWriter:
-    """Append-only framed WAL with group-commit flushing.
 
-    `wrap` transforms each payload before framing (encryption envelope,
-    reference encoder.dart prefixed formats)."""
+def _segment_path(wal_dir: str, seq: int) -> str:
+    return os.path.join(wal_dir, f"wal-{seq:08d}.log")
 
-    def __init__(self, path: str, sync: bool = False, wrap=None):
-        self.path = path
-        self.sync = sync
+
+def list_segments(wal_dir: str) -> list[tuple[int, str]]:
+    out = []
+    for p in _glob.glob(os.path.join(wal_dir, "wal-*.log")):
+        m = _SEG_RE.search(p)
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out)
+
+
+class SegmentedWalWriter:
+    """Append-only framed WAL over numbered segment files.
+
+    A new segment always starts on open (never append after a possibly-torn
+    tail) and on checkpoint; oversized segments rotate transparently.
+    `wrap` transforms each payload before framing (encryption envelope)."""
+
+    def __init__(
+        self,
+        wal_dir: str,
+        start_seq: int,
+        sync_policy: str = "interval",
+        interval_ms: int = 1000,
+        wrap=None,
+        segment_max_bytes: int = 64 << 20,
+    ):
+        if sync_policy not in ("commit", "interval", "os"):
+            raise ValueError(f"unknown recovery flush policy {sync_policy!r}")
+        os.makedirs(wal_dir, exist_ok=True)
+        self.wal_dir = wal_dir
+        self.seq = start_seq
+        self.sync_policy = sync_policy
+        self.interval_ms = interval_ms
+        self.segment_max_bytes = segment_max_bytes
         self.wrap = wrap or (lambda b: b)
         self._lock = threading.Lock()
-        self._f = open(path, "ab")
+        self._last_sync = 0.0
+        self._bytes = 0
+        self._f = open(_segment_path(wal_dir, start_seq), "ab")
         self.entries_since_checkpoint = 0
 
-    def append(self, entry: dict):
-        data = codec.frame(self.wrap(codec.dumps(entry)))
+    @property
+    def path(self) -> str:
+        return _segment_path(self.wal_dir, self.seq)
+
+    def _write(self, data: bytes, n_entries: int):
         with self._lock:
             self._f.write(data)
             self._f.flush()
-            if self.sync:
+            if self.sync_policy == "commit":
                 os.fsync(self._f.fileno())
-            self.entries_since_checkpoint += 1
+            elif self.sync_policy == "interval":
+                now = time.monotonic()
+                if (now - self._last_sync) * 1000.0 >= self.interval_ms:
+                    os.fsync(self._f.fileno())
+                    self._last_sync = now
+            self.entries_since_checkpoint += n_entries
+            self._bytes += len(data)
+            if self._bytes >= self.segment_max_bytes:
+                self._roll_locked()
+
+    def append(self, entry: dict):
+        self._write(codec.frame(self.wrap(codec.dumps(entry))), 1)
 
     def append_many(self, entries: list[dict]):
-        data = b"".join(codec.frame(self.wrap(codec.dumps(e))) for e in entries)
-        with self._lock:
-            self._f.write(data)
-            self._f.flush()
-            if self.sync:
-                os.fsync(self._f.fileno())
-            self.entries_since_checkpoint += len(entries)
+        if not entries:
+            return
+        self._write(
+            b"".join(codec.frame(self.wrap(codec.dumps(e))) for e in entries),
+            len(entries),
+        )
 
-    def truncate(self):
-        """Checkpoint advanced: start a fresh log."""
+    def _roll_locked(self):
+        self._f.flush()
+        os.fsync(self._f.fileno())
+        self._f.close()
+        self.seq += 1
+        self._bytes = 0
+        self._f = open(_segment_path(self.wal_dir, self.seq), "ab")
+
+    def checkpoint_rotate(self) -> int:
+        """Start a fresh segment; returns its seq (the new checkpoint
+        pointer). Older segments become garbage once the pointer persists."""
         with self._lock:
-            self._f.close()
-            self._f = open(self.path, "wb")
-            self._f.flush()
-            os.fsync(self._f.fileno())
+            self._roll_locked()
             self.entries_since_checkpoint = 0
+            return self.seq
+
+    def prune_before(self, seq: int):
+        """Delete segments older than the persisted checkpoint pointer."""
+        for s, p in list_segments(self.wal_dir):
+            if s < seq:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
     def close(self):
         with self._lock:
@@ -72,20 +142,50 @@ class WalWriter:
             self._f.close()
 
 
-def read_wal(path: str, unwrap=None) -> list[dict]:
-    """Replay: all intact entries; torn tail silently dropped."""
+def read_wal_segments(
+    wal_dir: str, start_seq: int, unwrap=None
+) -> tuple[list[dict], int]:
+    """Replay entries from every segment >= start_seq, in order. Returns
+    (entries, decode_errors): per segment the intact frame prefix is used
+    and a torn/undecryptable tail is dropped (counted as one error)."""
+    entries: list[dict] = []
+    errors = 0
+    for seq, path in list_segments(wal_dir):
+        if seq < start_seq:
+            continue
+        got = read_wal(path, unwrap=unwrap)
+        entries.extend(got.entries)
+        errors += got.errors
+    return entries, errors
+
+
+class WalReadResult:
+    __slots__ = ("entries", "errors")
+
+    def __init__(self, entries, errors):
+        self.entries = entries
+        self.errors = errors
+
+
+def read_wal(path: str, unwrap=None) -> "WalReadResult":
+    """Replay one log file: the intact entry prefix; a torn/corrupt tail is
+    dropped and counted so recovery can surface it in status()."""
     if not os.path.exists(path):
-        return []
+        return WalReadResult([], 0)
     unwrap = unwrap or (lambda b: b)
     with open(path, "rb") as f:
         data = f.read()
     out = []
+    errors = 0
+    consumed = 0
     for p in codec.iter_frames(data):
         try:
             out.append(codec.loads(unwrap(p)))
         except (ValueError, IndexError):
+            errors += 1
             break  # undecryptable/corrupt entry: stop at the intact prefix
-    return out
+        consumed += 1
+    return WalReadResult(out, errors)
 
 
 def atomic_write(path: str, data: bytes):

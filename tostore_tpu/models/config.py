@@ -60,7 +60,14 @@ class DataStoreConfig:
     write_batch_size: int = 10_000
     max_flush_latency_ms: int = 500
     enable_journal: bool = True
-    persist_recovery_on_commit: bool = False
+    persist_recovery_on_commit: bool = False  # shorthand for policy="commit"
+    # WAL fsync cadence (reference recoveryFlushPolicy): "commit" fsyncs
+    # every append, "interval" at most once per recovery_flush_interval_ms
+    # (default — bounds the power-loss window), "os" leaves it to the page
+    # cache.
+    recovery_flush_policy: str = "interval"
+    recovery_flush_interval_ms: int = 1000
+    wal_segment_max_bytes: int = 64 << 20
 
     # query surface (reference defaultQueryLimit=1000 / maxQueryOffset=10000)
     default_query_limit: int = 1000
