@@ -27,7 +27,7 @@ def schema():
             FieldSchema("s", DataType.text),
             FieldSchema("flag", DataType.boolean),
         ),
-        indexes=(IndexSchema(fields=("a",)),),
+        indexes=(IndexSchema(fields=("a",)), IndexSchema(fields=("s",))),
     )
 
 

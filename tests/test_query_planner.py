@@ -1,0 +1,167 @@
+"""Cost-based planner: DNF index unions, in-expansion, exact-selectivity
+cost compare, and the row-level limit-aware sort path (reference
+query_optimizer.dart:11 DNF<=64, cost_estimator.dart, topk_heap.dart)."""
+
+import numpy as np
+import pytest
+
+from tostore_tpu.api import ToStoreTPU
+from tostore_tpu.models.schema import (
+    DataType,
+    FieldSchema,
+    IndexSchema,
+    TableSchema,
+)
+from tostore_tpu.query.condition import QueryCondition
+from tostore_tpu.query.executor import QuerySpec
+
+
+def schema():
+    return TableSchema(
+        name="t",
+        fields=(
+            FieldSchema("age", DataType.integer),
+            FieldSchema("city", DataType.text),
+            FieldSchema("score", DataType.double),
+        ),
+        indexes=(
+            IndexSchema(fields=("age",), type="btree"),
+            IndexSchema(fields=("city",), type="btree"),
+        ),
+    )
+
+
+@pytest.fixture
+def db():
+    d = ToStoreTPU.memory(schemas=[schema()])
+    rows = [
+        {"age": i % 50, "city": f"c{i % 7}", "score": float(i % 13)}
+        for i in range(300)
+    ]
+    d.batch_insert("t", rows)
+    yield d
+    d.close()
+
+
+def plan_of(db, cond, order_by=None):
+    spec = QuerySpec(condition=cond, order_by=order_by or [])
+    return db.engine.executor.choose_plan(db.engine._table("t"), spec)
+
+
+class TestDnf:
+    def test_or_union_of_indexed_fields(self):
+        c = QueryCondition().where("age", "=", 1)
+        c.or_(QueryCondition().where("city", "=", "c2"))
+        arms = c.dnf()
+        assert arms == [[("age", "=", 1)], [("city", "=", "c2")]]
+
+    def test_and_of_ors_cross_product(self):
+        a = QueryCondition().or_(QueryCondition().where("x", "=", 1)).or_(
+            QueryCondition().where("x", "=", 2)
+        )
+        b = QueryCondition().or_(QueryCondition().where("y", "=", 3)).or_(
+            QueryCondition().where("y", "=", 4)
+        )
+        c = QueryCondition().and_(a).and_(b)
+        assert len(c.dnf()) == 4
+
+    def test_cap_returns_none(self):
+        c = QueryCondition()
+        for _ in range(8):  # 2^8 = 256 > 64
+            o = QueryCondition().or_(QueryCondition().where("x", "=", 1)).or_(
+                QueryCondition().where("x", "=", 2)
+            )
+            c.and_(o)
+        assert c.dnf() is None
+
+
+class TestPlanner:
+    def test_or_condition_uses_index_union(self, db):
+        c = QueryCondition().where("age", "=", 1)
+        c.or_(QueryCondition().where("city", "=", "c2"))
+        p = plan_of(db, c)
+        assert p.plan == "indexUnion"
+        got = db.query("t").condition(c).fetch()
+        # oracle: full scan via per-record matcher
+        allr = db.query("t").limit(1000).fetch().records
+        oracle = [r for r in allr if c.matches(r)]
+        assert len(got.records) == len(oracle)
+        assert {r["id"] for r in got.records} == {r["id"] for r in oracle}
+
+    def test_in_expands_to_arms(self, db):
+        c = QueryCondition().where("age", "in", [1, 5, 9])
+        p = plan_of(db, c)
+        assert p.plan in ("indexScan", "indexUnion")
+        assert p.estimated_rows == 18  # 6 rows per age value
+        got = db.query("t").condition(c).limit(1000).fetch()
+        assert len(got.records) == 18
+
+    def test_wide_range_prefers_table_scan(self, db):
+        c = QueryCondition().where("age", ">=", 0)  # matches everything
+        p = plan_of(db, c)
+        assert p.plan == "tableScan"
+
+    def test_narrow_range_prefers_index(self, db):
+        c = QueryCondition().where("age", "=", 3)
+        p = plan_of(db, c)
+        assert p.plan == "indexScan"
+        assert p.estimated_rows == 6
+
+    def test_unindexed_or_falls_back(self, db):
+        c = QueryCondition().where("age", "=", 1)
+        c.or_(QueryCondition().where("score", "=", 2.0))  # score unindexed
+        p = plan_of(db, c)
+        assert p.plan == "tableScan"
+        allr = db.query("t").limit(1000).fetch().records
+        oracle = [r for r in allr if c.matches(r)]
+        got = db.query("t").condition(c).limit(1000).fetch()
+        assert {r["id"] for r in got.records} == {r["id"] for r in oracle}
+
+    def test_order_only_index_plan(self, db):
+        p = plan_of(db, None, order_by=[("age", False)])
+        assert p.plan == "indexOrder"
+
+
+class TestLimitAwareSort:
+    def test_limit_matches_full_sort(self, db):
+        full = db.query("t").order_by("score").limit(1000).fetch().records
+        page = db.query("t").order_by("score").limit(7).fetch().records
+        assert page == full[:7]
+
+    def test_desc_with_offset(self, db):
+        full = db.query("t").order_by_desc("age").limit(1000).fetch().records
+        page = db.query("t").order_by_desc("age").offset(5).limit(4).fetch().records
+        assert page == full[5:9]
+
+    def test_order_by_text_column(self, db):
+        full = db.query("t").order_by("city").limit(1000).fetch().records
+        page = db.query("t").order_by("city").limit(9).fetch().records
+        assert page == full[:9]
+
+    def test_nulls_first_asc_last_desc(self):
+        d = ToStoreTPU.memory(schemas=[schema()])
+        d.insert("t", {"age": None, "city": "x", "score": 0.0})
+        d.insert("t", {"age": 5, "city": "y", "score": 0.0})
+        d.insert("t", {"age": 1, "city": "z", "score": 0.0})
+        asc = [r["age"] for r in d.query("t").order_by("age").fetch().records]
+        desc = [r["age"] for r in d.query("t").order_by_desc("age").fetch().records]
+        assert asc == [None, 1, 5]
+        assert desc == [5, 1, None]
+        d.close()
+
+    def test_partial_sort_large(self):
+        d = ToStoreTPU.memory(schemas=[schema()])
+        rng = np.random.default_rng(7)
+        vals = rng.integers(0, 10_000, size=20_000)
+        d.batch_insert(
+            "t",
+            [{"age": int(v), "city": "c", "score": 0.0} for v in vals],
+        )
+        page = d.query("t").order_by("age").limit(5).fetch().records
+        want = np.sort(vals)[:5].tolist()
+        assert [r["age"] for r in page] == want
+        # stable tiebreak: equal ages ordered by insertion (rowid)
+        eq = d.query("t").where("age", "=", page[0]["age"]).fetch().records
+        ids = [r["id"] for r in eq]
+        assert ids == sorted(ids)
+        d.close()

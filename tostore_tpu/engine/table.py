@@ -103,24 +103,33 @@ class SortedIndex:
             self._build(store)
         return self._order
 
-    def range_rows(self, store: ColumnStore, lo=None, hi=None, lo_open=False, hi_open=False):
-        """Rows whose first key field lies within [lo, hi]."""
+    def range_positions(
+        self, store: ColumnStore, lo=None, hi=None, lo_open=False, hi_open=False
+    ) -> tuple[int, int]:
+        """Bisect positions [a, b) of the first key field within [lo, hi] —
+        b - a is an EXACT row count for the cost model (reference
+        cost_estimator.dart compares estimated plan costs; the sorted array
+        gives the true selectivity for free)."""
         from ..utils import memcomparable as mc
 
         if self._gen != store.generation:
             self._build(store)
         keys = self._keys
-        n = len(keys)
-        a, b = 0, n
+        a, b = 0, len(keys)
         if lo is not None:
             klo = self._encode(lo)
             if lo_open:
                 klo = mc.prefix_upper_bound(klo)
-            a = np.searchsorted(keys, klo, side="left")
+            a = int(np.searchsorted(keys, klo, side="left"))
         if hi is not None:
             khi = self._encode(hi)
             khi = khi if hi_open else mc.prefix_upper_bound(khi)
-            b = np.searchsorted(keys, khi, side="left")
+            b = int(np.searchsorted(keys, khi, side="left"))
+        return a, max(a, b)
+
+    def range_rows(self, store: ColumnStore, lo=None, hi=None, lo_open=False, hi_open=False):
+        """Rows whose first key field lies within [lo, hi]."""
+        a, b = self.range_positions(store, lo, hi, lo_open, hi_open)
         return self._order[a:b]
 
 

@@ -135,6 +135,40 @@ class QueryCondition:
             leaves.extend(c.and_leaves())
         return leaves
 
+    def dnf(self, cap: int = 64) -> list[list[tuple[str, str, Any]]] | None:
+        """Disjunctive normal form: a list of AND-conjunctions (leaf lists)
+        whose union is this predicate, or None when expansion exceeds `cap`
+        (reference query_optimizer.dart:11 maxDnfExpansion=64). Node
+        semantics: (clauses AND and-children) OR or-children."""
+        if not self._clauses and not self._and:
+            if not self._or:
+                return [[]]  # empty condition = TRUE
+            out: list[list] = []
+            for c in self._or:
+                sub = c.dnf(cap)
+                if sub is None:
+                    return None
+                out.extend(sub)
+                if len(out) > cap:
+                    return None
+            return out
+        base: list[list] = [list(self._clauses)]
+        for c in self._and:
+            sub = c.dnf(cap)
+            if sub is None:
+                return None
+            base = [b + s for b in base for s in sub]
+            if len(base) > cap:
+                return None
+        for c in self._or:
+            sub = c.dnf(cap)
+            if sub is None:
+                return None
+            base.extend(sub)
+            if len(base) > cap:
+                return None
+        return base
+
     def referenced_fields(self) -> set[str]:
         out = {f for f, _, _ in self._clauses}
         for c in self._and + self._or:

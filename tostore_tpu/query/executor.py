@@ -70,9 +70,13 @@ class QuerySpec:
 
 @dataclass
 class ExplainInfo:
-    plan: str  # 'indexScan' | 'tableScan'
+    plan: str  # 'indexScan' | 'indexUnion' | 'indexOrder' | 'tableScan'
     index: str | None = None
     estimated_rows: int = 0
+    # indexScan/indexUnion: resolved (index_name, lo_pos, hi_pos) bisect
+    # slices, one per DNF arm (exact counts — the sorted key array makes
+    # true selectivity free, reference cost_estimator.dart:9-11)
+    arms: list = field(default_factory=list)
 
 
 def _encode_cursor(values: list, pk) -> str:
@@ -83,6 +87,64 @@ def _decode_cursor(tok: str):
     return json.loads(base64.urlsafe_b64decode(tok.encode()))
 
 
+def _coerce_index_value(v, fs):
+    """Quoted numerics compare numerically on numeric columns (reference
+    quirk, database_tester.dart advanced-queries suite)."""
+    from ..models.schema import DataType
+
+    if fs is not None and isinstance(v, str) and fs.type in (
+        DataType.integer, DataType.bigInt, DataType.double, DataType.datetime
+    ):
+        try:
+            fv = float(v)
+            return int(fv) if fv.is_integer() and fs.type != DataType.double else fv
+        except ValueError:
+            return v
+    return v
+
+
+def _extract_bounds(leaves: list, field: str, fs):
+    """(lo, hi, lo_open, hi_open) for `field` from AND leaves, or None when
+    no range/equality leaf constrains it. Superset semantics: the residual
+    predicate re-filters, so float bounds widen on integer columns."""
+    import math
+
+    from ..models.schema import DataType
+
+    lo = hi = None
+    lo_open = hi_open = False
+    found = False
+    for f, op, v in leaves:
+        if f != field or op not in ("=", ">", "<", ">=", "<=", "between"):
+            continue
+        v = (
+            _coerce_index_value(v, fs)
+            if not isinstance(v, tuple)
+            else tuple(_coerce_index_value(x, fs) for x in v)
+        )
+        found = True
+        if op == "=":
+            lo = hi = v
+        elif op == ">":
+            lo, lo_open = v, True
+        elif op == ">=":
+            lo = v
+        elif op == "<":
+            hi, hi_open = v, True
+        elif op == "<=":
+            hi = v
+        elif op == "between":
+            lo, hi = v
+    if not found:
+        return None
+    if fs is not None and fs.type in (DataType.integer, DataType.bigInt, DataType.datetime):
+        if isinstance(lo, float):
+            lo, lo_open = math.floor(lo), False
+        if isinstance(hi, float):
+            hi, hi_open = math.ceil(hi), False
+    return lo, hi, lo_open, hi_open
+
+
 def _copy_record(r: dict) -> dict:
     """Cache-boundary copy: callers own returned records, so list/dict
     cells must not alias the cached copy (columnstore get() guards the
@@ -91,6 +153,38 @@ def _copy_record(r: dict) -> dict:
         k: copy.deepcopy(v) if isinstance(v, (list, dict)) else v
         for k, v in r.items()
     }
+
+
+def _partial_first(rows, vk, nk, want):
+    """First `want` rows of the stable sort by (nk, vk) without sorting the
+    full candidate set: argpartition finds a value boundary per null-rank
+    group, then only the <=boundary subset (a stable-order superset of the
+    answer, ties included) is exact-sorted. Returns None when boundary ties
+    explode (full sort is cheaper)."""
+    out = []
+    taken = 0
+    for grp in (0, 1):
+        need = want - taken
+        if need <= 0:
+            break
+        m = nk == grp
+        g_rows, g_vk = rows[m], vk[m]
+        if not len(g_rows):
+            continue
+        if len(g_rows) <= need:
+            out.append(g_rows[np.argsort(g_vk, kind="stable")])
+            taken += len(g_rows)
+            continue
+        part = np.argpartition(g_vk, need - 1)[:need]
+        boundary = g_vk[part].max()
+        sel = g_vk <= boundary
+        if int(sel.sum()) > 4 * need + 1024:
+            return None  # massive ties at the boundary
+        s_rows = g_rows[sel]
+        idx = np.argsort(g_vk[sel], kind="stable")[:need]
+        out.append(s_rows[idx])
+        taken += len(idx)
+    return np.concatenate(out) if out else rows[:0]
 
 
 def _sort_key(v):
@@ -119,23 +213,85 @@ class QueryExecutor:
 
     # --- planning -----------------------------------------------------------
 
+    # an `in` leaf over an indexed field expands to one bisect arm per value
+    MAX_IN_ARMS = 16
+    # below this the per-row cost difference between plans is noise
+    MIN_COST_ROWS = 256
+
     def choose_plan(self, table, spec: QuerySpec) -> ExplainInfo:
-        """Index selection (reference query_optimizer.dart:30-43): a sorted
-        index is used when the AND-leaves constrain its first field with an
-        equality/range, or when it matches orderBy alone."""
+        """Cost-based index selection (reference query_optimizer.dart:30-43
+        + cost_estimator.dart): the condition expands to DNF (<=64 arms,
+        query_optimizer.dart:11); each arm resolves to a bisect slice on a
+        sorted index, and the EXACT candidate count competes against the
+        vectorized table scan. Order-only prefix matches fall back to an
+        indexOrder plan."""
         cond = spec.condition
-        leaves = cond.and_leaves() if cond else []
-        for name, sidx in table.sorted_indexes.items():
-            first = sidx.fields[0]
-            for f, op, v in leaves:
-                if f == first and op in ("=", ">", "<", ">=", "<=", "between"):
-                    return ExplainInfo("indexScan", name, len(table.store))
-        if spec.order_by and not leaves:
+        store = table.store
+        n = len(store)
+        conjs = (
+            cond.dnf() if cond is not None and not cond.is_empty else None
+        )
+        if conjs and conjs != [[]] and table.sorted_indexes and n:
+            arms = self._plan_arms(table, conjs)
+            if arms is not None:
+                est = sum(b - a for _, a, b in arms)
+                # candidates re-filter through the full residual mask, so an
+                # arm set covering most of the table loses to one vectorized
+                # scan; below the noise floor always take the index
+                if est <= self.MIN_COST_ROWS or est <= n // 2:
+                    names = sorted({a[0] for a in arms})
+                    return ExplainInfo(
+                        "indexScan" if len(arms) == 1 else "indexUnion",
+                        ",".join(names),
+                        est,
+                        arms=arms,
+                    )
+        if spec.order_by:
             fields_ = tuple(f for f, _ in spec.order_by)
             for name, sidx in table.sorted_indexes.items():
                 if sidx.fields[: len(fields_)] == fields_:
-                    return ExplainInfo("indexScan", name, len(table.store))
-        return ExplainInfo("tableScan", None, len(table.store))
+                    return ExplainInfo("indexOrder", name, n)
+        return ExplainInfo("tableScan", None, n)
+
+    def _plan_arms(self, table, conjs: list[list]) -> list[tuple] | None:
+        """Resolve each DNF conjunction to a (index, lo, hi) bisect slice;
+        None when any conjunction has no usable index (the union would not
+        be a superset of the matches)."""
+        arms: list[tuple] = []
+        for leaves in conjs:
+            if not leaves:
+                return None  # TRUE arm: the union is the whole table
+            arm = self._best_arm(table, leaves)
+            if arm is None:
+                return None
+            arms.extend(arm)
+        return arms
+
+    def _best_arm(self, table, leaves: list) -> list[tuple] | None:
+        best: list[tuple] | None = None
+        best_est = None
+        for name, sidx in table.sorted_indexes.items():
+            first = sidx.fields[0]
+            fs = table.schema.field_map.get(first)
+            bounds = _extract_bounds(leaves, first, fs)
+            if bounds is not None:
+                a, b = sidx.range_positions(table.store, *bounds)
+                if best_est is None or b - a < best_est:
+                    best, best_est = [(name, a, b)], b - a
+            # in-list: one slice per value
+            vals = next(
+                (v for f, op, v in leaves if f == first and op == "in"), None
+            )
+            if vals is not None and 0 < len(vals) <= self.MAX_IN_ARMS:
+                sub = []
+                for v in vals:
+                    v = _coerce_index_value(v, fs)
+                    a, b = sidx.range_positions(table.store, v, v)
+                    sub.append((name, a, b))
+                est = sum(b - a for _, a, b in sub)
+                if best_est is None or est < best_est:
+                    best, best_est = sub, est
+        return best
 
     # --- execution -----------------------------------------------------------
 
@@ -162,14 +318,61 @@ class QueryExecutor:
         plan = self.choose_plan(table, spec)
 
         # 1. candidate rows
-        if plan.plan == "indexScan":
-            rows = self._index_scan(table, plan.index, spec)
+        if plan.plan in ("indexScan", "indexUnion"):
+            rows = self._rows_from_arms(table, plan.arms)
+        elif plan.plan == "indexOrder":
+            rows = table.sorted_indexes[plan.index].ordered_rows(store)
         else:
             rows = np.flatnonzero(store.valid_view())
         # 2. residual predicate as vectorized mask
         if spec.condition is not None and not spec.condition.is_empty and len(rows):
             mask = spec.condition.mask(lambda f: store.column_view(f)[rows], len(rows))
             rows = rows[mask]
+
+        pk_name = table.schema.primary_key.name
+        order = spec.order_by or [(pk_name, False)]
+
+        # fast path: sort/paginate ROW IDS and materialize only the page
+        # (limit-aware selection, reference handler/topk_heap.dart — a
+        # limit(10) over 1M matches must not build 1M record dicts)
+        if (
+            not spec.joins
+            and not spec.aggregates
+            and not spec.group_by
+            and not spec.distinct
+            and spec.cursor is None
+        ):
+            total = int(len(rows))
+            start = (
+                min(spec.offset, self.db.config.max_query_offset)
+                if spec.offset
+                else 0
+            )
+            limit = (
+                spec.limit
+                if spec.limit is not None
+                else self.db.config.default_query_limit
+            )
+            pre_sorted = plan.plan == "indexOrder" and all(
+                not d for _, d in order
+            )
+            if not pre_sorted:
+                # tableScan (flatnonzero) and indexUnion (np.unique) yield
+                # rowid-sorted candidates; index slices are in KEY order
+                rowid_sorted = plan.plan in ("tableScan", "indexUnion")
+                rows = self._sort_rows(
+                    store, rows, order, pk_name, start + limit,
+                    rowid_sorted=rowid_sorted,
+                )
+            page_rows = rows[start : start + limit]
+            page = [store.read_row(int(r)) for r in page_rows]
+            for rec in page:
+                rec.pop("_system_ingest_ts_ms", None)
+            has_more = start + limit < total
+            return self._finish(
+                space, table_name, spec, cache_key, page, order, pk_name,
+                total, has_more, start,
+            )
 
         # 3. materialize + joins
         records = [store.read_row(r) for r in rows]
@@ -183,8 +386,6 @@ class QueryExecutor:
             return self._aggregate(records, spec)
 
         # 5. ordering
-        pk_name = table.schema.primary_key.name
-        order = spec.order_by or [(pk_name, False)]
         records.sort(
             key=lambda r: tuple(
                 _sort_key(r.get(f)) if not desc else _NegKey(_sort_key(r.get(f)))
@@ -231,6 +432,17 @@ class QueryExecutor:
         limit = spec.limit if spec.limit is not None else self.db.config.default_query_limit
         page = records[start : start + limit]
         has_more = start + limit < total
+        return self._finish(
+            space, table_name, spec, cache_key, page, order, pk_name,
+            total, has_more, start,
+        )
+
+    def _finish(
+        self, space, table_name, spec, cache_key, page, order, pk_name,
+        total, has_more, start,
+    ):
+        """Shared tail: cursors, projection, result + cache store."""
+        from ..models.results import QueryResult
 
         next_cursor = None
         if page and has_more:
@@ -241,7 +453,7 @@ class QueryExecutor:
             first = page[0]
             prev_cursor = _encode_cursor([first.get(f) for f, _ in order], first.get(pk_name))
 
-        # 7. projection
+        # projection
         if spec.select:
             page = [
                 {spec.aliases.get(k, k): r.get(k) for k in spec.select} for r in page
@@ -273,56 +485,84 @@ class QueryExecutor:
             )
         return result
 
-    def _index_scan(self, table, index_name: str, spec: QuerySpec) -> np.ndarray:
-        from ..models.schema import DataType
+    # --- row-level ordering ---------------------------------------------------
 
-        sidx = table.sorted_indexes[index_name]
-        first = sidx.fields[0]
-        fs = table.schema.field_map.get(first)
+    def _sort_rows(
+        self, store, rows: np.ndarray, order: list, pk_name: str, want: int,
+        rowid_sorted: bool = False,
+    ) -> np.ndarray:
+        """Stable sort of candidate rowids by the order spec, entirely on
+        typed column arrays (np.lexsort); object columns fall back to a
+        Python key sort of rowids (still no record materialization). When
+        one field orders a large candidate set and only `want` rows matter,
+        an argpartition pass prunes before the exact stable sort."""
+        if len(rows) <= 1:
+            return rows
+        keys = self._lex_keys(store, rows, order, pk_name, rowid_sorted)
+        if keys is None:
+            views = {f: store.column_view(f) for f, _ in order}
+            return np.asarray(
+                sorted(
+                    rows.tolist(),
+                    key=lambda r: tuple(
+                        _sort_key(views[f][r])
+                        if not d
+                        else _NegKey(_sort_key(views[f][r]))
+                        for f, d in order
+                    ),
+                ),
+                np.int64,
+            )
+        if len(order) == 1 and want >= 0 and want * 4 < len(rows) and len(rows) >= 8192:
+            res = _partial_first(rows, keys[-2], keys[-1], want)
+            if res is not None:
+                return res
+        return rows[np.lexsort(keys)]
 
-        def coerce(v):
-            # quoted numerics compare numerically (reference quirk)
-            if fs is not None and isinstance(v, str) and fs.type in (
-                DataType.integer, DataType.bigInt, DataType.double, DataType.datetime
-            ):
-                try:
-                    fv = float(v)
-                    return int(fv) if fv.is_integer() and fs.type != DataType.double else fv
-                except ValueError:
-                    return v
-            return v
+    def _lex_keys(self, store, rows, order, pk_name, rowid_sorted=False):
+        """np.lexsort keys (last = most significant) for typed columns, or
+        None when an order field lives in an object column. Each field
+        contributes (null-rank, value): nulls sort first ascending and last
+        descending, matching _sort_key/_NegKey semantics; descending inverts
+        exactly via ~int / -float."""
+        keys = []
+        # tombstone-free rowid-sorted candidate sets are contiguous:
+        # slice instead of fancy-index (8ms -> ~0 on a 1M-row scan). Index
+        # slices are in key order, where the range test can accidentally
+        # pass on a permutation — hence the rowid_sorted gate.
+        lo = int(rows[0])
+        contiguous = rowid_sorted and int(rows[-1]) - lo + 1 == len(rows)
+        for f, desc in reversed(order):
+            col = store.pk_col if f == pk_name else store.columns.get(f)
+            if col is None or col.np_type is None:
+                return None
+            col._grow(store.high)
+            if contiguous:
+                vals = col.data[lo : lo + len(rows)]
+                nulls = col.null[lo : lo + len(rows)]
+            else:
+                vals = col.data[rows]
+                nulls = col.null[rows]
+            if vals.dtype == np.bool_:
+                vals = vals.astype(np.int8)
+            if desc:
+                vk = -vals if vals.dtype.kind == "f" else ~vals
+                nk = nulls.astype(np.int8)
+            else:
+                vk = vals
+                nk = (~nulls).astype(np.int8)
+            keys.append(vk)
+            keys.append(nk)
+        return keys
 
-        lo = hi = None
-        lo_open = hi_open = False
-        leaves = spec.condition.and_leaves() if spec.condition else []
-        for f, op, v in leaves:
-            if f != first:
-                continue
-            v = coerce(v) if not isinstance(v, tuple) else tuple(coerce(x) for x in v)
-            if op == "=":
-                lo = hi = v
-            elif op == ">":
-                lo, lo_open = v, True
-            elif op == ">=":
-                lo = v
-            elif op == "<":
-                hi, hi_open = v, True
-            elif op == "<=":
-                hi = v
-            elif op == "between":
-                lo, hi = v
-        # index scan only needs SUPERSET semantics (the residual predicate
-        # re-filters) — widen float bounds on integer columns
-        import math
-
-        if fs is not None and fs.type in (DataType.integer, DataType.bigInt, DataType.datetime):
-            if isinstance(lo, float):
-                lo, lo_open = math.floor(lo), False
-            if isinstance(hi, float):
-                hi, hi_open = math.ceil(hi), False
-        if lo is None and hi is None:
-            return sidx.ordered_rows(table.store)
-        return sidx.range_rows(table.store, lo, hi, lo_open, hi_open)
+    def _rows_from_arms(self, table, arms: list[tuple]) -> np.ndarray:
+        """Candidate rows for resolved bisect arms; unions dedupe."""
+        if len(arms) == 1:
+            name, a, b = arms[0]
+            return table.sorted_indexes[name]._order[a:b]
+        parts = [table.sorted_indexes[name]._order[a:b] for name, a, b in arms]
+        cat = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+        return np.unique(cat)
 
     def _join(self, space: str, records: list[dict], j: JoinSpec) -> list[dict]:
         right = self.db._table(j.table, space)
