@@ -115,3 +115,95 @@ class TestConditionalWatch:
         db.insert("users", {"username": "adult", "age": 30})
         db.insert("users", {"username": "minor", "age": 10})
         assert len(events) == 1 and events[0].record["username"] == "adult"
+
+
+class TestReadAtomicity:
+    """Reads take the engine lock: a reader must never observe a record
+    mid-update (torn across columns) or mid-transaction (dirty read)."""
+
+    def test_no_torn_records_under_bulk_updates(self):
+        from tostore_tpu.models.schema import DataType, FieldSchema, TableSchema
+
+        schema = TableSchema(
+            name="t",
+            fields=(
+                FieldSchema("a", DataType.integer),
+                FieldSchema("b", DataType.integer),
+                FieldSchema("tag", DataType.text),
+            ),
+        )
+        db = ToStoreTPU.memory(schemas=[schema])
+        n = 50
+        db.batch_insert("t", [{"a": 0, "b": 0, "tag": "v0"} for _ in range(n)])
+        stop = threading.Event()
+        errors = []
+
+        def writer():
+            v = 0
+            while not stop.is_set():
+                v += 1
+                for pk in range(1, n + 1):
+                    db.update_by_pk("t", pk, {"a": v, "b": -v, "tag": f"v{v}"})
+
+        def reader():
+            try:
+                while not stop.is_set():
+                    pk = int(np.random.randint(1, n + 1))
+                    rec = db.get_by_pk("t", pk)
+                    # invariant: a == -b and tag == f"v{a}" hold in every
+                    # committed state; torn reads break them
+                    assert rec["a"] == -rec["b"], rec
+                    assert rec["tag"] == f"v{rec['a']}", rec
+                    for r in db.query("t").where("a", ">=", 0).limit(10).fetch():
+                        assert r["a"] == -r["b"], r
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        wt = threading.Thread(target=writer)
+        rts = [threading.Thread(target=reader) for _ in range(3)]
+        wt.start()
+        [t.start() for t in rts]
+        import time as _t
+
+        _t.sleep(1.5)
+        stop.set()
+        wt.join()
+        [t.join() for t in rts]
+        assert not errors, errors[0]
+        db.close()
+
+    def test_no_dirty_reads_during_transaction(self, db):
+        db.insert("users", {"username": "base", "age": 1})
+        seen = []
+        entered = threading.Event()
+        release = threading.Event()
+
+        def txn_writer():
+            with db.transaction():
+                db.insert("users", {"username": "uncommitted", "age": 2})
+                entered.set()
+                release.wait(timeout=5)
+
+        def reader():
+            entered.wait(timeout=5)
+            seen.append(db.count("users"))  # blocks until commit
+            release.set()
+
+        t1 = threading.Thread(target=txn_writer)
+        t2 = threading.Thread(target=reader)
+        t1.start()
+        t2.start()
+        # reader is blocked on the engine lock; release after a beat
+        import time as _t
+
+        _t.sleep(0.3)
+        release.set()
+        t1.join(timeout=5)
+        t2.join(timeout=5)
+        assert seen == [2]  # observed only the committed state
+
+    def test_bad_isolation_level_rejected(self):
+        from tostore_tpu.models.config import DataStoreConfig
+
+        with pytest.raises(ValueError):
+            ToStoreTPU.memory(config=DataStoreConfig(isolation_level="chaotic"))

@@ -30,7 +30,7 @@ from typing import Any, Callable
 
 import numpy as np
 
-from ..models.config import DataStoreConfig, GlobalConfig
+from ..models.config import DataStoreConfig, GlobalConfig, IsolationLevel
 from ..models.expr import Expr, resolve_expr_values
 from ..models.results import (
     BusinessError,
@@ -121,6 +121,17 @@ class Transaction:
 class Database:
     def __init__(self, config: DataStoreConfig | None = None):
         self.config = config or DataStoreConfig()
+        if self.config.isolation_level not in (
+            IsolationLevel.readCommitted,
+            IsolationLevel.serializable,
+        ):
+            raise ValueError(
+                f"unknown isolation level {self.config.isolation_level!r}"
+            )
+        # one re-entrant engine lock: every transaction (and every read)
+        # serializes, so the EFFECTIVE isolation is always serializable —
+        # strictly stronger than a readCommitted request, never weaker
+        # (reference transaction_manager.dart:17-46 levels)
         self._lock = threading.RLock()
         self._tables: dict[tuple[str, str], Table] = {}
         self._schemas: dict[tuple[str, str], TableSchema] = {}
@@ -1019,7 +1030,8 @@ class Database:
     # ------------------------------------------------------------- reads
 
     def get_by_pk(self, table: str, pk) -> dict | None:
-        rec = self._table(table).store.get(pk)
+        with self._lock:  # no torn reads of mid-update records
+            rec = self._table(table).store.get(pk)
         if rec is not None:
             rec.pop(INGEST_TS_FIELD, None)
             self.weights.record_access(table, pk)
@@ -1056,14 +1068,18 @@ class Database:
 
     def query(self, table: str, spec: QuerySpec | None = None):
         self._counters["queries"] += 1
-        return self.executor.execute(self.current_space, table, spec or QuerySpec())
+        with self._lock:
+            return self.executor.execute(
+                self.current_space, table, spec or QuerySpec()
+            )
 
     def count(self, table: str, condition: QueryCondition | None = None) -> int:
-        t = self._table(table)
-        if condition is None or condition.is_empty:
-            return len(t.store)
-        mask = condition.mask(lambda f: t.store.column_view(f), t.store.high)
-        return int(np.count_nonzero(mask & t.store.valid_view()))
+        with self._lock:
+            t = self._table(table)
+            if condition is None or condition.is_empty:
+                return len(t.store)
+            mask = condition.mask(lambda f: t.store.column_view(f), t.store.high)
+            return int(np.count_nonzero(mask & t.store.valid_view()))
 
     # ------------------------------------------------------------- vector search
 
@@ -1082,6 +1098,16 @@ class Database:
         vector_index_manager.dart:475). Hybrid filtering turns the structured
         predicate into a slot bitmask folded into the scan kernel."""
         self._counters["vector_searches"] += 1
+        with self._lock:
+            return self._vector_search_locked(
+                table, field, query, top_k, threshold, condition, nprobe,
+                include_records,
+            )
+
+    def _vector_search_locked(
+        self, table, field, query, top_k, threshold, condition, nprobe,
+        include_records,
+    ) -> list[VectorSearchResult]:
         t = self._table(table)
         t.flush_vectors(field)
         idx = t.vector_index_for(field)
@@ -1405,6 +1431,7 @@ class Database:
                 "db_name": self.config.db_name,
                 "memory_mode": self.config.memory_mode,
                 "isolation_level": self.config.isolation_level,
+                "effective_isolation": "serializable",
                 "encryption": self.config.encryption.enable_encoding,
             },
             "active_space": self.current_space,
