@@ -58,6 +58,7 @@ log = Logger("engine")
 
 GLOBAL_SPACE = "global"
 KV_TABLE = "_system_kv"
+MIGRATIONS_TABLE = "_system_migrations"
 SYSTEM_PREFIX = "_system_"
 
 # engine on-disk format version + upgrade registry (reference upgrades/
@@ -143,7 +144,6 @@ class Database:
         self._subs: dict[tuple, list[Subscription]] = {}
         self._closed = False
         self._crontab = None
-        self._migrations: list[dict] = []
         self._opened_ms = int(time.time() * 1000)
         self._counters = {"inserts": 0, "updates": 0, "deletes": 0, "queries": 0,
                           "vector_searches": 0, "flushes": 0,
@@ -164,6 +164,7 @@ class Database:
         if not self.config.memory_mode:
             self._open_files()
         self._ensure_kv_table()
+        self._mark_interrupted_migrations()
         self._start_crontab()
 
     def _make_mesh(self):
@@ -395,6 +396,12 @@ class Database:
             space = self._space_for(schema)
             key = (space, schema.name)
             if key in self._tables:
+                existing = self._schemas.get(key)
+                if existing is not None and not _schemas_equal(existing, schema):
+                    # schema-diff auto-migration at open (reference
+                    # data_store_impl.dart:897 _startSetupAndUpgrade ->
+                    # migration_manager.dart:47): the declared schema wins
+                    return self.update_schema(schema.name, schema)
                 if if_not_exists:
                     return DbResult.success(message="table exists")
                 return DbResult.error(ResultType.schemaError, f"table {schema.name!r} exists")
@@ -441,22 +448,31 @@ class Database:
             except ValidationError as e:
                 return DbResult.error(ResultType.notFound, str(e))
             space = GLOBAL_SPACE if t.schema.is_global else self.current_space
+            task_id = self._migration_task_start(name, space)
+
+            def on_progress(pct: int, phase: str):
+                self._migration_task_update(
+                    task_id, progress=int(pct), phase=phase
+                )
+
             try:
-                report = migrate_table(t, new_schema, renames)
+                report = migrate_table(t, new_schema, renames, on_progress)
             except (ValidationError, ValueError) as e:
+                self._migration_task_update(
+                    task_id, status="failed", error=str(e),
+                    finished_ms=int(time.time() * 1000),
+                )
                 return DbResult.error(ResultType.schemaError, str(e))
             self._schemas[(space, name)] = new_schema
             self._wal_append(
                 {"op": "schema_update", "space": space, "table": name,
                  "schema": new_schema.to_json(), "renames": renames or {}}
             )
-            # migration task history (reference queryMigrationTaskStatus,
-            # tostore.dart:1119 — synchronous here, so always 100%)
-            self._migrations.append(
-                {"table": name, "space": space, "ts_ms": int(time.time() * 1000),
-                 "progress": 100, "status": "completed", "report": report}
+            self._migration_task_update(
+                task_id, status="completed", progress=100, phase="done",
+                report=report, finished_ms=int(time.time() * 1000),
             )
-            return DbResult.success(data=report)
+            return DbResult.success(data={**report, "task_id": task_id})
 
     def _apply_schema_update(self, space, name, schema, renames):
         from .migration import migrate_table
@@ -509,6 +525,85 @@ class Database:
                 )
                 self._tables[key] = Table(schema)
                 self._schemas[key] = schema
+        # persisted migration task queue (reference migration_manager.dart
+        # task records + tostore.dart:1119 queryMigrationTaskStatus)
+        mkey = (GLOBAL_SPACE, MIGRATIONS_TABLE)
+        if mkey not in self._tables:
+            schema = TableSchema(
+                name=MIGRATIONS_TABLE,
+                fields=(
+                    FieldSchema("table", DataType.text),
+                    FieldSchema("space", DataType.text),
+                    FieldSchema("status", DataType.text),
+                    FieldSchema("progress", DataType.integer),
+                    FieldSchema("phase", DataType.text),
+                    FieldSchema("started_ms", DataType.bigInt),
+                    FieldSchema("finished_ms", DataType.bigInt),
+                    FieldSchema("report", DataType.json),
+                    FieldSchema("error", DataType.text),
+                ),
+                is_global=True,
+            )
+            self._tables[mkey] = Table(schema)
+            self._schemas[mkey] = schema
+
+    # ---------------------------------------------------- migration tasks
+
+    def _migration_tasks_table(self) -> Table:
+        return self._tables[(GLOBAL_SPACE, MIGRATIONS_TABLE)]
+
+    def _migration_task_start(self, name: str, space: str) -> int:
+        t = self._migration_tasks_table()
+        pk = t.generate_pk()
+        rec = {
+            "table": name, "space": space, "status": "running",
+            "progress": 0, "phase": "start",
+            "started_ms": int(time.time() * 1000), "finished_ms": 0,
+            "report": None, "error": None,
+        }
+        t.apply_insert(pk, rec)
+        self._wal_append(
+            {"op": "insert", "space": GLOBAL_SPACE, "table": MIGRATIONS_TABLE,
+             "pk": pk, "rec": rec}
+        )
+        return pk
+
+    def _migration_task_update(self, pk: int, **updates):
+        t = self._migration_tasks_table()
+        t.apply_update(pk, updates)
+        self._wal_append(
+            {"op": "update", "space": GLOBAL_SPACE, "table": MIGRATIONS_TABLE,
+             "pk": pk, "updates": updates}
+        )
+
+    def _mark_interrupted_migrations(self):
+        """A task still 'running' at open was cut by a crash; the schema
+        diff re-detects the work, so the stale task is marked rather than
+        blindly re-executed with stale parameters."""
+        t = self._tables.get((GLOBAL_SPACE, MIGRATIONS_TABLE))
+        if t is None:
+            return
+        for pk in list(t.store.pks()):
+            rec = t.store.get(pk)
+            if rec.get("status") == "running":
+                self._migration_task_update(pk, status="interrupted")
+
+    def query_migration_status(self, task_id: int | None = None):
+        """Persisted migration task records (reference tostore.dart:1119
+        queryMigrationTaskStatus): one dict per task, or the single task."""
+        with self._lock:
+            t = self._migration_tasks_table()
+            if task_id is not None:
+                rec = t.store.get(task_id)
+                if rec is not None:
+                    rec["task_id"] = task_id
+                return rec
+            out = []
+            for pk in sorted(t.store.pks()):
+                rec = t.store.get(pk)
+                rec["task_id"] = pk
+                out.append(rec)
+            return out
 
     # ------------------------------------------------------------- WAL plumbing
 
@@ -1439,9 +1534,15 @@ class Database:
             "tables": tables,
             "counters": dict(self._counters),
             "resources": self.resources.status(),
-            "migrations": list(self._migrations),
+            "migrations": self.query_migration_status(),
             "uptime_ms": int(time.time() * 1000) - self._opened_ms,
         }
+
+
+def _schemas_equal(a: TableSchema, b: TableSchema) -> bool:
+    return json.dumps(a.to_json(), sort_keys=True, default=str) == json.dumps(
+        b.to_json(), sort_keys=True, default=str
+    )
 
 
 # --- ndarray packing for the codec ------------------------------------------

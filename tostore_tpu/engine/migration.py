@@ -30,6 +30,7 @@ _SAFE_CASTS = {
 }
 
 RENAME_SIMILARITY = 0.55  # name-similarity floor for auto rename detection
+PROGRESS_CHUNK = 50_000  # rows between progress ticks in backfill/cast loops
 
 
 def _name_similarity(a: str, b: str) -> float:
@@ -137,9 +138,24 @@ def _precheck_unique(table, new_schema: TableSchema, renames: dict[str, str]):
             seen[name][tkey] = pk
 
 
-def migrate_table(table, new_schema: TableSchema, renames: dict[str, str] | None = None):
-    """Transform a Table in place to `new_schema`. Returns a report dict."""
+def migrate_table(
+    table,
+    new_schema: TableSchema,
+    renames: dict[str, str] | None = None,
+    on_progress=None,
+):
+    """Transform a Table in place to `new_schema`. Returns a report dict.
+    `on_progress(pct, phase)` fires at phase boundaries and every
+    PROGRESS_CHUNK rows inside the heavy backfill/cast loops (persisted by
+    the engine's migration task records)."""
+    progress = on_progress or (lambda pct, phase: None)
     old_schema = table.schema
+    if old_schema.primary_key.to_json() != new_schema.primary_key.to_json():
+        from .table import ValidationError
+
+        raise ValidationError(
+            "primary key configuration cannot change in a migration"
+        )
     renames = dict(renames or {})
     renames.update(
         {k: v for k, v in detect_renames(old_schema, new_schema).items() if k not in renames}
@@ -152,9 +168,11 @@ def migrate_table(table, new_schema: TableSchema, renames: dict[str, str] | None
     # 0. pre-check unique constraints over existing data BEFORE any store
     # mutation — a new unique constraint over duplicate values must fail
     # the migration atomically, not silently rebuild last-write-wins
+    progress(5, "precheck")
     _precheck_unique(table, new_schema, renames)
 
     store = table.store
+    progress(15, "renames")
     # 1. renames: move column object under the new name
     for old_name, new_name in renames.items():
         col = store.columns.pop(old_name, None)
@@ -168,7 +186,9 @@ def migrate_table(table, new_schema: TableSchema, renames: dict[str, str] | None
             report["removed"].append(name)
 
     # 3. added fields (backfill defaults)
-    for name, f in new_fields.items():
+    progress(25, "backfill")
+    n_fields = max(1, len(new_fields))
+    for fi, (name, f) in enumerate(new_fields.items()):
         src = next((o for o, n in renames.items() if n == name), None)
         if name not in store.columns:
             store.ensure_column(name, f.type)
@@ -178,6 +198,11 @@ def migrate_table(table, new_schema: TableSchema, renames: dict[str, str] | None
                 for r in range(store.high):
                     if store.valid[r]:
                         col.set(r, f.default_value)
+                    if r % PROGRESS_CHUNK == 0:
+                        progress(
+                            25 + int(45 * (fi + r / max(1, store.high)) / n_fields),
+                            f"backfill:{name}",
+                        )
         else:
             old_f = old_fields.get(src or name)
             if old_f is not None and old_f.type != f.type:
@@ -189,9 +214,15 @@ def migrate_table(table, new_schema: TableSchema, renames: dict[str, str] | None
                 for r in range(store.high):
                     if store.valid[r]:
                         new_col.set(r, cast_value(old_col.get(r), old_f.type, f.type))
+                    if r % PROGRESS_CHUNK == 0:
+                        progress(
+                            25 + int(45 * (fi + r / max(1, store.high)) / n_fields),
+                            f"cast:{name}",
+                        )
                 report["retyped"].append(name)
 
     # 4. swap schema + rebuild derived structures
+    progress(70, "indexes")
     table.schema = new_schema
     table.unique_maps = {f: {} for f in new_schema.unique_fields()}
     for idx in new_schema.btree_indexes():
@@ -259,6 +290,7 @@ def migrate_table(table, new_schema: TableSchema, renames: dict[str, str] | None
                     pend.setdefault(pk, {}).update(vals)
 
     # rebuild unique maps from data
+    progress(90, "unique")
     for pk in store.pks():
         rec = store.get(pk)
         table._unique_apply(pk, rec, None)
