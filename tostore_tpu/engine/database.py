@@ -663,6 +663,20 @@ class Database:
                 t = self._tables.get((e["space"], e["table"]))
                 if t is not None and e["pk"] not in t.store:
                     t.apply_insert(e["pk"], e["rec"])
+            elif op == "batch_insert_cols":
+                t = self._tables.get((e["space"], e["table"]))
+                if t is not None:
+                    keep = [
+                        j for j, pk in enumerate(e["pks"]) if pk not in t.store
+                    ]
+                    if keep:
+                        cols = {
+                            name: [vals[j] for j in keep]
+                            for name, vals in e["cols"].items()
+                        }
+                        t.bulk_apply_insert_cols(
+                            [e["pks"][j] for j in keep], cols
+                        )
             elif op == "batch_insert":
                 t = self._tables.get((e["space"], e["table"]))
                 if t is not None:
@@ -857,65 +871,76 @@ class Database:
             return None
         space = GLOBAL_SPACE if t.schema.is_global else self.current_space
         pk_name = t.schema.primary_key.name
+        for data in records:
+            if Expr in map(type, data.values()):
+                return None  # general path handles expressions
+        # one type-scan pass per FIELD (reference record_compute.dart
+        # isolate batches) instead of one validate() call per record
+        col_vals, val_errors = t.validate_batch(records)
         ok, failed, errors = [], [], {}
-        pks, recs = [], []
+        pks, keep = [], []
         batch_unique: dict[tuple, object] = {}
+        uniq_fields = set(t._unique_field_names)
+        for _, fields in t._unique_index_specs:
+            uniq_fields.update(fields)
         # one lock acquisition for the whole batch's generated ids (gaps on
         # per-record failures are fine — sequences only promise uniqueness)
+        seq = t.schema.primary_key.type.value == "sequential"
         gen_iter = None
-        if t.schema.primary_key.type.value == "sequential" and not any(
-            pk_name in r for r in records
-        ):
+        if seq and not any(pk_name in r for r in records):
             gen_iter = iter(t._seq.next_batch(len(records)))
         for i, data in enumerate(records):
+            if i in val_errors:
+                failed.append(data.get(pk_name, i))
+                errors[data.get(pk_name, i)] = val_errors[i]
+                continue
+            pk = data.get(pk_name)
+            if pk is None:
+                pk = next(gen_iter) if gen_iter is not None else t.generate_pk()
+            elif seq:
+                t._seq.observe(pk)
             try:
-                if any(isinstance(v, Expr) for v in data.values()):
-                    return None  # general path handles expressions
-                rec = t.validate(
-                    {k: v for k, v in data.items() if k != pk_name}, is_insert=True
-                )
-                pk = data.get(pk_name)
-                if pk is None:
-                    pk = next(gen_iter) if gen_iter is not None else t.generate_pk()
-                elif t.schema.primary_key.type.value == "sequential":
-                    t._seq.observe(pk)
-                if pk in t.store:
-                    raise UniqueViolation(t.schema.name, pk_name, pk)
                 key_pk = ("pk", pk)
-                if key_pk in batch_unique:
+                if pk in t.store or key_pk in batch_unique:
                     raise UniqueViolation(t.schema.name, pk_name, pk)
                 # two-phase: check ALL of this record's unique keys first,
                 # reserve only after the record fully passes (a failing
                 # record must not poison later records' keys)
-                entries = [key_pk] + [
-                    (name, key) for name, key in t._unique_entries(pk, rec)
-                ]
+                entries = [key_pk]
+                if uniq_fields:
+                    rec_u = {f: col_vals[f][i] for f in uniq_fields if f in col_vals}
+                    entries += list(t._unique_entries(pk, rec_u))
                 for name, key in entries[1:]:
                     if t.unique_maps[name].get(key) is not None or (name, key) in batch_unique:
                         raise UniqueViolation(t.schema.name, name, key)
                 for bkey in entries:
                     batch_unique[bkey] = pk
-                pks.append(pk)
-                recs.append(rec)
-                ok.append(pk)
             except UniqueViolation as e:
                 failed.append(data.get(pk_name, i))
                 errors[data.get(pk_name, i)] = str(e)
-            except ValidationError as e:
-                failed.append(data.get(pk_name, i))
-                errors[data.get(pk_name, i)] = str(e)
+                continue
+            pks.append(pk)
+            keep.append(i)
+            ok.append(pk)
         if pks:
-            t.bulk_apply_insert(pks, recs)
+            if len(keep) == len(records):
+                final_cols = col_vals
+            else:
+                final_cols = {
+                    name: [vals[i] for i in keep] for name, vals in col_vals.items()
+                }
+            t.bulk_apply_insert_cols(pks, final_cols)
             self._wal_append(
-                {"op": "batch_insert", "space": space, "table": table,
-                 "pks": pks, "recs": [self._walable(r) for r in recs]}
+                {"op": "batch_insert_cols", "space": space, "table": table,
+                 "pks": pks, "cols": final_cols}
             )
             self._counters["inserts"] += len(pks)
             if self._subs:
-                for pk, rec in zip(pks, recs):
-                    self._notify(
-                        ChangeEvent("insert", space, table, pk, {**rec, pk_name: pk})
-                    )
+                names = list(final_cols)
+                for j, pk in enumerate(pks):
+                    rec = {name: final_cols[name][j] for name in names}
+                    rec[pk_name] = pk
+                    self._notify(ChangeEvent("insert", space, table, pk, rec))
         if failed and ok:
             return DbResult.partial(ok, failed, errors)
         if failed:
