@@ -1,0 +1,132 @@
+"""Watch stream surfaces (sync + async iterators), at-rest compression,
+and SpaceConfig persistence (reference dsi:6245 streams,
+data_compressor.dart, space_config.dart)."""
+
+import asyncio
+import glob
+import os
+import threading
+import time
+
+import pytest
+
+from tostore_tpu.api import ToStoreTPU
+from tostore_tpu.models.config import DataStoreConfig
+from tostore_tpu.models.schema import DataType, FieldSchema, TableSchema
+
+
+def schema():
+    return TableSchema(name="t", fields=(FieldSchema("v", DataType.integer),))
+
+
+class TestWatchStreams:
+    def test_sync_stream_iterator(self):
+        db = ToStoreTPU.memory(schemas=[schema()])
+        sub = db.watch("t")
+        got = []
+
+        def consume():
+            for ev in sub.stream():
+                got.append(ev)
+
+        th = threading.Thread(target=consume)
+        th.start()
+        db.insert("t", {"v": 1})
+        db.insert("t", {"v": 2})
+        time.sleep(0.2)
+        sub.cancel()
+        th.join(timeout=5)
+        assert [e.type for e in got] == ["insert", "insert"]
+        db.close()
+
+    def test_stream_timeout_ends(self):
+        db = ToStoreTPU.memory(schemas=[schema()])
+        sub = db.watch("t")
+        db.insert("t", {"v": 1})
+        evs = list(sub.stream(timeout=0.1))
+        assert len(evs) == 1
+        db.close()
+
+    def test_async_iterator(self):
+        db = ToStoreTPU.memory(schemas=[schema()])
+        sub = db.watch("t")
+        db.insert("t", {"v": 1})
+        db.insert("t", {"v": 2})
+
+        async def consume():
+            out = []
+            async for ev in sub:
+                out.append(ev)
+                if len(out) == 2:
+                    sub.cancel()
+            return out
+
+        out = asyncio.run(asyncio.wait_for(consume(), timeout=5))
+        assert [e.record["v"] for e in out] == [1, 2]
+        db.close()
+
+
+class TestCompression:
+    def test_compressed_artifacts_round_trip(self, tmp_path):
+        cfg = DataStoreConfig(enable_compression=True)
+        db = ToStoreTPU.open(str(tmp_path), schemas=[schema()], config=cfg)
+        payload = "x" * 500
+        s2 = TableSchema(
+            name="big", fields=(FieldSchema("s", DataType.text),)
+        )
+        db.create_table(s2)
+        for _ in range(50):
+            db.insert("big", {"s": payload})
+        db.flush()
+        snaps = glob.glob(os.path.join(str(tmp_path), "default", "tables", "*.snap"))
+        blob = b"".join(open(p, "rb").read() for p in snaps)
+        assert payload.encode() not in blob  # actually compressed
+        db.close()
+        db2 = ToStoreTPU.open(str(tmp_path), config=cfg)
+        assert db2.count("big") == 50
+        db2.close()
+
+    def test_uncompressed_db_opens_with_compression_enabled(self, tmp_path):
+        db = ToStoreTPU.open(str(tmp_path), schemas=[schema()])
+        db.insert("t", {"v": 1})
+        db.close()
+        cfg = DataStoreConfig(enable_compression=True)
+        db2 = ToStoreTPU.open(str(tmp_path), config=cfg)
+        assert db2.count("t") == 1
+        db2.close()
+
+    def test_compression_under_encryption(self, tmp_path):
+        from tostore_tpu.models.config import EncryptionConfig
+
+        cfg = DataStoreConfig(
+            enable_compression=True,
+            encryption=EncryptionConfig(enable_encoding=True, encryption_key="pw"),
+        )
+        db = ToStoreTPU.open(str(tmp_path), schemas=[schema()], config=cfg)
+        db.insert("t", {"v": 7})
+        db.close()
+        db2 = ToStoreTPU.open(str(tmp_path), config=cfg)
+        assert db2.get_by_pk("t", 1)["v"] == 7
+        db2.close()
+
+
+class TestSpaceConfig:
+    def test_space_config_persists(self, tmp_path):
+        db = ToStoreTPU.open(str(tmp_path))
+        db.switch_space("analytics")
+        sc = db.engine.space_config()
+        assert sc.name == "analytics" and sc.created_ms > 0
+        sc.extras["owner"] = "team-a"
+        db.engine.update_space_config(sc)
+        db.close()
+        db2 = ToStoreTPU.open(str(tmp_path))
+        assert db2.engine.space_config("analytics").extras["owner"] == "team-a"
+        assert "analytics" in db2.list_spaces()
+        db2.close()
+
+    def test_delete_space_drops_config(self):
+        db = ToStoreTPU.memory()
+        db.switch_space("s1")
+        db.delete_space("s1")
+        assert "s1" not in db.engine.global_config.extras.get("spaces", {})
+        db.close()

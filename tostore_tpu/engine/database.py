@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import contextlib
 import glob
+import queue as _queue
 import json
 import os
 import threading
@@ -82,20 +83,62 @@ class ChangeEvent:
         return f"ChangeEvent({self.type}, {self.table}, {self.pk})"
 
 
+_STREAM_END = object()
+
+
 class Subscription:
+    """A change subscription: callback delivery, an event log, AND a
+    stream surface — blocking sync iterator + async iterator (the
+    reference watch() returns streams, data_store_impl.dart:6245)."""
+
     def __init__(self, db, key, callback):
         self._db = db
         self._key = key
         self.callback = callback
         self.events: list[ChangeEvent] = []
+        self._queue: _queue.Queue = _queue.Queue()
+        self._closed = False
 
     def _emit(self, ev: ChangeEvent):
         self.events.append(ev)
+        self._queue.put(ev)
         if self.callback:
             self.callback(ev)
 
+    def stream(self, timeout: float | None = None):
+        """Blocking iterator of change events. Ends on cancel(); with
+        `timeout`, also ends after that many seconds without an event."""
+        while not self._closed:
+            try:
+                ev = self._queue.get(timeout=timeout)
+            except _queue.Empty:
+                return
+            if ev is _STREAM_END:
+                return
+            yield ev
+
+    def __iter__(self):
+        return self.stream()
+
+    async def _astream(self):
+        import asyncio
+
+        loop = asyncio.get_running_loop()
+        while not self._closed:
+            ev = await loop.run_in_executor(None, self._queue.get)
+            if ev is _STREAM_END:
+                return
+            yield ev
+
+    def __aiter__(self):
+        return self._astream()
+
     def cancel(self):
-        self._db._subs.get(self._key, []).remove(self)
+        self._closed = True
+        self._queue.put(_STREAM_END)
+        subs = self._db._subs.get(self._key, [])
+        if self in subs:
+            subs.remove(self)
 
 
 class _Txn:
@@ -139,6 +182,7 @@ class Database:
         self.global_config = GlobalConfig()
         self._wal: SegmentedWalWriter | None = None
         self._ckpt_gens: dict[tuple[str, str], int] = {}  # per-table clean marks
+        self._fk_rev_cache: dict | None = None  # ref-table -> referencing FKs
         self._wal_buffer: list | None = None
         self._txn: _Txn | None = None
         self._subs: dict[tuple, list[Subscription]] = {}
@@ -221,17 +265,24 @@ class Database:
         )
 
     def _wrap_bytes(self, b: bytes) -> bytes:
+        if self.config.enable_compression:
+            from ..utils import compress as _cz
+
+            b = _cz.compress(b, self.config.compression_level)
         if self._envelope is not None:
             return self._envelope.seal(b)
         return b
 
     def _unwrap_bytes(self, b: bytes) -> bytes:
+        from ..utils import compress as _cz
         from ..utils.crypto import Envelope
 
         if Envelope.is_sealed(b):
             if self._envelope is None:
                 raise ValueError("artifact is encrypted but no key configured")
-            return self._envelope.open(b)
+            b = self._envelope.open(b)
+        if _cz.is_compressed(b):
+            b = _cz.decompress(b)
         return b
 
     # ------------------------------------------------------------------ files
@@ -295,6 +346,7 @@ class Database:
         entries = legacy_read.entries + entries
         for e in entries:
             self._replay(e)
+        self._fk_rev_cache = None
         self._counters["recovered_wal_entries"] = len(entries)
         self._counters["recovery_decode_errors"] = legacy_read.errors + decode_errors
         segs = list_segments(wal_dir)
@@ -350,12 +402,36 @@ class Database:
     def switch_space(self, name: str):
         with self._lock:
             self.global_config.active_space = name
+            self._ensure_space_config(name)
             self._ensure_kv_table()
+            self._persist_manifest()
+
+    def _ensure_space_config(self, name: str):
+        from ..models.config import SpaceConfig
+
+        spaces = self.global_config.extras.setdefault("spaces", {})
+        if name not in spaces:
+            spaces[name] = SpaceConfig(
+                name=name, created_ms=int(time.time() * 1000)
+            ).to_json()
+
+    def space_config(self, name: str | None = None):
+        """Per-space persisted state (reference space_config.dart)."""
+        from ..models.config import SpaceConfig
+
+        name = name or self.current_space
+        self._ensure_space_config(name)
+        return SpaceConfig.from_json(self.global_config.extras["spaces"][name])
+
+    def update_space_config(self, cfg):
+        with self._lock:
+            self.global_config.extras.setdefault("spaces", {})[cfg.name] = cfg.to_json()
             self._persist_manifest()
 
     def list_spaces(self) -> list[str]:
         spaces = {s for s, _ in self._tables if s != GLOBAL_SPACE}
         spaces.add(self.current_space)
+        spaces.update(self.global_config.extras.get("spaces", {}))
         return sorted(spaces)
 
     def delete_space(self, name: str):
@@ -363,6 +439,8 @@ class Database:
             for key in [k for k in self._tables if k[0] == name]:
                 del self._tables[key]
                 self._schemas.pop(key, None)
+            self.global_config.extras.get("spaces", {}).pop(name, None)
+            self._fk_rev_cache = None
             self._wal_append({"op": "drop_space", "space": name})
             self._ensure_kv_table()  # deleting the active space must not
             # leave its system KV table missing
@@ -409,6 +487,7 @@ class Database:
                 return DbResult.error(
                     ResultType.schemaError, "system table names are reserved"
                 )
+            self._fk_rev_cache = None
             self._tables[key] = Table(schema, self.config.distributed.node_id, self._mesh)
             self._schemas[key] = schema
             self._wal_append({"op": "create_table", "space": space, "schema": schema.to_json()})
@@ -429,6 +508,7 @@ class Database:
                 key = (GLOBAL_SPACE, name)
             if key not in self._tables:
                 return DbResult.error(ResultType.notFound, f"table {name!r} not found")
+            self._fk_rev_cache = None
             del self._tables[key]
             del self._schemas[key]
             self._wal_append({"op": "drop_table", "space": key[0], "table": name})
@@ -464,6 +544,7 @@ class Database:
                 )
                 return DbResult.error(ResultType.schemaError, str(e))
             self._schemas[(space, name)] = new_schema
+            self._fk_rev_cache = None
             self._wal_append(
                 {"op": "schema_update", "space": space, "table": name,
                  "schema": new_schema.to_json(), "renames": renames or {}}
@@ -496,6 +577,7 @@ class Database:
                     self._schemas.pop(key, None)
                     self._tables[(sp, new)] = t
                     self._schemas[(sp, new)] = t.schema
+                    self._fk_rev_cache = None
                     self._wal_append(
                         {"op": "rename_table", "space": sp, "old": old, "new": new}
                     )
@@ -784,37 +866,49 @@ class Database:
                     f"has no match in {fk.references_table}"
                 )
 
+    def _fk_referencing(self, ref_table: str) -> list[tuple]:
+        """(space, name, table, fk) rows whose FK targets `ref_table` —
+        cached so cascade deletes stop scanning every table per row
+        (invalidated on any schema change via _fk_rev_cache=None)."""
+        cache = self._fk_rev_cache
+        if cache is None:
+            cache = {}
+            for (space, name), t in self._tables.items():
+                for fk in t.schema.foreign_keys:
+                    cache.setdefault(fk.references_table, []).append(
+                        (space, name, t, fk)
+                    )
+            self._fk_rev_cache = cache
+        return cache.get(ref_table, [])
+
     def _fk_on_delete(self, table: Table, pk, record: dict):
         """Enforce referencing tables' on_delete actions."""
-        for (space, name), t in list(self._tables.items()):
+        for space, name, t, fk in list(self._fk_referencing(table.schema.name)):
             if space not in (self.current_space, GLOBAL_SPACE):
                 continue
-            for fk in t.schema.foreign_keys:
-                if fk.references_table != table.schema.name:
-                    continue
-                ref_field = fk.references_field or table.schema.primary_key.name
-                refv = pk if ref_field == table.schema.primary_key.name else record.get(ref_field)
-                if refv is None:
-                    continue
-                cond = QueryCondition().where(fk.field, "=", refv)
-                hits = t.store.rows_for_mask(
-                    cond.mask(lambda f: t.store.column_view(f), t.store.high)
+            ref_field = fk.references_field or table.schema.primary_key.name
+            refv = pk if ref_field == table.schema.primary_key.name else record.get(ref_field)
+            if refv is None:
+                continue
+            cond = QueryCondition().where(fk.field, "=", refv)
+            hits = t.store.rows_for_mask(
+                cond.mask(lambda f: t.store.column_view(f), t.store.high)
+            )
+            if not len(hits):
+                continue
+            child_pks = [t.store.pk_col.get(r) for r in hits]
+            if fk.on_delete == ForeignKeyAction.restrict:
+                raise ValidationError(
+                    f"foreign key restrict: {name}.{fk.field} references "
+                    f"{table.schema.name} pk={pk!r}"
                 )
-                if not len(hits):
-                    continue
-                child_pks = [t.store.pk_col.get(r) for r in hits]
-                if fk.on_delete == ForeignKeyAction.restrict:
-                    raise ValidationError(
-                        f"foreign key restrict: {name}.{fk.field} references "
-                        f"{table.schema.name} pk={pk!r}"
-                    )
-                if fk.on_delete == ForeignKeyAction.cascade:
-                    for cpk in child_pks:
-                        self._delete_pk(t, space, cpk)
-                elif fk.on_delete == ForeignKeyAction.setNull:
-                    for cpk in child_pks:
-                        self._update_pk(t, space, cpk, {fk.field: None})
-                # noAction: leave dangling
+            if fk.on_delete == ForeignKeyAction.cascade:
+                for cpk in child_pks:
+                    self._delete_pk(t, space, cpk)
+            elif fk.on_delete == ForeignKeyAction.setNull:
+                for cpk in child_pks:
+                    self._update_pk(t, space, cpk, {fk.field: None})
+            # noAction: leave dangling
 
     # ------------------------------------------------------------- CRUD
 
@@ -1470,6 +1564,7 @@ class Database:
                             del self._tables[key]
                             self._schemas.pop(key, None)
                     self._load_snapshot(snap)
+                    self._fk_rev_cache = None
                     self._ensure_kv_table()
                     self.flush()  # checkpoint: the pre-restore WAL tail
                     # must not replay over restored state after a crash
@@ -1490,6 +1585,7 @@ class Database:
             self._tables.clear()
             self._schemas.clear()
             self._ckpt_gens.clear()
+            self._fk_rev_cache = None
             if self._wal:
                 self._wal.close()
             # the restored manifest may carry a different KDF salt
@@ -1508,13 +1604,18 @@ class Database:
         with self._lock:
             for (space, name), t in list(self._tables.items()):
                 if name == KV_TABLE:
-                    col = t.store.column_view("expires_ms")
-                    valid = t.store.valid_view()
-                    for r in np.flatnonzero(valid):
-                        v = col[r] if col.dtype == object else int(col[r])
-                        if v is not None and v not in (0,) and v <= now:
-                            self._delete_pk(t, space, t.store.pk_col.get(r))
-                            removed += 1
+                    col = t.store.columns["expires_ms"]
+                    high = t.store.high
+                    col._grow(high)
+                    mask = (
+                        t.store.valid_view()
+                        & ~col.null[:high]
+                        & (col.data[:high] > 0)
+                        & (col.data[:high] <= now)
+                    )
+                    for r in np.flatnonzero(mask):
+                        self._delete_pk(t, space, t.store.pk_col.get(int(r)))
+                        removed += 1
                     continue
                 for pk in t.expired_pks(now):
                     if self._delete_pk(t, space, pk):

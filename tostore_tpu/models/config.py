@@ -68,6 +68,10 @@ class DataStoreConfig:
     recovery_flush_policy: str = "interval"
     recovery_flush_interval_ms: int = 1000
     wal_segment_max_bytes: int = 64 << 20
+    # at-rest zlib compression of snapshots/WAL/backups (reference
+    # data_compressor.dart; applied before encryption)
+    enable_compression: bool = False
+    compression_level: int = 6
 
     # query surface (reference defaultQueryLimit=1000 / maxQueryOffset=10000)
     default_query_limit: int = 1000
