@@ -161,3 +161,64 @@ class TestVectorTableCheckpoint:
         res = db2.vector_search("docs", "emb", vecs[3], top_k=1)
         assert res[0].primary_key == 4
         db2.close()
+
+
+class TestResumableLargeDelete:
+    """Reference large_operation_runner.dart:26 + LargeDeleteMeta
+    (wal_manager.dart:78-131): a conditional delete above the large-op
+    threshold persists its condition before deleting; a crash mid-way
+    resumes the remainder on reopen."""
+
+    def test_crash_mid_large_delete_resumes(self, tmp_path, monkeypatch):
+        db = ToStoreTPU.open(str(tmp_path), schemas=two_tables())
+        db.engine.LARGE_OP_THRESHOLD = 10
+        db.batch_insert("a", [{"v": i % 5} for i in range(100)])
+        db.flush()
+
+        # crash after 7 row deletes
+        orig = type(db.engine)._delete_pk
+        count = {"n": 0}
+
+        class Crash(RuntimeError):
+            pass
+
+        def crashing(self, t, space, pk, wal=True):
+            if count["n"] >= 7:
+                raise Crash()
+            count["n"] += 1
+            return orig(self, t, space, pk, wal)
+
+        monkeypatch.setattr(type(db.engine), "_delete_pk", crashing)
+        from tostore_tpu import QueryCondition
+
+        with pytest.raises(Crash):
+            db.engine.delete("a", QueryCondition().where("v", "=", 3))
+        monkeypatch.setattr(type(db.engine), "_delete_pk", orig)
+        db.engine._wal.close()
+        db.engine._crontab.stop()
+
+        db2 = ToStoreTPU.open(str(tmp_path))
+        # all 20 v==3 rows gone: 7 before the crash, 13 resumed at open
+        assert db2.count("a") == 80
+        from tostore_tpu import QueryCondition as QC
+
+        assert db2.engine.count("a", QC().where("v", "=", 3)) == 0
+        assert db2.engine._counters.get("resumed_large_delete_rows", 0) == 13
+        db2.close()
+
+    def test_completed_large_delete_not_rerun(self, tmp_path):
+        db = ToStoreTPU.open(str(tmp_path), schemas=two_tables())
+        db.engine.LARGE_OP_THRESHOLD = 10
+        db.batch_insert("a", [{"v": i % 5} for i in range(100)])
+        from tostore_tpu import QueryCondition
+
+        db.engine.delete("a", QueryCondition().where("v", "=", 3))
+        db.batch_insert("a", [{"v": 3} for _ in range(5)])  # new v=3 rows
+        db.engine._wal.close()  # crash without checkpoint
+        db.engine._crontab.stop()
+        db2 = ToStoreTPU.open(str(tmp_path))
+        from tostore_tpu import QueryCondition as QC
+
+        # the done marker prevents re-running the delete over the new rows
+        assert db2.engine.count("a", QC().where("v", "=", 3)) == 5
+        db2.close()

@@ -183,6 +183,7 @@ class Database:
         self._wal: SegmentedWalWriter | None = None
         self._ckpt_gens: dict[tuple[str, str], int] = {}  # per-table clean marks
         self._fk_rev_cache: dict | None = None  # ref-table -> referencing FKs
+        self._pending_large_ops: dict[str, dict] = {}  # replayed, unfinished
         self._wal_buffer: list | None = None
         self._txn: _Txn | None = None
         self._subs: dict[tuple, list[Subscription]] = {}
@@ -363,6 +364,12 @@ class Database:
             wrap=self._wrap_bytes if self._envelope is not None else None,
             segment_max_bytes=self.config.wal_segment_max_bytes,
         )
+        if self._pending_large_ops:
+            resumed = 0
+            for entry in list(self._pending_large_ops.values()):
+                resumed += self._resume_large_delete(entry)
+            self._pending_large_ops.clear()
+            self._counters["resumed_large_delete_rows"] = resumed
         if entries or legacy:
             self.flush()  # fold replayed tail into a fresh checkpoint
             for p in (legacy_snap, legacy_wal):
@@ -787,6 +794,10 @@ class Database:
                 self._apply_schema_update(
                     e["space"], e["table"], TableSchema.from_json(e["schema"]), e.get("renames", {})
                 )
+            elif op == "large_delete_begin":
+                self._pending_large_ops[e["id"]] = e
+            elif op == "large_op_done":
+                self._pending_large_ops.pop(e["id"], None)
             elif op == "rename_table":
                 key = (e["space"], e["old"])
                 t = self._tables.pop(key, None)
@@ -865,6 +876,34 @@ class Database:
                     f"foreign key violation: {table.schema.name}.{fk.field}={v!r} "
                     f"has no match in {fk.references_table}"
                 )
+
+    LARGE_OP_THRESHOLD = 10_000
+
+    def _resume_large_delete(self, entry: dict) -> int:
+        """Re-execute an unfinished large delete after WAL replay."""
+        t = self._tables.get((entry["space"], entry["table"]))
+        if t is None:
+            return 0
+        cond = (
+            QueryCondition.from_map(entry["cond"])
+            if entry.get("cond") is not None
+            else None
+        )
+        if cond is not None and not cond.is_empty:
+            mask = cond.mask(lambda f: t.store.column_view(f), t.store.high)
+            targets = [t.store.pk_col.get(r) for r in t.store.rows_for_mask(mask)]
+        elif entry.get("all"):
+            targets = t.store.pks()
+        else:
+            return 0
+        n = 0
+        for p in targets:
+            try:
+                if self._delete_pk(t, entry["space"], p):
+                    n += 1
+            except ValidationError as exc:
+                log.warning(f"large-delete resume: pk {p!r} skipped: {exc}")
+        return n
 
     def _fk_referencing(self, ref_table: str) -> list[tuple]:
         """(space, name, table, fk) rows whose FK targets `ref_table` —
@@ -1227,7 +1266,23 @@ class Database:
                         ResultType.validationFailed,
                         "delete without condition requires allow_delete_all",
                     )
+                # resumable large deletes (reference
+                # large_operation_runner.dart:26 + wal_manager.dart:78-131
+                # LargeDeleteMeta): persist the CONDITION before the row
+                # deletes start, mark done after — a crash mid-way resumes
+                # the remainder on reopen (row deletes are idempotent)
+                op_id = None
+                if len(targets) >= self.LARGE_OP_THRESHOLD and pk is None and pks is None:
+                    op_id = uuid.uuid4().hex
+                    self._wal_append(
+                        {"op": "large_delete_begin", "id": op_id, "space": space,
+                         "table": table,
+                         "cond": condition.to_map() if condition is not None else None,
+                         "all": bool(allow_delete_all)}
+                    )
                 ok = [p for p in targets if self._delete_pk(t, space, p)]
+                if op_id is not None:
+                    self._wal_append({"op": "large_op_done", "id": op_id})
                 return DbResult.success(ok)
             except ValidationError as e:
                 return DbResult.error(ResultType.foreignKeyViolation, str(e))
