@@ -1,0 +1,116 @@
+"""Multi-host smoke: two OS processes joined via jax.distributed, a mesh
+spanning both, sharded k-means + sharded flat top-k with cross-process
+collectives, results checked against a single-process oracle (SURVEY §2.4
+'the real distributed layer'; mesh.py init_distributed)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import json, sys
+import numpy as np
+from tostore_tpu.parallel.mesh import (
+    init_distributed, make_mesh, corpus_sharding, query_sharding,
+    host_local_to_global,
+)
+
+coord, pid = sys.argv[1], int(sys.argv[2])
+init_distributed(coord, num_processes=2, process_id=pid, local_cpu_devices=2)
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+assert jax.device_count() == 4 and jax.local_device_count() == 2
+mesh = make_mesh(4, dp=1)
+
+n, d, k, c = 512, 32, 5, 8
+rng = np.random.default_rng(0)
+x = rng.standard_normal((n, d)).astype(np.float32)   # same on both procs
+q = rng.standard_normal((3, d)).astype(np.float32)
+
+# each process contributes its host-local stripe of the global corpus
+local_rows = x.reshape(4, n // 4, d)[pid * 2 : pid * 2 + 2].reshape(-1, d)
+corpus = host_local_to_global(local_rows, mesh, P("shard", None))
+valid = host_local_to_global(
+    np.ones(n // 2, bool), mesh, P("shard")
+)
+cents0 = jnp.asarray(x[:c])  # replicated (same value on both procs)
+
+from tostore_tpu.parallel.sharded import sharded_flat_topk, sharded_kmeans_step
+
+cents = sharded_kmeans_step(corpus, cents0, valid, mesh=mesh)
+# outputs are replicated (kmeans) / dp-sharded with dp=1 (search), so every
+# process's first addressable shard holds the full value
+cents_host = np.asarray(cents.addressable_data(0))
+
+qg = host_local_to_global(q, mesh, P(None, None))
+bias = jnp.zeros(n, jnp.float32)
+bias_g = host_local_to_global(np.zeros(n, np.float32), mesh, P())
+scores, idx = sharded_flat_topk(qg, corpus, bias_g, k=k, alpha=1.0, mesh=mesh)
+scores_h = np.asarray(scores.addressable_data(0))
+idx_h = np.asarray(idx.addressable_data(0))
+
+print("RESULT " + json.dumps({
+    "cents_sum": float(cents_host.sum()),
+    "scores": scores_h.tolist(),
+    "idx": idx_h.tolist(),
+}), flush=True)
+"""
+
+
+def test_two_process_sharded_search_and_train(tmp_path):
+    port = socket.socket()
+    port.bind(("127.0.0.1", 0))
+    coord = f"127.0.0.1:{port.getsockname()[1]}"
+    port.close()
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, coord, str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd="/root/repo", env=env, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=150)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(out)
+
+    results = []
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")][0]
+        results.append(json.loads(line[len("RESULT "):]))
+    # both processes computed identical global results
+    assert results[0] == results[1]
+
+    # oracle: single-process exact
+    rng = np.random.default_rng(0)
+    n, d, k, c = 512, 32, 5, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((3, d)).astype(np.float32)
+    d2 = ((x[:c][:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    assign = d2.argmin(0)
+    cents = np.stack([
+        x[assign == j].mean(0) if (assign == j).any() else x[j] for j in range(c)
+    ])
+    assert abs(results[0]["cents_sum"] - cents.sum()) < 1e-2
+
+    scores = q @ x.T
+    top = np.argsort(-scores, axis=1)[:, :k]
+    got_idx = np.asarray(results[0]["idx"])
+    got_scores = np.asarray(results[0]["scores"])
+    np.testing.assert_allclose(
+        got_scores, np.take_along_axis(scores, top, 1), rtol=1e-4, atol=1e-4
+    )
+    assert (got_idx == top).mean() > 0.95  # ties may reorder

@@ -16,6 +16,41 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: str,
+    num_processes: int,
+    process_id: int,
+    local_cpu_devices: int | None = None,
+) -> None:
+    """Join a multi-host job BEFORE building the mesh: every process calls
+    this, then `make_mesh()` spans the global device set and XLA routes
+    collectives over ICI within a host and DCN across (the scaling-book
+    recipe — nothing else in the engine changes).
+
+    `local_cpu_devices` forces a virtual CPU backend with that many local
+    devices (CI / smoke tests without TPU pods); jax.config is used rather
+    than env vars, which a preloaded jaxlib ignores."""
+    import jax
+
+    if local_cpu_devices is not None:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", int(local_cpu_devices))
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def host_local_to_global(x, mesh: Mesh, spec: P):
+    """Assemble a global sharded array from this process's host-local
+    shard (each process holds its stripe of the corpus; multi-host
+    device_put of a full array onto non-addressable devices is illegal)."""
+    import jax.experimental.multihost_utils as mhu
+
+    return mhu.host_local_array_to_global_array(x, mesh, spec)
+
+
 def make_mesh(
     n_devices: int | None = None,
     dp: int = 1,
