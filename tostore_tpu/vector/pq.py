@@ -69,10 +69,15 @@ def _subspace_view(x: jax.Array, m: int) -> jax.Array:
     return x.reshape(n, m, d // m).transpose(1, 0, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters"))
-def _kmeans_all_subspaces(xs: jax.Array, init_idx: jax.Array, *, k: int, iters: int):
+@functools.partial(jax.jit, static_argnames=("k", "iters", "compute_dtype"))
+def _kmeans_all_subspaces(
+    xs: jax.Array, init_idx: jax.Array, *, k: int, iters: int,
+    compute_dtype=jnp.float32,
+):
     """Lloyd iterations vmapped over subspaces. xs: [M, S, dsub];
-    init_idx: [M, K] sample indices for initial centroids."""
+    init_idx: [M, K] sample indices for initial centroids.
+    `compute_dtype=bfloat16` runs the assignment matmul at MXU rate
+    (coarse IVF training tolerates it; PQ codebooks stay f32)."""
 
     def one(x, idx0):
         cents = x[idx0]  # [K, dsub]
@@ -80,7 +85,10 @@ def _kmeans_all_subspaces(xs: jax.Array, init_idx: jax.Array, *, k: int, iters: 
         def step(c, _):
             d2 = (
                 jnp.sum(x * x, axis=1, keepdims=True)
-                - 2.0 * jnp.dot(x, c.T, preferred_element_type=jnp.float32)
+                - 2.0 * jnp.dot(
+                    x.astype(compute_dtype), c.T.astype(compute_dtype),
+                    preferred_element_type=jnp.float32,
+                )
                 + jnp.sum(c * c, axis=1)[None, :]
             )
             assign = jnp.argmin(d2, axis=1)  # [S]
