@@ -128,6 +128,60 @@ def _ivf_probe_scan_pq(
     return jax.vmap(per_query)(q, probe, tables)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "k", "rerank", "adc_metric")
+)
+def _ivf_probe_scan_pq_contig(
+    q, q_raw, centroids, buckets_slots, bucket_codes, codebooks, vectors,
+    bucket_bias, sq_norms, alpha,
+    *, nprobe: int, k: int, rerank: int, adc_metric: str
+):
+    """PQ probe over bucket-contiguous CODES: the Pallas ADC kernel
+    (ops/ivfprobe.py adc_bucket_scores — one-hot matmul LUT, the TPU form
+    of the reference's adcDistance loop, vector_quantizer.dart:414) selects
+    a re-rank pool; the pool re-scores exactly against raw vectors.
+    bucket_bias here is pure validity (0 / -inf): ADC distances are
+    complete, no norm folding."""
+    from ..ops.ivfprobe import adc_bucket_scores
+
+    cap = buckets_slots.shape[1]
+    b = q.shape[0]
+    cs = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    if sq_norms is not None:
+        cnorm = jnp.sum(centroids * centroids, axis=1)
+        cs = 2.0 * cs - cnorm[None, :]
+    _, probe = jax.lax.top_k(cs, nprobe)
+    probe = probe.astype(jnp.int32)
+
+    tabs = adc_tables(codebooks, q_raw, metric=adc_metric)  # [B, M, K]
+    s_adc = adc_bucket_scores(tabs, probe, bucket_codes, bucket_bias)
+    s_adc = s_adc.reshape(b, nprobe * cap)
+    slots = jax.vmap(lambda p: buckets_slots[p].reshape(nprobe * cap))(probe)
+
+    r = min(rerank, nprobe * cap)
+    _, ri = jax.lax.top_k(s_adc, r)
+    cand = jnp.take_along_axis(slots, ri, axis=1)  # [B, R]
+    cand_adc = jnp.take_along_axis(s_adc, ri, axis=1)
+
+    def per_query(qv, cd, ca):
+        csafe = jnp.maximum(cd, 0)
+        vecs = vectors[csafe]
+        if vecs.dtype == jnp.int8:
+            vecs = vecs.astype(jnp.bfloat16)
+        s = alpha * jnp.dot(
+            vecs, qv.astype(vecs.dtype), preferred_element_type=jnp.float32
+        )
+        if sq_norms is not None:
+            s = s - sq_norms[csafe]
+        ok = jnp.logical_and(cd >= 0, ca > NEG_INF / 2)
+        s = jnp.where(ok, s, NEG_INF)
+        kk = min(k, r)
+        ts, ti = jax.lax.top_k(s, kk)
+        return ts, cd[ti]
+
+    return jax.vmap(per_query)(q, cand, cand_adc)
+
+
 @functools.partial(jax.jit, static_argnames=("nprobe", "k"))
 def _ivf_probe_scan_contig(
     q, centroids, buckets_slots, bucket_vectors, bucket_bias, sq_norms, alpha,
@@ -308,6 +362,7 @@ class IVFVectorIndex:
         # bucket-contiguous vector copy (inverted-list layout; ~BALANCE x
         # corpus memory). Auto-disabled above the HBM budget.
         self.bucket_vectors: jax.Array | None = None
+        self.bucket_codes: jax.Array | None = None  # [C, M, cap] u8 (PQ)
         self.bucket_bias: jax.Array | None = None  # [C, cap] f32
         self.CONTIG_MAX_BYTES = 6 << 30
 
@@ -516,15 +571,32 @@ class IVFVectorIndex:
         c = self.corpus
         if c.capacity == 0:
             self.codes = None
+            self.bucket_codes = None
             return
         v = c.vectors.astype(jnp.float32)[:, : c.dims]
         if c.precision == "int8":
             v = v / INT8_SCALE
         self.codes = pq_encode(self.pq.codebooks, v)
+        self._refresh_bucket_codes()
+
+    def _refresh_bucket_codes(self):
+        if self.codes is None or self.buckets_slots is None:
+            self.bucket_codes = None
+            return
+        gathered = self.codes[jnp.maximum(self.buckets_slots, 0)]  # [C,cap,M]
+        self.bucket_codes = jnp.transpose(gathered, (0, 2, 1))
 
     def _refresh_bucket_vectors(self):
         c = self.corpus
         num_c, cap = self.buckets_slots.shape
+        if self.pq is not None:
+            # PQ mode scans contiguous CODES (ADC kernel); the raw copy
+            # would defeat the 16x compression. Validity-only bias.
+            self.bucket_vectors = None
+            self.bucket_bias = _bucket_bias(
+                self.buckets_slots, c.valid, c.sq_norms, l2=False
+            )
+            return
         nbytes = num_c * cap * c.vectors.shape[1] * c.vectors.dtype.itemsize
         if nbytes > self.CONTIG_MAX_BYTES:
             self.bucket_vectors = None
@@ -577,6 +649,8 @@ class IVFVectorIndex:
                 else jnp.zeros(len(slots), jnp.float32)
             )
             self.bucket_bias = self.bucket_bias.at[cl_j, pos_j].set(bias)
+        elif self.bucket_bias is not None:  # PQ mode: validity-only bias
+            self.bucket_bias = self.bucket_bias.at[cl_j, pos_j].set(0.0)
 
     # --- mutation ------------------------------------------------------------------
 
@@ -622,6 +696,16 @@ class IVFVectorIndex:
                         base = base.at[: self.codes.shape[0]].set(self.codes)
                     self.codes = base
                 self.codes = self.codes.at[jnp.asarray(slots, jnp.int32)].set(codes)
+                if self.bucket_codes is not None:
+                    self._ensure_slot_host()
+                    sl = np.asarray(slots, np.int64)
+                    cl = self._slot_cluster[sl]
+                    ps = self._slot_pos[sl]
+                    placed = cl >= 0
+                    if placed.any():
+                        self.bucket_codes = self.bucket_codes.at[
+                            jnp.asarray(cl[placed]), :, jnp.asarray(ps[placed])
+                        ].set(codes[jnp.asarray(np.flatnonzero(placed))])
         return slots
 
     def delete(self, pks) -> int:
@@ -704,7 +788,30 @@ class IVFVectorIndex:
 
         np_probe = int(nprobe or self.nprobe)
         np_probe = min(np_probe, self.centroids.shape[0])
-        if self.pq is not None and self.codes is not None:
+        if self.pq is not None and self.bucket_codes is not None:
+            q_raw = jnp.asarray(qx[:, : c.dims])
+            bias = (
+                self.bucket_bias
+                if slot_mask is None
+                else _bucket_bias(self.buckets_slots, valid, c.sq_norms, l2=False)
+            )
+            scores, slots = _ivf_probe_scan_pq_contig(
+                qj,
+                q_raw,
+                self.centroids,
+                self.buckets_slots,
+                self.bucket_codes,
+                self.pq.codebooks,
+                c.vectors,
+                bias,
+                sqn,
+                alpha,
+                nprobe=np_probe,
+                k=k,
+                rerank=max(self.rerank_factor * k, 20),  # reference nge:115
+                adc_metric="dot" if self.metric == "dot" else "l2",
+            )
+        elif self.pq is not None and self.codes is not None:
             q_raw = jnp.asarray(qx[:, : c.dims])
             scores, slots = _ivf_probe_scan_pq(
                 qj,
