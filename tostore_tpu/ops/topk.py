@@ -54,10 +54,17 @@ from .runtime import LANE, NEG_INF, interpret_mode, round_up
 # tops out at ~580-590 GB/s regardless of strategy — auto-pipeline,
 # manual double-buffer, or 4-deep DMA queues all converge there, and a
 # pure-DMA kernel with zero compute measures the same. Selection logic is
-# free (full kernel == matmul-only floor == DMA-only floor). XLA's own
-# fused reduction reaches ~794 GB/s on the same array, so the remaining
-# 1.35x is Mosaic DMA scheduling, not this kernel — round-2 item. int8
-# storage halves the bytes: B=1 latency 2.66 -> 1.66 ms measured.
+# free (full kernel == matmul-only floor == DMA-only floor).
+#
+# B=1 ceiling analysis (round 2, all measured on the same 1M x 768 bf16
+# array): Pallas accumulator 2.70 ms (570 GB/s); XLA matvec + blockwise
+# top-2 2.75 ms (561 GB/s); XLA matvec + full top_k 3.91 ms; an XLA pure
+# row-sum reduction 3.10 ms (497 GB/s). Every consumer of the corpus —
+# Mosaic DMA, XLA matvec, XLA reduction — converges on ~500-580 GB/s, so
+# 2.7 ms IS the single-chip speed of light for a bf16 exact scan here;
+# sub-2.2 ms requires fewer bytes, not a better kernel: int8 storage
+# measures 1.66 ms (and IVF probes in 1.3 ms for 8 queries). Round-1's
+# one-off ~794 GB/s reduction reading did not reproduce and is struck.
 DEFAULT_BLK_N = 2048
 MAX_BLK_B = 256
 # Candidates harvested per (lane, block) (top-2 -> exact unless 3+ of the
