@@ -321,3 +321,29 @@ class TestQueryCache:
         q4 = db.query("users").where("age", ">", 5).fetch()
         assert q4.records[0]["age"] != -1
         db.close()
+
+
+class TestObservability:
+    def test_timings_surface(self):
+        from tests.test_engine import users_schema
+
+        db = ToStoreTPU.memory(schemas=[users_schema()])
+        db.insert("users", {"username": "a"})
+        db.query("users").fetch()
+        t = db.engine.timings()
+        assert t["insert"]["count"] == 1 and t["insert"]["avg_ms"] >= 0
+        assert t["query"]["count"] >= 1
+        assert "timings" in db.status()
+        db.close()
+
+    def test_profile_trace_writes_artifacts(self, tmp_path):
+        from tests.test_engine import users_schema
+
+        db = ToStoreTPU.memory(schemas=[users_schema()])
+        with db.engine.profile_trace(str(tmp_path / "trace")):
+            db.insert("users", {"username": "a"})
+            db.query("users").fetch()
+        import glob as _glob
+
+        assert _glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
+        db.close()

@@ -253,3 +253,12 @@ class ToStoreTPU:
 
     def explain(self, table: str) -> dict:
         return self._db.explain(table)
+
+    def timings(self) -> dict:
+        return self._db.timings()
+
+    def profile_trace(self, log_dir: str):
+        return self._db.profile_trace(log_dir)
+
+    def query_migration_status(self, task_id: int | None = None):
+        return self._db.query_migration_status(task_id)

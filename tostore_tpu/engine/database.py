@@ -197,6 +197,7 @@ class Database:
                           # failed to decode (wrong key / corruption)
                           "recovery_apply_errors": 0}  # replayed entries whose
         # re-application raised (benign double-apply or genuine divergence)
+        self._timings: dict[str, list] = {}  # op -> [count, total_s]
         self.executor = QueryExecutor(self)
         self._envelope = self._make_envelope()
         from .maintenance import IntegrityChecker, ResourceManager, WeightManager
@@ -399,6 +400,42 @@ class Database:
 
     def __exit__(self, *a):
         self.close()
+
+    # ------------------------------------------------------- observability
+
+    @contextlib.contextmanager
+    def _timed(self, op: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            cell = self._timings.setdefault(op, [0, 0.0])
+            cell[0] += 1
+            cell[1] += time.perf_counter() - t0
+
+    @contextlib.contextmanager
+    def profile_trace(self, log_dir: str, host_profiler: bool = False):
+        """Capture a device trace for everything inside the block
+        (reference §5 tracing; viewable in TensorBoard/XProf/Perfetto).
+        Wraps jax.profiler.trace — kernels, dispatches and transfers show
+        up per-op. `host_profiler=True` adds Python-level events."""
+        import jax
+
+        with jax.profiler.trace(
+            log_dir, create_perfetto_trace=False
+        ):
+            yield
+
+    def timings(self) -> dict:
+        """Per-op latency counters: {op: {count, total_ms, avg_ms}}."""
+        return {
+            op: {
+                "count": c,
+                "total_ms": round(t * 1e3, 3),
+                "avg_ms": round(t * 1e3 / max(c, 1), 4),
+            }
+            for op, (c, t) in sorted(self._timings.items())
+        }
 
     # ------------------------------------------------------------- spaces
 
@@ -952,7 +989,7 @@ class Database:
     # ------------------------------------------------------------- CRUD
 
     def insert(self, table: str, data: dict) -> DbResult:
-        with self._lock:
+        with self._lock, self._timed("insert"):
             if self.resources.writes_blocked():
                 return DbResult.error(
                     ResultType.resourceLimit,
@@ -1083,7 +1120,7 @@ class Database:
         return DbResult.success(ok)
 
     def batch_insert(self, table: str, records: list[dict], allow_partial: bool = True) -> DbResult:
-        with self._lock, self._wal_group():
+        with self._lock, self._wal_group(), self._timed("batch_insert"):
             if allow_partial:
                 if self.resources.writes_blocked():
                     return DbResult.error(
@@ -1337,7 +1374,7 @@ class Database:
 
     def query(self, table: str, spec: QuerySpec | None = None):
         self._counters["queries"] += 1
-        with self._lock:
+        with self._lock, self._timed("query"):
             return self.executor.execute(
                 self.current_space, table, spec or QuerySpec()
             )
@@ -1367,7 +1404,7 @@ class Database:
         vector_index_manager.dart:475). Hybrid filtering turns the structured
         predicate into a slot bitmask folded into the scan kernel."""
         self._counters["vector_searches"] += 1
-        with self._lock:
+        with self._lock, self._timed("vector_search"):
             return self._vector_search_locked(
                 table, field, query, top_k, threshold, condition, nprobe,
                 include_records,
@@ -1493,7 +1530,7 @@ class Database:
         `force_all` rewrites everything (key rotation re-seals artifacts)."""
         if self.config.memory_mode:
             return
-        with self._lock:
+        with self._lock, self._timed("flush"):
             from urllib.parse import quote
 
             tdir = os.path.join(self.db_dir, "tables")
@@ -1714,6 +1751,7 @@ class Database:
             "spaces": self.list_spaces(),
             "tables": tables,
             "counters": dict(self._counters),
+            "timings": self.timings(),
             "resources": self.resources.status(),
             "migrations": self.query_migration_status(),
             "uptime_ms": int(time.time() * 1000) - self._opened_ms,
