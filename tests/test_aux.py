@@ -347,3 +347,33 @@ class TestObservability:
 
         assert _glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
         db.close()
+
+
+class TestCrontabIdleStop:
+    def test_parks_when_idle_and_wakes_on_write(self):
+        import time as _t
+
+        import tostore_tpu.engine.crontab as cron
+        from tests.test_engine import users_schema
+        from tostore_tpu.models.config import DataStoreConfig
+
+        old = cron.IDLE_STOP_S
+        cron.IDLE_STOP_S = 0.05
+        try:
+            db = ToStoreTPU.memory(
+                schemas=[users_schema()],
+                config=DataStoreConfig(crontab_interval_s=0.02),
+            )
+            deadline = _t.time() + 3
+            while not db.engine._crontab.parked and _t.time() < deadline:
+                _t.sleep(0.02)
+            assert db.engine._crontab.parked
+            db.insert("users", {"username": "wake"})
+            deadline = _t.time() + 3
+            while db.engine._crontab.parked and _t.time() < deadline:
+                _t.sleep(0.02)
+            assert not db.engine._crontab.parked
+            assert db.status()["crontab"]["job_errors"] == 0
+            db.close()
+        finally:
+            cron.IDLE_STOP_S = old

@@ -734,6 +734,8 @@ class Database:
     # ------------------------------------------------------------- WAL plumbing
 
     def _wal_append(self, entry: dict):
+        if self._crontab is not None:
+            self._crontab.poke()
         if self._txn is not None:
             self._txn.wal_ops.append(entry)
             return
@@ -1752,6 +1754,10 @@ class Database:
             "tables": tables,
             "counters": dict(self._counters),
             "timings": self.timings(),
+            "crontab": {
+                "parked": bool(self._crontab.parked) if self._crontab else None,
+                "job_errors": self._crontab.job_errors if self._crontab else 0,
+            },
             "resources": self.resources.status(),
             "migrations": self.query_migration_status(),
             "uptime_ms": int(time.time() * 1000) - self._opened_ms,
