@@ -131,18 +131,18 @@ def config3_ivf_build():
     build_warm_s = time.time() - t0
 
     # device-side probe throughput (amortized over back-to-back dispatches;
-    # the host API adds 2 tunnel roundtrips per call in this environment)
-    from tostore_tpu.vector.ivf import _ivf_probe_scan
-    from tostore_tpu.ops import distance as D
+    # the host API adds 2 tunnel roundtrips per call in this environment).
+    # The engine picks the Pallas bucket-contiguous kernel (ops/ivfprobe.py)
+    from tostore_tpu.vector.ivf import _ivf_probe_scan_contig
 
     b = 8
     q = jax.random.normal(jax.random.PRNGKey(1), (b, idx.corpus.d_pad), jnp.float32)
     alpha = 2.0  # l2
 
     def probe(qq):
-        return _ivf_probe_scan(
-            qq, idx.centroids, idx.buckets_slots, c.vectors, c.valid, c.sq_norms,
-            alpha, nprobe=16, k=10,
+        return _ivf_probe_scan_contig(
+            qq, idx.centroids, idx.buckets_slots, idx.bucket_vectors,
+            idx.bucket_bias, c.sq_norms, alpha, nprobe=16, k=10,
         )
 
     per = timeit(probe, q, reps=20)
@@ -224,10 +224,13 @@ def config6_ingest():
     out = {"config": "batch_insert_records"}
     for n in (10_000, 100_000):
         db = ToStoreTPU.memory(schemas=[users_schema()])
+        # warm-up: the first engine touch pays one-time jax/device init
+        # through the tunnel (~8 s), which is not ingest cost
+        db.batch_insert("users", [{"username": "warm", "age": 1}])
         recs = [
             {"username": f"user{i}", "email": f"u{i}@x.io", "age": i % 90,
              "balance": float(i), "tags": ["a"], "profile": {"i": i}}
-            for i in range(n)
+            for i in range(1, n + 1)
         ]
         t0 = time.time()
         r = db.batch_insert("users", recs)
@@ -261,6 +264,76 @@ def config7_int8():
     }
 
 
+def config8_pq():
+    """IVF-PQ: Pallas ADC kernel (one-hot matmul LUT) over bucket-contiguous
+    codes + exact re-rank; 16x memory compression (96 B vs 1536 B/vector).
+    Clustered data so recall is meaningful; raw-IVF recall for context."""
+    from tostore_tpu.vector.ivf import IVFVectorIndex
+    from tostore_tpu.ops.topk import flat_search
+    from tostore_tpu.ops.runtime import round_up
+
+    n = round_up(500_000, 4096)
+    d, k, b = 768, 10, 8
+    cents = jax.random.normal(jax.random.PRNGKey(0), (2000, d), jnp.float32) * 3
+    assign = jax.random.randint(jax.random.PRNGKey(3), (n,), 0, 2000)
+    vecs = (
+        cents[assign] + jax.random.normal(jax.random.PRNGKey(1), (n, d), jnp.float32)
+    ).astype(jnp.bfloat16)
+
+    def mk(pq_m):
+        idx = IVFVectorIndex(
+            d, metric="l2", precision="bfloat16", num_clusters=1024, nprobe=16,
+            pq_subspaces=pq_m, rerank_factor=4, min_train_size=100,
+        )
+        c = idx.corpus
+        c._ensure_capacity(n)
+        c.vectors = vecs
+        c.valid = jnp.ones(n, jnp.bool_)
+        c.sq_norms = jnp.sum(vecs.astype(jnp.float32) ** 2, axis=1)
+        c._slot_pks[:n] = np.arange(n, dtype=object)
+        c._pk_slot = {i: i for i in range(n)}
+        c._high = n
+        idx.train(force=True)
+        return idx
+
+    rng = np.random.default_rng(5)
+    qi = rng.integers(0, n, b)
+    q = np.asarray(vecs[jnp.asarray(qi)].astype(jnp.float32)) + rng.standard_normal(
+        (b, d)
+    ).astype(np.float32) * 0.1
+    idx = mk(96)
+    c = idx.corpus
+    s_ex, i_ex = flat_search(jnp.asarray(q), c.vectors, -c.sq_norms, k=k, alpha=2.0)
+    ex = np.asarray(i_ex)
+    _, s_pq, _ = idx.search_arrays(q, k, nprobe=16)
+    rec_pq = recall_at_k(s_pq, ex)
+    idx_raw = mk(0)
+    _, s_raw, _ = idx_raw.search_arrays(q, k, nprobe=16)
+    rec_raw = recall_at_k(s_raw, ex)
+
+    from tostore_tpu.vector.ivf import _ivf_probe_scan_pq_contig
+
+    qj = jnp.asarray(q)
+
+    def probe(qq):
+        return _ivf_probe_scan_pq_contig(
+            qq, qq[:, :d], idx.centroids, idx.buckets_slots, idx.bucket_codes,
+            idx.pq.codebooks, c.vectors, idx.bucket_bias, c.sq_norms, 2.0,
+            nprobe=16, k=k, rerank=40, adc_metric="l2",
+        )
+
+    per = timeit(probe, qj, reps=20)
+    return {
+        "config": "ivf_pq_500kx768_M96_C1024",
+        "adc_probe16_b8_device_ms": round(per * 1e3, 2),
+        "adc_probe16_b8_device_qps": round(b / per, 1),
+        "recall_at_10_pq_vs_exact": rec_pq,
+        "recall_at_10_rawivf_vs_exact": rec_raw,
+        "code_bytes_per_vector": 96,
+        "raw_bytes_per_vector": d * 2,
+    }
+
+
 CONFIGS = {
     "1": config1_flat_100k,
     "2": config2_flat_1m,
@@ -269,6 +342,7 @@ CONFIGS = {
     "5": config5_sharded,
     "6": config6_ingest,
     "7": config7_int8,
+    "8": config8_pq,
 }
 
 

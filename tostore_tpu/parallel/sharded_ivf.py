@@ -22,8 +22,38 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..models.results import VectorSearchResult
 from ..ops import distance as D
 from ..ops.runtime import NEG_INF, round_up
+from ..vector.ivf import _build_core
 from .mesh import query_sharding, shard_count
 from .sharded import ShardedFlatIndex, sharded_kmeans_step
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_choices", "cap", "chunk", "l2", "mesh")
+)
+def _sharded_ivf_build(
+    vectors, valid, centroids, *, n_choices: int, cap: int, chunk: int,
+    l2: bool, mesh
+):
+    """Per-shard device bucket build: every shard assigns + places its
+    corpus stripe locally (bucket entries are shard-local positions, as the
+    probe expects), one dispatch for the whole mesh. Returns
+    (buckets [nsh*C, cap], counts [nsh, C], leftover [nsh])."""
+
+    def local(v, va, c):
+        buckets, _, _, counts, leftover = _build_core(
+            v, va.reshape(-1), c,
+            n_choices=n_choices, cap=cap, chunk=chunk, l2=l2,
+        )
+        return buckets, counts[None, :], leftover[None]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("shard", None), P("shard"), P()),
+        out_specs=(P("shard", None), P("shard", None), P("shard")),
+        check_vma=False,
+    )
+    return fn(vectors, valid, centroids)
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "k", "mesh"))
@@ -174,6 +204,24 @@ class ShardedIVFIndex(ShardedFlatIndex):
         live = np.fromiter(
             self._pk_slot.values(), np.int64, len(self._pk_slot)
         )
+        if len(live):
+            # per-shard device build (assignment + placement in one
+            # dispatch); host fallback only if a shard overflows entirely
+            n_live = len(live)
+            avg = max(1, n_live // max(1, num_c))
+            cap_d = int(
+                max(64, round_up(int(self.BALANCE_FACTOR * avg / max(1, self.nsh)) + 1, 64))
+            )
+            buckets, counts, leftover = _sharded_ivf_build(
+                self.vectors, self.valid, self.centroids,
+                n_choices=3, cap=cap_d,
+                chunk=min(65536, rps), l2=(self.metric == "l2"),
+                mesh=self.mesh,
+            )
+            if int(np.asarray(leftover).sum()) == 0:
+                self.buckets = buckets
+                self._bucket_counts = np.array(counts, np.int64)
+                return
         n_live = len(live)
         avg = max(1, n_live // max(1, num_c))  # per-cluster across shards
         cap = int(

@@ -230,10 +230,30 @@ def _bucket_bias(buckets_slots, valid, sq_norms, *, l2: bool):
     return jnp.where(ok, base, NEG_INF)
 
 
+def _build_core(
+    vectors, valid, centroids, *, n_choices: int, cap: int, chunk: int, l2: bool
+):
+    """Traceable core of the device build — also runs per-shard inside
+    shard_map for the mesh-sharded index (parallel/sharded_ivf.py)."""
+    return _ivf_build_impl(
+        vectors, valid, centroids,
+        n_choices=n_choices, cap=cap, chunk=chunk, l2=l2,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_choices", "cap", "chunk", "l2")
 )
 def _ivf_build_device(
+    vectors, valid, centroids, *, n_choices: int, cap: int, chunk: int, l2: bool
+):
+    return _ivf_build_impl(
+        vectors, valid, centroids,
+        n_choices=n_choices, cap=cap, chunk=chunk, l2=l2,
+    )
+
+
+def _ivf_build_impl(
     vectors, valid, centroids, *, n_choices: int, cap: int, chunk: int, l2: bool
 ):
     """Full bucket build on device — assignment matmul + capped balanced
