@@ -141,8 +141,9 @@ def config3_ivf_build():
 
     def probe(qq):
         return _ivf_probe_scan_contig(
-            qq, idx.centroids, idx.buckets_slots, idx.bucket_vectors,
-            idx.bucket_bias, c.sq_norms, alpha, nprobe=16, k=10,
+            qq, idx.centroids_exp, idx.slice_bias, idx.buckets_slots,
+            idx.bucket_vectors, idx.bucket_bias, c.sq_norms, alpha,
+            nprobe=16, k=10,
         )
 
     per = timeit(probe, q, reps=20)
@@ -317,9 +318,11 @@ def config8_pq():
 
     def probe(qq):
         return _ivf_probe_scan_pq_contig(
-            qq, qq[:, :d], idx.centroids, idx.buckets_slots, idx.bucket_codes,
+            qq, qq[:, :d], idx.centroids_exp, idx.centroids_exp[:, :d],
+            idx.slice_bias, idx.buckets_slots, idx.bucket_codes,
             idx.pq.codebooks, c.vectors, idx.bucket_bias, c.sq_norms, 2.0,
-            nprobe=16, k=k, rerank=40, adc_metric="l2",
+            nprobe=16, k=k, rerank=160, adc_metric="l2",
+            residual=idx.pq_residual,
         )
 
     per = timeit(probe, qj, reps=20)

@@ -264,6 +264,73 @@ class TestIVF:
         idx2 = IVFVectorIndex.from_state_dict(idx.state_dict())
         assert idx2.search(x2[7], top_k=1)[0].primary_key == 5007
 
+    def test_hard_clustered_recall_raw_and_residual_pq(self, rng):
+        # Regression for the round-2 recall fixes: on data with more natural
+        # modes than centroids (k-means collapse), the adaptive bucket cap
+        # must keep raw-IVF recall high, and residual (IVFADC) codes + the
+        # 16k re-rank pool must keep PQ recall close to raw.
+        nat, d, n, c, k, b = 100, 64, 20_000, 64, 10, 16
+        centers = rng.standard_normal((nat, d)).astype(np.float32) * 3
+        x = (centers[rng.integers(0, nat, n)]
+             + rng.standard_normal((n, d))).astype(np.float32)
+        q = x[rng.integers(0, n, b)] + rng.standard_normal((b, d)).astype(np.float32) * 0.1
+        ex = exact_topk(q, x, k, metric="l2")
+
+        def recall(idx, nprobe):
+            _, slots, _ = idx.search_arrays(q, k, nprobe=nprobe)
+            return np.mean([
+                len(set(slots[i].tolist()) & set(ex[i].tolist())) / k
+                for i in range(b)
+            ])
+
+        raw = IVFVectorIndex(d, metric="l2", num_clusters=c, nprobe=8,
+                             min_train_size=100)
+        raw.upsert(list(range(n)), x)
+        assert recall(raw, 8) >= 0.95
+
+        pq = IVFVectorIndex(d, metric="l2", num_clusters=c, nprobe=8,
+                            pq_subspaces=16, min_train_size=100)
+        pq.upsert(list(range(n)), x)
+        assert pq.pq_residual
+        r_pq = recall(pq, 8)
+        assert r_pq >= 0.85
+        # non-contiguous fallback path scores identically
+        pq.bucket_codes = None
+        assert abs(recall(pq, 8) - r_pq) < 1e-6
+
+    def test_pq_residual_persistence_and_legacy_flag(self, rng):
+        # round-trip keeps residual codes searchable; a legacy snapshot
+        # (no pq_residual key) must load in raw-code mode
+        d, n = 32, 3000
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        idx = IVFVectorIndex(d, metric="l2", num_clusters=16, nprobe=16,
+                             pq_subspaces=8, min_train_size=100)
+        idx.upsert(list(range(n)), x)
+        st = idx.state_dict()
+        assert st["pq_residual"] is True
+        idx2 = IVFVectorIndex.from_state_dict(st)
+        assert idx2.search(x[42], top_k=1)[0].primary_key == 42
+        legacy = dict(st)
+        legacy.pop("pq_residual")
+        legacy.pop("pq_rerank")
+        idx3 = IVFVectorIndex.from_state_dict(legacy)
+        assert idx3.pq_residual is False
+
+    def test_adaptive_cap_grows_on_skewed_first_choice(self, rng):
+        # two natural modes, many centroids: most rows' first choice
+        # concentrates on few clusters; the adaptive retry must widen the
+        # cap (up to MAX_BALANCE_FACTOR x avg) instead of spraying rows
+        # into arbitrary buckets
+        d, n = 16, 8000
+        modes = rng.standard_normal((2, d)).astype(np.float32) * 10
+        x = (modes[rng.integers(0, 2, n)]
+             + rng.standard_normal((n, d)) * 0.1).astype(np.float32)
+        idx = IVFVectorIndex(d, metric="l2", num_clusters=32, nprobe=4,
+                             min_train_size=100)
+        idx.upsert(list(range(n)), x)
+        q = x[17]
+        assert idx.search(q, top_k=1, nprobe=4)[0].primary_key == 17
+
     def test_balanced_placement_caps_buckets(self, rng):
         # pathological data (one dominant mode) must not explode bucket
         # capacity: cap stays within BALANCE_FACTOR * average

@@ -159,6 +159,8 @@ def _make_vector_index(dims: int, precision: str, idx: IndexSchema, mesh=None):
             pq_subspaces=cfg.pq_subspaces,
             pq_centroids=cfg.pq_centroids,
             rerank_factor=cfg.rerank_factor,
+            pq_residual=cfg.pq_residual,
+            pq_rerank=cfg.pq_rerank,
         )
     return FlatVectorIndex(dims, metric=metric, precision=precision)
 

@@ -117,6 +117,11 @@ class VectorIndexConfig:
     # exact re-rank pool multiplier (reference rerank pool max(2k, 20),
     # ngh_graph_engine.dart:115)
     rerank_factor: int = 2
+    # IVFADC residual codes (x - centroid[bucket]); large recall win over
+    # raw-vector PQ at identical code size
+    pq_residual: bool = True
+    # PQ exact-re-rank pool size; 0 = auto max(rerank_factor*k, 16k, 64)
+    pq_rerank: int = 0
 
     def __post_init__(self):
         # accept plain strings for ergonomic construction
@@ -139,6 +144,8 @@ class VectorIndexConfig:
             pq_subspaces=d.get("pq_subspaces", 0),
             pq_centroids=d.get("pq_centroids", 256),
             rerank_factor=d.get("rerank_factor", 2),
+            pq_residual=d.get("pq_residual", True),
+            pq_rerank=d.get("pq_rerank", 0),
         )
 
 

@@ -44,7 +44,7 @@ def _adc_kernel(probes_ref, tab_ref, codes_ref, bias_ref, out_ref):
     del probes_ref
     codes = codes_ref[0]  # [M, cap] u8, subspaces on sublanes
     m, cap = codes.shape
-    k = tab_ref.shape[2]
+    k = tab_ref.shape[3]
     codes_i = codes.astype(jnp.int32)
     acc = jnp.zeros((1, cap), jnp.float32)
     for g in range(0, m, ADC_GROUP):
@@ -53,7 +53,7 @@ def _adc_kernel(probes_ref, tab_ref, codes_ref, bias_ref, out_ref):
         iota = jax.lax.broadcasted_iota(jnp.int32, (mg, k, cap), 1)
         oh = (cg[:, None, :] == iota).astype(jnp.bfloat16)  # [mg, k, cap]
         oh2 = oh.reshape(mg * k, cap)
-        tg = tab_ref[0, g : g + mg, :].reshape(1, mg * k).astype(jnp.bfloat16)
+        tg = tab_ref[0, 0, g : g + mg, :].reshape(1, mg * k).astype(jnp.bfloat16)
         acc += jax.lax.dot_general(
             tg, oh2, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -63,19 +63,22 @@ def _adc_kernel(probes_ref, tab_ref, codes_ref, bias_ref, out_ref):
 
 @jax.jit
 def adc_bucket_scores(tabs, probes, bucket_codes, bucket_bias):
-    """tabs [B, M, K] f32 per-query ADC tables (lower = closer), probes
-    [B, P] i32, bucket_codes [C, M, cap] u8 (bucket-contiguous, subspaces
-    on sublanes), bucket_bias [C, cap]. Returns scores [B, P, cap] f32
-    (negated distances + bias)."""
-    b = tabs.shape[0]
-    p = probes.shape[1]
+    """tabs [B, P, M, K] f32 per-(query, probe) ADC tables (lower = closer)
+    — per-probe so residual-PQ tables, built from q - centroid[probe], ride
+    the same kernel; non-residual callers broadcast a per-query table over
+    P. probes [B, P] i32, bucket_codes [C, M, cap] u8 (bucket-contiguous,
+    subspaces on sublanes), bucket_bias [C, cap]. Returns scores
+    [B, P, cap] f32 (negated distances + bias)."""
+    b, p = probes.shape
     c, m, cap = bucket_codes.shape
     bias3 = bucket_bias[:, None, :]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, p),
         in_specs=[
-            pl.BlockSpec((1, m, tabs.shape[2]), lambda bi, pi, pr: (bi, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, m, tabs.shape[3]), lambda bi, pi, pr: (bi, pi, 0, 0)
+            ),
             pl.BlockSpec((1, m, cap), lambda bi, pi, pr: (pr[bi, pi], 0, 0)),
             pl.BlockSpec((1, 1, cap), lambda bi, pi, pr: (pr[bi, pi], 0, 0)),
         ],

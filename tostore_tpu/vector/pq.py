@@ -181,6 +181,36 @@ def adc_tables(codebooks: jax.Array, q: jax.Array, metric: str = "l2") -> jax.Ar
     return t.transpose(1, 0, 2)
 
 
+@functools.partial(jax.jit, static_argnames=("metric",))
+def adc_tables_probed(
+    codebooks: jax.Array,
+    q: jax.Array,
+    cents: jax.Array,
+    probes: jax.Array,
+    metric: str = "l2",
+):
+    """Per-(query, probed-cluster) ADC tables for RESIDUAL codes
+    (IVFADC, Jegou et al.): codes quantize x - centroid[cluster(x)], so the
+    l2 table for bucket p is built from q - centroid[p]. For dot, the
+    residual table is centroid-independent (-q.r) and the constant q.c_p
+    comes back as an additive per-probe offset.
+
+    q [B, D] un-padded; cents [C, D] un-padded; probes [B, P] i32.
+    Returns (tabs [B, P, M, K] lower=closer, offs [B, P] added to the
+    NEGATED-distance score)."""
+    b, d = q.shape
+    p = probes.shape[1]
+    cp = cents[probes]  # [B, P, D]
+    if metric == "dot":
+        tabs = adc_tables(codebooks, q, metric="dot")  # [B, M, K]
+        tabs = jnp.broadcast_to(tabs[:, None], (b, p) + tabs.shape[1:])
+        offs = jnp.sum(q[:, None, :] * cp, axis=-1)  # q . c_p
+        return tabs, offs
+    qr = (q[:, None, :] - cp).reshape(b * p, d)
+    tabs = adc_tables(codebooks, qr, metric="l2").reshape(b, p, codebooks.shape[0], codebooks.shape[1])
+    return tabs, jnp.zeros((b, p), jnp.float32)
+
+
 @jax.jit
 def adc_scan(tables: jax.Array, codes: jax.Array) -> jax.Array:
     """ADC distances [B, N]: sum_m tables[b, m, codes[n, m]].
