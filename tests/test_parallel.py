@@ -98,6 +98,47 @@ class TestShardedIndex:
             assert len(set(row) & set(rref.tolist())) >= 4
 
 
+class TestShardedIVFSlices:
+    def test_skewed_clusters_recall(self, mesh, rng):
+        # hard clustered data with more natural modes than centroids: the
+        # sliced layout must keep every row in its true nearest cluster
+        # (regression for the capped 2nd/3rd-choice spill recall ceiling)
+        from tostore_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        nat, d, n, c, k = 40, 32, 8000, 16, 10
+        centers = rng.standard_normal((nat, d)).astype(np.float32) * 4
+        x = (centers[rng.integers(0, nat, n)]
+             + rng.standard_normal((n, d)) * 0.5).astype(np.float32)
+        idx = ShardedIVFIndex(d, mesh, metric="l2", num_clusters=c, nprobe=6,
+                              min_train_size=100)
+        idx.upsert(list(range(n)), x)
+        assert idx.trained
+        # fat natural clusters forced slicing
+        assert idx.centroids_exp.shape[0] > c
+        q = x[rng.integers(0, n, 8)] + rng.standard_normal((8, d)).astype(np.float32) * 0.05
+        d2 = np.sum((q[:, None, :] - x[None]) ** 2, axis=-1)
+        ex = np.argsort(d2, axis=1)[:, :k]
+        hits = 0
+        for bi in range(8):
+            got = {r.primary_key for r in idx.search(q[bi], top_k=k, nprobe=6)}
+            hits += len(got & set(ex[bi].tolist()))
+        assert hits / (8 * k) >= 0.9
+
+    def test_incremental_append_lands_in_slices(self, mesh, rng):
+        from tostore_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        d, n = 16, 2000
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        idx = ShardedIVFIndex(d, mesh, metric="l2", num_clusters=8, nprobe=8,
+                              min_train_size=500)
+        idx.upsert(list(range(n)), x)
+        assert idx.trained
+        # post-training incremental upserts go through _append_to_buckets
+        x2 = rng.standard_normal((64, d)).astype(np.float32)
+        idx.upsert(list(range(10_000, 10_064)), x2)
+        assert idx.search(x2[17], top_k=1, nprobe=8)[0].primary_key == 10_017
+
+
 class TestDriverEntrypoints:
     def test_entry_compiles(self):
         import __graft_entry__ as g

@@ -22,58 +22,79 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..models.results import VectorSearchResult
 from ..ops import distance as D
 from ..ops.runtime import NEG_INF, round_up
-from ..vector.ivf import _build_core
+from ..vector.ivf import _ivf_assign_device, _ivf_place_sliced
 from .mesh import query_sharding, shard_count
 from .sharded import ShardedFlatIndex, sharded_kmeans_step
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_choices", "cap", "chunk", "l2", "mesh")
-)
-def _sharded_ivf_build(
-    vectors, valid, centroids, *, n_choices: int, cap: int, chunk: int,
-    l2: bool, mesh
-):
-    """Per-shard device bucket build: every shard assigns + places its
-    corpus stripe locally (bucket entries are shard-local positions, as the
-    probe expects), one dispatch for the whole mesh. Returns
-    (buckets [nsh*C, cap], counts [nsh, C], leftover [nsh])."""
+@functools.partial(jax.jit, static_argnames=("chunk", "l2", "mesh"))
+def _sharded_ivf_assign(vectors, valid, centroids, *, chunk: int, l2: bool, mesh):
+    """Per-shard nearest-centroid assignment in one dispatch. Returns
+    (assign [capT] i32 sharded, counts [nsh, C] i32 per-shard first-choice
+    bincounts)."""
 
     def local(v, va, c):
-        buckets, _, _, counts, leftover = _build_core(
-            v, va.reshape(-1), c,
-            n_choices=n_choices, cap=cap, chunk=chunk, l2=l2,
+        choices, counts = _ivf_assign_device(
+            v, va.reshape(-1), c, chunk=chunk, l2=l2
         )
-        return buckets, counts[None, :], leftover[None]
+        return choices[:, 0], counts[None, :]
 
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P("shard", None), P("shard"), P()),
-        out_specs=(P("shard", None), P("shard", None), P("shard")),
+        out_specs=(P("shard"), P("shard", None)),
         check_vma=False,
     )
     return fn(vectors, valid, centroids)
 
 
+@functools.partial(jax.jit, static_argnames=("cap", "c_exp", "mesh"))
+def _sharded_ivf_place(assign, valid, base, *, cap: int, c_exp: int, mesh):
+    """Per-shard sliced placement (see ivf._ivf_place_sliced): the slice
+    layout (base, c_exp, cap) is shared across shards — sized from the
+    per-cluster MAX shard-local count, so every shard's rows fit in its own
+    copy of the rectangles and SPMD shapes stay static. Bucket entries are
+    shard-local row positions. Returns (buckets [nsh*c_exp, cap] sharded,
+    slice_counts [nsh, c_exp])."""
+
+    def local(a, va, b):
+        buckets, _, _, scounts = _ivf_place_sliced(
+            a.reshape(-1), va.reshape(-1), b, cap=cap, c_exp=c_exp
+        )
+        return buckets, scounts[None, :]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("shard"), P("shard"), P()),
+        out_specs=(P("shard", None), P("shard", None)),
+        check_vma=False,
+    )
+    return fn(assign, valid, base)
+
+
 @functools.partial(jax.jit, static_argnames=("nprobe", "k", "mesh"))
 def _sharded_ivf_probe(
-    q, centroids, buckets, vectors, valid, sq_norms, alpha, *, nprobe: int, k: int, mesh
+    q, centroids, slice_bias, buckets, vectors, valid, sq_norms, alpha,
+    *, nprobe: int, k: int, mesh
 ):
-    """q [B, Dp] sharded over dp; centroids [C, Dp] replicated; buckets
-    [nsh*C, cap] i32 shard-local positions, sharded over shard axis;
-    vectors [capT, Dp] / valid / sq_norms sharded over shard axis."""
+    """q [B, Dp] sharded over dp; centroids [C_exp, Dp] slice-expanded,
+    replicated; slice_bias [C_exp] replicated (NEG_INF on padding slices);
+    buckets [nsh*C_exp, cap] i32 shard-local positions, sharded over shard
+    axis; vectors [capT, Dp] / valid / sq_norms sharded over shard axis."""
     nsh = shard_count(mesh)
     cap = buckets.shape[1]
     rps = vectors.shape[0] // nsh
 
-    def local(qb, cents, bk, vl, va, nrm):
+    def local(qb, cents, sbias, bk, vl, va, nrm):
         va = va.reshape(-1)
         nrm = nrm.reshape(-1)
         cs = jnp.dot(qb, cents.T, preferred_element_type=jnp.float32)
         if sq_norms is not None:
             cn = jnp.sum(cents * cents, axis=1)
             cs = 2.0 * cs - cn[None, :]
+        cs = cs + sbias[None, :]
         _, probe = jax.lax.top_k(cs, nprobe)  # [Bl, nprobe]
 
         def per_query(qv, probes):
@@ -110,14 +131,14 @@ def _sharded_ivf_probe(
         local,
         mesh=mesh,
         in_specs=(
-            P("dp", None), P(), P("shard", None), P("shard", None),
+            P("dp", None), P(), P(), P("shard", None), P("shard", None),
             P("shard"), P("shard"),
         ),
         out_specs=(P("dp", None), P("dp", None)),
         check_vma=False,
     )
     nrm_arg = sq_norms if sq_norms is not None else jnp.zeros(vectors.shape[0], jnp.float32)
-    return fn(q, centroids, buckets, vectors, valid, nrm_arg)
+    return fn(q, centroids, slice_bias, buckets, vectors, valid, nrm_arg)
 
 
 class ShardedIVFIndex(ShardedFlatIndex):
@@ -135,8 +156,16 @@ class ShardedIVFIndex(ShardedFlatIndex):
         self.nprobe = nprobe
         self.min_train_size = min_train_size
         self.centroids: jax.Array | None = None  # replicated [C, Dp]
-        self.buckets: jax.Array | None = None  # [nsh*C, cap] local positions
-        self._bucket_counts: np.ndarray | None = None  # host [nsh, C]
+        # sliced layout (shared across shards; see ivf._ivf_place_sliced):
+        # cluster c owns slices base[c]..base[c]+nsl[c]-1, sized from the
+        # per-cluster MAX shard-local count so every stripe fits
+        self.centroids_exp: jax.Array | None = None  # replicated [C_exp, Dp]
+        self.slice_bias: jax.Array | None = None  # replicated [C_exp]
+        self._slice_cluster: np.ndarray | None = None  # host [C_exp] -> c
+        self._slice_base: np.ndarray | None = None  # host [C]
+        self._slice_count: np.ndarray | None = None  # host [C]
+        self.buckets: jax.Array | None = None  # [nsh*C_exp, cap] local pos
+        self._bucket_counts: np.ndarray | None = None  # host [nsh, C_exp]
         self._trained_size = 0
 
     @property
@@ -198,105 +227,96 @@ class ShardedIVFIndex(ShardedFlatIndex):
             out[a : a + len(chunk)] = np.asarray(jnp.argmax(s, axis=1), np.int64)
         return out
 
+    def _bucket_cap(self, n_live: int) -> int:
+        num_c = self.centroids.shape[0]
+        avg_sh = max(1, n_live // max(1, num_c * self.nsh))
+        return int(max(64, round_up(int(self.BALANCE_FACTOR * avg_sh) + 1, 64)))
+
+    def _install_slices(self, nsl: np.ndarray) -> int:
+        num_c = self.centroids.shape[0]
+        total = int(nsl.sum())
+        c_exp = int(round_up(max(total, 8), 8))
+        sl_cl = np.full(c_exp, -1, np.int64)
+        sl_cl[:total] = np.repeat(np.arange(num_c), nsl)
+        base = np.zeros(num_c, np.int64)
+        base[1:] = np.cumsum(nsl)[:-1]
+        self._slice_cluster = sl_cl
+        self._slice_base = base
+        self._slice_count = nsl.astype(np.int64)
+        rep = NamedSharding(self.mesh, P())
+        self.centroids_exp = jax.device_put(
+            self.centroids[jnp.asarray(np.maximum(sl_cl, 0), jnp.int32)], rep
+        )
+        self.slice_bias = jax.device_put(
+            jnp.asarray(np.where(sl_cl >= 0, 0.0, NEG_INF), jnp.float32), rep
+        )
+        return c_exp
+
     def _rebuild_buckets(self):
+        """Sliced per-shard build: one assignment dispatch over the mesh, a
+        [nsh, C] counts readback to size the shared slice layout, one
+        placement dispatch. No row leaves its nearest cluster (the old
+        capped 2nd/3rd-choice spill was the sharded index's recall ceiling
+        on skewed data, ROUND_NOTES round-3 item 2)."""
         num_c = self.centroids.shape[0]
         rps = self._rows_per_shard()
-        live = np.fromiter(
-            self._pk_slot.values(), np.int64, len(self._pk_slot)
-        )
-        if len(live):
-            # per-shard device build (assignment + placement in one
-            # dispatch); host fallback only if a shard overflows entirely
-            n_live = len(live)
-            avg = max(1, n_live // max(1, num_c))
-            cap_d = int(
-                max(64, round_up(int(self.BALANCE_FACTOR * avg / max(1, self.nsh)) + 1, 64))
-            )
-            buckets, counts, leftover = _sharded_ivf_build(
-                self.vectors, self.valid, self.centroids,
-                n_choices=3, cap=cap_d,
-                chunk=min(65536, rps), l2=(self.metric == "l2"),
-                mesh=self.mesh,
-            )
-            if int(np.asarray(leftover).sum()) == 0:
-                self.buckets = buckets
-                self._bucket_counts = np.array(counts, np.int64)
-                return
-        n_live = len(live)
-        avg = max(1, n_live // max(1, num_c))  # per-cluster across shards
-        cap = int(
-            max(64, round_up(int(self.BALANCE_FACTOR * avg / max(1, self.nsh)) + 1, 64))
-        )
+        n_live = len(self._pk_slot)
+        cap = self._bucket_cap(n_live)
         if n_live == 0:
+            c_exp = self._install_slices(np.ones(num_c, np.int64))
             self.buckets = jax.device_put(
-                jnp.full((self.nsh * num_c, cap), -1, jnp.int32),
+                jnp.full((self.nsh * c_exp, cap), -1, jnp.int32),
                 NamedSharding(self.mesh, P("shard", None)),
             )
-            self._bucket_counts = np.zeros((self.nsh, num_c), np.int64)
+            self._bucket_counts = np.zeros((self.nsh, c_exp), np.int64)
             return
-        assign = self._assign(live)
-        shard_of = live // rps
-        pos_in_shard = live % rps
-        # per (shard, cluster) grouping with a bounded cap: overflow rows
-        # spill round-robin into the same shard's non-full buckets (bounded
-        # memory even when k-means collapses; a no-spill cap let one skewed
-        # cluster inflate the table to C x N/nsh entries)
-        group = shard_of * num_c + assign
-        order = np.argsort(group, kind="stable")
-        g_sorted = group[order]
-        p_sorted = pos_in_shard[order]
-        from ..vector.ivf import IVFVectorIndex
-
-        within = IVFVectorIndex._group_positions(g_sorted)
-        buckets = np.full((self.nsh * num_c, cap), -1, np.int32)
-        keep = within < cap
-        buckets[g_sorted[keep], within[keep]] = p_sorted[keep]
-        counts2d = np.bincount(group[order[keep]], minlength=self.nsh * num_c).reshape(
-            self.nsh, num_c
+        assign, counts = _sharded_ivf_assign(
+            self.vectors, self.valid, self.centroids,
+            chunk=min(65536, rps), l2=(self.metric == "l2"), mesh=self.mesh,
         )
-        if not keep.all():
-            ov_group = g_sorted[~keep]
-            ov_pos = p_sorted[~keep]
-            for sh in range(self.nsh):
-                sel = (ov_group // num_c) == sh
-                m = int(sel.sum())
-                if not m:
-                    continue
-                free = np.repeat(
-                    np.arange(num_c), np.maximum(cap - counts2d[sh], 0)
-                )
-                take = free[:m]  # already sorted by cluster
-                cols = counts2d[sh][take] + IVFVectorIndex._group_positions(take)
-                buckets[sh * num_c + take, cols] = ov_pos[sel]
-                np.add.at(counts2d[sh], take, 1)
-        self.buckets = jax.device_put(
-            jnp.asarray(buckets), NamedSharding(self.mesh, P("shard", None))
+        counts_np = np.asarray(counts, np.int64)  # [nsh, C]
+        nsl = np.maximum(1, -(-counts_np.max(axis=0) // cap))
+        c_exp = self._install_slices(nsl)
+        buckets, scounts = _sharded_ivf_place(
+            assign, self.valid, jnp.asarray(self._slice_base, jnp.int32),
+            cap=cap, c_exp=c_exp, mesh=self.mesh,
         )
-        self._bucket_counts = counts2d
+        self.buckets = buckets
+        self._bucket_counts = np.array(scounts, np.int64)
 
     def _append_to_buckets(self, slots: np.ndarray) -> bool:
-        """Incremental bucket append for freshly inserted slots; returns
-        False when any bucket would overflow (caller rebuilds)."""
-        num_c = self.centroids.shape[0]
+        """Incremental append past the high-water mark of each row's
+        cluster's slices (shard-local); returns False when a (shard,
+        cluster) runs out of slice space (caller rebuilds)."""
         rps = self._rows_per_shard()
         cap = self.buckets.shape[1]
+        c_exp = self._slice_cluster.shape[0]
         assign = self._assign(slots)
-        group = (slots // rps) * num_c + assign
-        order = np.argsort(group, kind="stable")
-        g_sorted = group[order]
-        p_sorted = (slots % rps)[order]
-        from ..vector.ivf import IVFVectorIndex
-
-        within = IVFVectorIndex._group_positions(g_sorted)
-        flat_counts = self._bucket_counts.reshape(-1)
-        pos = flat_counts[g_sorted] + within
-        if pos.max() >= cap:
-            return False
+        sh = slots // rps
+        pos_in_shard = slots % rps
+        counts = self._bucket_counts  # [nsh, C_exp]
+        base, nsl = self._slice_base, self._slice_count
+        sl_out = np.full(len(slots), -1, np.int64)  # global bucket rows
+        ps_out = np.full(len(slots), -1, np.int64)
+        new_counts = counts.copy()
+        for s, cl in {(int(a), int(b)) for a, b in zip(sh, assign)}:
+            rows = np.flatnonzero((sh == s) & (assign == cl))
+            sls = np.arange(base[cl], base[cl] + nsl[cl])
+            free = np.maximum(cap - new_counts[s, sls], 0)
+            cumfree = np.cumsum(free)
+            if not len(cumfree) or cumfree[-1] < len(rows):
+                return False
+            offs = np.arange(len(rows))
+            si = np.searchsorted(cumfree, offs, side="right")
+            prev = np.where(si > 0, cumfree[np.maximum(si - 1, 0)], 0)
+            sl_ids = sls[si]
+            sl_out[rows] = s * c_exp + sl_ids
+            ps_out[rows] = new_counts[s, sl_ids] + (offs - prev)
+            np.add.at(new_counts[s], sl_ids, 1)
         self.buckets = self.buckets.at[
-            jnp.asarray(g_sorted, jnp.int32), jnp.asarray(pos, jnp.int32)
-        ].set(jnp.asarray(p_sorted, jnp.int32))
-        np.add.at(flat_counts, g_sorted, 1)
-        self._bucket_counts = flat_counts.reshape(self.nsh, num_c)
+            jnp.asarray(sl_out, jnp.int32), jnp.asarray(ps_out, jnp.int32)
+        ].set(jnp.asarray(pos_in_shard, jnp.int32))
+        self._bucket_counts = new_counts
         return True
 
     def upsert(self, pks, raw, _prepped=None):
@@ -354,9 +374,10 @@ class ShardedIVFIndex(ShardedFlatIndex):
             valid = jnp.logical_and(valid, jnp.asarray(slot_mask))
         alpha = D.metric_alpha(self.metric)
         sqn = self.sq_norms if self.metric == "l2" else None
-        np_probe = min(int(nprobe or self.nprobe), self.centroids.shape[0])
+        np_probe = min(int(nprobe or self.nprobe), self.centroids_exp.shape[0])
         scores, idx = _sharded_ivf_probe(
-            qj, self.centroids, self.buckets, self.vectors, valid, sqn, alpha,
+            qj, self.centroids_exp, self.slice_bias, self.buckets,
+            self.vectors, valid, sqn, alpha,
             nprobe=np_probe, k=k, mesh=self.mesh,
         )
         scores = scores[:b]
