@@ -139,6 +139,79 @@ class TestFlatIndex:
         assert r1 == r2
 
 
+class TestInt8PerVectorScaling:
+    def test_small_magnitude_rows_keep_resolution(self, rng):
+        # normalized high-d rows have entries ~1/sqrt(D); the legacy global
+        # x*127 rule quantizes them to a handful of levels — per-vector
+        # scales must keep int8 cosine scores close to f32 exact
+        d, n, k = 256, 4096, 10
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        q = x[rng.integers(0, n, 8)] + rng.standard_normal((8, d)).astype(np.float32) * 0.05
+        i8 = FlatVectorIndex(d, metric="cosine", precision="int8")
+        i8.upsert(list(range(n)), x)
+        f32 = FlatVectorIndex(d, metric="cosine", precision="float32")
+        f32.upsert(list(range(n)), x)
+        d8, s8, _ = i8.search_arrays(q, k)
+        df, sf, _ = f32.search_arrays(q, k)
+        assert np.mean([
+            len(set(s8[i].tolist()) & set(sf[i].tolist())) / k for i in range(8)
+        ]) >= 0.9
+        # distances agree to quantization tolerance
+        assert np.max(np.abs(d8[:, 0] - df[:, 0])) < 0.01
+
+    def test_values_outside_unit_range_not_clipped(self, rng):
+        # the legacy rule clipped anything outside [-1, 1]; per-vector
+        # scales must represent large-magnitude rows faithfully
+        d = 64
+        x = np.zeros((4, d), np.float32)
+        x[0, 0] = 5.0
+        x[1, 1] = 50.0
+        x[2, 2] = -8.0
+        x[3, 3] = 0.5
+        idx = FlatVectorIndex(d, metric="l2", precision="int8")
+        idx.upsert([0, 1, 2, 3], x)
+        got = idx.corpus.get_vectors([0, 1, 2, 3])
+        assert np.max(np.abs(got - x)) < 0.25  # 50/127 max step
+        q = np.zeros(d, np.float32)
+        q[1] = 49.0
+        assert idx.search(q, top_k=1)[0].primary_key == 1
+
+    def test_legacy_snapshot_loads_global_rule(self, rng):
+        d, n = 32, 64
+        x = (rng.standard_normal((n, d)) * 0.1).astype(np.float32)
+        idx = FlatVectorIndex(d, metric="l2", precision="int8")
+        idx.upsert(list(range(n)), x)
+        st = idx.state_dict()
+        assert st["corpus"]["scales"] is not None
+        # simulate a round-1 snapshot: codes quantized under x*127, no scales
+        legacy = dict(st)
+        legacy["corpus"] = dict(st["corpus"])
+        legacy["corpus"]["vectors"] = np.clip(
+            np.round(np.pad(x, ((0, 0), (0, idx.corpus.d_pad - d))) * 127),
+            -127, 127,
+        ).astype(np.int8)
+        legacy["corpus"].pop("scales")
+        idx2 = FlatVectorIndex.from_state_dict(legacy)
+        got = idx2.corpus.get_vectors(list(range(n)))
+        assert np.max(np.abs(got - x)) < 1.0 / 127 + 1e-6
+
+    def test_ivf_int8_recall(self, rng):
+        nat, d, n, c, k = 30, 64, 10_000, 16, 10
+        centers = rng.standard_normal((nat, d)).astype(np.float32) * 4
+        x = (centers[rng.integers(0, nat, n)]
+             + rng.standard_normal((n, d))).astype(np.float32)
+        q = x[rng.integers(0, n, 8)].astype(np.float32)
+        ex = exact_topk(q, x, k, metric="l2")
+        idx = IVFVectorIndex(d, metric="l2", precision="int8", num_clusters=c,
+                             nprobe=6, min_train_size=100)
+        idx.upsert(list(range(n)), x)
+        _, slots, _ = idx.search_arrays(q, k, nprobe=6)
+        rec = np.mean([
+            len(set(slots[i].tolist()) & set(ex[i].tolist())) / k for i in range(8)
+        ])
+        assert rec >= 0.85
+
+
 class TestPQ:
     def test_auto_subspaces(self):
         assert auto_subspaces(128) == 16

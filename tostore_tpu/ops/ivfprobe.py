@@ -95,7 +95,12 @@ def adc_bucket_scores(tabs, probes, bucket_codes, bucket_bias):
     return out.reshape(b, p, cap)
 
 
-def _kernel(probes_ref, q_ref, bv_ref, bias_ref, out_ref):
+def _kernel(has_scale, probes_ref, q_ref, bv_ref, *rest):
+    if has_scale:
+        sc_ref, bias_ref, out_ref = rest
+    else:
+        bias_ref, out_ref = rest
+        sc_ref = None
     del probes_ref  # consumed by the index maps
     block = bv_ref[0]  # [cap, d]
     if block.dtype == jnp.int8:
@@ -113,15 +118,18 @@ def _kernel(probes_ref, q_ref, bv_ref, bias_ref, out_ref):
         qv, block, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [1, cap] — kept 2-d (1-d reshapes cross sublanes, unsupported)
+    if sc_ref is not None:
+        s = s * sc_ref[0]  # per-row int8 dequant factors [1, cap]
     out_ref[0, 0] = s + bias_ref[0]
 
 
 @functools.partial(jax.jit, static_argnames=())
-def bucket_probe_scores(q, probes, bucket_vectors, bucket_bias):
+def bucket_probe_scores(q, probes, bucket_vectors, bucket_bias, bucket_scale=None):
     """q [B, D] (alpha folded in, dtype matching bucket compute), probes
     [B, P] i32 cluster ids, bucket_vectors [C, cap, D], bucket_bias
-    [C, cap] f32 additive (NEG_INF = dead entry; -|x|^2 folded for l2).
-    Returns scores [B, P, cap] f32."""
+    [C, cap] f32 additive (NEG_INF = dead entry; -|x|^2 folded for l2),
+    bucket_scale [C, cap] f32 optional per-row multiplicative dequant
+    factors (per-vector int8). Returns scores [B, P, cap] f32."""
     b, d = q.shape
     _, p = probes.shape
     c, cap, _ = bucket_vectors.shape
@@ -129,22 +137,32 @@ def bucket_probe_scores(q, probes, bucket_vectors, bucket_bias):
     # or equal to the array dims: q rides along whole (row selected by
     # masked reduce), bias/out get unit middle axes
     bias3 = bucket_bias[:, None, :]
+    in_specs = [
+        pl.BlockSpec((b, d), lambda bi, pi, pr: (0, 0)),
+        pl.BlockSpec((1, cap, d), lambda bi, pi, pr: (pr[bi, pi], 0, 0)),
+    ]
+    operands = [q, bucket_vectors]
+    if bucket_scale is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, cap), lambda bi, pi, pr: (pr[bi, pi], 0, 0))
+        )
+        operands.append(bucket_scale[:, None, :])
+    in_specs.append(
+        pl.BlockSpec((1, 1, cap), lambda bi, pi, pr: (pr[bi, pi], 0, 0))
+    )
+    operands.append(bias3)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, p),
-        in_specs=[
-            pl.BlockSpec((b, d), lambda bi, pi, pr: (0, 0)),
-            pl.BlockSpec((1, cap, d), lambda bi, pi, pr: (pr[bi, pi], 0, 0)),
-            pl.BlockSpec((1, 1, cap), lambda bi, pi, pr: (pr[bi, pi], 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, 1, cap), lambda bi, pi, pr: (bi, pi, 0, 0)
         ),
     )
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, bucket_scale is not None),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, p, 1, cap), jnp.float32),
         interpret=interpret_mode(),
-    )(probes, q, bucket_vectors, bias3)
+    )(probes, *operands)
     return out.reshape(b, p, cap)

@@ -30,8 +30,12 @@ default ~8M-element chunks, nch 8-30 per batch size -> ~1e-5). `mode=
 (N % 2048 == 0, D % 128 == 0 — the engine always pads) above MIN_FUSED_N;
 everything else, and `mode="exact"`, takes the exact path.
 
-Scores are `alpha * q @ corpus.T + bias`, higher = better (see distance.py
-for the per-metric encoding). Invalid/padded rows carry bias = -inf.
+Scores are `alpha * row_scale_i * (q @ corpus.T)_i + bias_i`, higher =
+better (see distance.py for the per-metric encoding). Invalid/padded rows
+carry bias = -inf. `row_scale` ([N] f32, optional) is the per-row
+multiplicative factor for per-vector int8 dequantization (corpus.py
+scales); it rides through every path as a second per-row block alongside
+bias, costing 4 bytes/row of extra DMA (~0.3% at D=768 bf16).
 """
 
 from __future__ import annotations
@@ -93,7 +97,7 @@ def _dot_precision(dtype):
 # --------------------------------------------------------------------------
 
 
-def flat_topk_xla(q, corpus, bias, alpha, k):
+def flat_topk_xla(q, corpus, bias, alpha, k, row_scale=None):
     """Exact scan. Chunks the corpus so peak memory stays ~[B, EXACT_CHUNK]
     while XLA's native TopK does the selection."""
     n, d = corpus.shape
@@ -105,6 +109,8 @@ def flat_topk_xla(q, corpus, bias, alpha, k):
 
     if n <= 2 * EXACT_CHUNK or n % EXACT_CHUNK != 0:
         s = jnp.dot(qc, corpus.T, preferred_element_type=jnp.float32, precision=prec)
+        if row_scale is not None:
+            s = s * row_scale[None, :]
         s = alpha * s + bias[None, :]
         kk = min(k, n)
         top_s, top_i = jax.lax.top_k(s, kk)
@@ -117,16 +123,23 @@ def flat_topk_xla(q, corpus, bias, alpha, k):
     kk = min(k, EXACT_CHUNK)
 
     def body(carry, inp):
-        cblk, bblk, off = inp
+        cblk, bblk, sblk, off = inp
         s = jnp.dot(qc, cblk.T, preferred_element_type=jnp.float32, precision=prec)
+        if row_scale is not None:
+            s = s * sblk[None, :]
         s = alpha * s + bblk[None, :]
         ts, ti = jax.lax.top_k(s, kk)
         return carry, (ts, ti.astype(jnp.int32) + off)
 
     cr = corpus.reshape(nch, EXACT_CHUNK, d)
     br = bias.reshape(nch, EXACT_CHUNK)
+    sr = (
+        row_scale.reshape(nch, EXACT_CHUNK)
+        if row_scale is not None
+        else jnp.zeros((nch, 1), jnp.float32)  # unused placeholder
+    )
     offs = (jnp.arange(nch, dtype=jnp.int32) * EXACT_CHUNK)[:, None]
-    _, (ss, ii) = jax.lax.scan(body, 0, (cr, br, offs))
+    _, (ss, ii) = jax.lax.scan(body, 0, (cr, br, sr, offs))
     ss = ss.transpose(1, 0, 2).reshape(b, nch * kk)
     ii = ii.transpose(1, 0, 2).reshape(b, nch * kk)
     top_s, pos = jax.lax.top_k(ss, k)
@@ -166,8 +179,13 @@ def _block_lane_top2(s, blk_n):
     return best, bidx * LANE + lane, best2, bidx2 * LANE + lane
 
 
-def _lane_topk_kernel(alpha, blk_n, t_cands, q_ref, c_ref, b_ref, out_s_ref, out_i_ref,
-                      acc_s_ref, acc_i_ref):
+def _lane_topk_kernel(alpha, blk_n, t_cands, has_scale, q_ref, c_ref, b_ref,
+                      *rest):
+    if has_scale:
+        sc_ref, out_s_ref, out_i_ref, acc_s_ref, acc_i_ref = rest
+    else:
+        out_s_ref, out_i_ref, acc_s_ref, acc_i_ref = rest
+        sc_ref = None
     """Scores one corpus block and folds its per-lane top-2 into a running
     per-lane top-T kept in VMEM scratch across the whole ni sweep; only the
     final [blk_b, T*128] candidate tile ever reaches HBM."""
@@ -189,6 +207,8 @@ def _lane_topk_kernel(alpha, blk_n, t_cands, q_ref, c_ref, b_ref, out_s_ref, out
         preferred_element_type=jnp.float32,
         precision=_dot_precision(c.dtype),
     )
+    if sc_ref is not None:
+        s = s * sc_ref[...]  # per-row dequant factors, (1, BLK_N) block
     s = alpha * s + b_ref[...]  # b_ref block (1, BLK_N) broadcasts over rows
 
     n_base = ni * blk_n
@@ -222,7 +242,13 @@ def _lane_topk_kernel(alpha, blk_n, t_cands, q_ref, c_ref, b_ref, out_s_ref, out
         )
 
 
-def _lane_topk_block_kernel(alpha, blk_n, q_ref, c_ref, b_ref, out_s_ref, out_i_ref):
+def _lane_topk_block_kernel(alpha, blk_n, has_scale, q_ref, c_ref, b_ref,
+                            *rest):
+    if has_scale:
+        sc_ref, out_s_ref, out_i_ref = rest
+    else:
+        out_s_ref, out_i_ref = rest
+        sc_ref = None
     """Per-block candidate emission (no accumulator): writes each block's
     per-lane top-2 straight to HBM. Faster than the accumulator variant for
     large query blocks, where the bubble-insert RMW dominates (measured
@@ -237,6 +263,8 @@ def _lane_topk_block_kernel(alpha, blk_n, q_ref, c_ref, b_ref, out_s_ref, out_i_
         preferred_element_type=jnp.float32,
         precision=_dot_precision(c.dtype),
     )
+    if sc_ref is not None:
+        s = s * sc_ref[...]
     s = alpha * s + b_ref[...]
     n_base = pl.program_id(1) * blk_n
     m1, g1, m2, g2 = _block_lane_top2(s, blk_n)
@@ -249,7 +277,8 @@ ACC_MAX_BLK_B = 32
 
 
 @functools.partial(jax.jit, static_argnames=("k", "alpha", "blk_n"))
-def fused_flat_topk(q, corpus, bias, *, k: int, alpha: float = 1.0, blk_n: int | None = None):
+def fused_flat_topk(q, corpus, bias, *, k: int, alpha: float = 1.0,
+                    blk_n: int | None = None, row_scale=None):
     """Fused flat scan: returns (scores [B, k] f32 desc, idx [B, k] i32).
 
     q: [B, D] float; corpus: [N, D] (N % blk_n == 0, D % 128 == 0);
@@ -275,7 +304,9 @@ def fused_flat_topk(q, corpus, bias, *, k: int, alpha: float = 1.0, blk_n: int |
     if n % blk_n != 0 or d % LANE != 0:
         raise ValueError(f"corpus must be block-padded: N={n} (blk {blk_n}), D={d}")
     if round_up(b, 8) > ACC_MAX_BLK_B:
-        return _fused_block_emit(q, corpus, bias, k=k, alpha=alpha, blk_n=blk_n)
+        return _fused_block_emit(
+            q, corpus, bias, k=k, alpha=alpha, blk_n=blk_n, row_scale=row_scale
+        )
 
     # one corpus pass beats everything: pick blk_b to cover B when possible,
     # then size the running per-lane depth T to the VMEM budget
@@ -296,19 +327,28 @@ def fused_flat_topk(q, corpus, bias, *, k: int, alpha: float = 1.0, blk_n: int |
     bias2d = bias.reshape(1, n).astype(jnp.float32)
     cw = t_cands * LANE
 
-    kernel = functools.partial(_lane_topk_kernel, alpha, blk_n, t_cands)
+    kernel = functools.partial(
+        _lane_topk_kernel, alpha, blk_n, t_cands, row_scale is not None
+    )
     out_shape = (
         jax.ShapeDtypeStruct((b_pad, cw), jnp.float32),
         jax.ShapeDtypeStruct((b_pad, cw), jnp.int32),
     )
+    in_specs = [
+        pl.BlockSpec((blk_b, d), lambda bi, ni: (bi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk_n, d), lambda bi, ni: (ni, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_n), lambda bi, ni: (0, ni), memory_space=pltpu.VMEM),
+    ]
+    operands = [q, corpus, bias2d]
+    if row_scale is not None:
+        in_specs.append(
+            pl.BlockSpec((1, blk_n), lambda bi, ni: (0, ni), memory_space=pltpu.VMEM)
+        )
+        operands.append(row_scale.reshape(1, n).astype(jnp.float32))
     flat_s, flat_i = pl.pallas_call(
         kernel,
         grid=(b_blocks, n_blocks),
-        in_specs=[
-            pl.BlockSpec((blk_b, d), lambda bi, ni: (bi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk_n, d), lambda bi, ni: (ni, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_n), lambda bi, ni: (0, ni), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((blk_b, cw), lambda bi, ni: (bi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((blk_b, cw), lambda bi, ni: (bi, 0), memory_space=pltpu.VMEM),
@@ -324,7 +364,7 @@ def fused_flat_topk(q, corpus, bias, *, k: int, alpha: float = 1.0, blk_n: int |
             transcendentals=0,
         ),
         interpret=interpret_mode(),
-    )(q, corpus, bias2d)
+    )(*operands)
 
     top_s, pos = jax.lax.top_k(flat_s, min(k, cw))
     top_i = jnp.take_along_axis(flat_i, pos, axis=1)
@@ -335,7 +375,7 @@ def fused_flat_topk(q, corpus, bias, *, k: int, alpha: float = 1.0, blk_n: int |
     return top_s[:b], top_i[:b]
 
 
-def _fused_block_emit(q, corpus, bias, *, k, alpha, blk_n):
+def _fused_block_emit(q, corpus, bias, *, k, alpha, blk_n, row_scale=None):
     b, d = q.shape
     n = corpus.shape[0]
     blk_b = min(MAX_BLK_B, round_up(b, 8))
@@ -350,19 +390,28 @@ def _fused_block_emit(q, corpus, bias, *, k, alpha, blk_n):
     bias2d = bias.reshape(1, n).astype(jnp.float32)
     cw = CANDS_PER_LANE * LANE
 
-    kernel = functools.partial(_lane_topk_block_kernel, alpha, blk_n)
+    kernel = functools.partial(
+        _lane_topk_block_kernel, alpha, blk_n, row_scale is not None
+    )
     out_shape = (
         jax.ShapeDtypeStruct((b_pad, n_blocks * cw), jnp.float32),
         jax.ShapeDtypeStruct((b_pad, n_blocks * cw), jnp.int32),
     )
+    in_specs = [
+        pl.BlockSpec((blk_b, d), lambda bi, ni: (bi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk_n, d), lambda bi, ni: (ni, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_n), lambda bi, ni: (0, ni), memory_space=pltpu.VMEM),
+    ]
+    operands = [q, corpus, bias2d]
+    if row_scale is not None:
+        in_specs.append(
+            pl.BlockSpec((1, blk_n), lambda bi, ni: (0, ni), memory_space=pltpu.VMEM)
+        )
+        operands.append(row_scale.reshape(1, n).astype(jnp.float32))
     flat_s, flat_i = pl.pallas_call(
         kernel,
         grid=(b_blocks, n_blocks),
-        in_specs=[
-            pl.BlockSpec((blk_b, d), lambda bi, ni: (bi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk_n, d), lambda bi, ni: (ni, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_n), lambda bi, ni: (0, ni), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((blk_b, cw), lambda bi, ni: (bi, ni), memory_space=pltpu.VMEM),
             pl.BlockSpec((blk_b, cw), lambda bi, ni: (bi, ni), memory_space=pltpu.VMEM),
@@ -374,7 +423,7 @@ def _fused_block_emit(q, corpus, bias, *, k, alpha, blk_n):
             transcendentals=0,
         ),
         interpret=interpret_mode(),
-    )(q, corpus, bias2d)
+    )(*operands)
 
     kk = min(k, n_blocks * cw)
     top_s, pos = jax.lax.top_k(flat_s, kk)
@@ -427,7 +476,8 @@ def _lane_chunk_for(b: int, n: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "alpha", "ch"))
-def flat_topk_lane(q, corpus, bias, *, k: int, alpha: float = 1.0, ch: int | None = None):
+def flat_topk_lane(q, corpus, bias, *, k: int, alpha: float = 1.0,
+                   ch: int | None = None, row_scale=None):
     """Lane-candidate flat scan in pure XLA. Same contract shape as
     fused_flat_topk (see module docstring); no alignment requirements —
     chunks are 128-aligned internally and the remainder after CH-chunking
@@ -439,12 +489,14 @@ def flat_topk_lane(q, corpus, bias, *, k: int, alpha: float = 1.0, ch: int | Non
     qc = q.astype(jnp.bfloat16 if corpus.dtype == jnp.int8 else corpus.dtype)
     prec = _dot_precision(corpus.dtype)
 
-    def chunk_cands(cblk, bblk, off):
+    def chunk_cands(cblk, bblk, sblk, off):
         cb = cblk
         if cb.dtype == jnp.int8:
             cb = cb.astype(jnp.bfloat16)
-        s = alpha * jnp.dot(qc, cb.T, preferred_element_type=jnp.float32, precision=prec)
-        s = s + bblk[None, :]
+        s = jnp.dot(qc, cb.T, preferred_element_type=jnp.float32, precision=prec)
+        if row_scale is not None:
+            s = s * sblk[None, :]
+        s = alpha * s + bblk[None, :]
         r = s.shape[1] // LANE
         s3 = s.reshape(b, r, LANE)
         lane = jnp.arange(LANE, dtype=jnp.int32)[None, :]
@@ -467,19 +519,28 @@ def flat_topk_lane(q, corpus, bias, *, k: int, alpha: float = 1.0, ch: int | Non
             # even split: reshape is free (no copy) and scans fastest
             cr = corpus.reshape(nch, ch, d)
             br = bias.reshape(nch, ch)
+            sr = (
+                row_scale.reshape(nch, ch)
+                if row_scale is not None
+                else jnp.zeros((nch, 1), jnp.float32)
+            )
 
             def body(carry, inp):
-                cblk, bblk, off = inp
-                return carry, chunk_cands(cblk, bblk, off)
+                cblk, bblk, sblk, off = inp
+                return carry, chunk_cands(cblk, bblk, sblk, off)
 
-            _, (ss, ii) = jax.lax.scan(body, 0, (cr, br, offs))
+            _, (ss, ii) = jax.lax.scan(body, 0, (cr, br, sr, offs))
         else:
             # uneven: slice chunks inside the body — a [:nch*ch] pre-slice
             # would materialize a near-full corpus copy (measured +4.8 ms)
             def body(carry, off):
                 cblk = jax.lax.dynamic_slice(corpus, (off, 0), (ch, d))
                 bblk = jax.lax.dynamic_slice(bias, (off,), (ch,))
-                return carry, chunk_cands(cblk, bblk, off)
+                sblk = (
+                    jax.lax.dynamic_slice(row_scale, (off,), (ch,))
+                    if row_scale is not None else bblk
+                )
+                return carry, chunk_cands(cblk, bblk, sblk, off)
 
             _, (ss, ii) = jax.lax.scan(body, 0, offs)
         parts_s.append(ss.transpose(1, 0, 2).reshape(b, -1))
@@ -488,10 +549,16 @@ def flat_topk_lane(q, corpus, bias, *, k: int, alpha: float = 1.0, ch: int | Non
         rpad = round_up(rem, LANE)
         ctail = jax.lax.dynamic_slice(corpus, (nch * ch, 0), (rem, d))
         btail = jax.lax.dynamic_slice(bias, (nch * ch,), (rem,))
+        stail = (
+            jax.lax.dynamic_slice(row_scale, (nch * ch,), (rem,))
+            if row_scale is not None else btail
+        )
         if rpad != rem:
             ctail = jnp.pad(ctail, ((0, rpad - rem), (0, 0)))
             btail = jnp.pad(btail, ((0, rpad - rem),), constant_values=NEG_INF)
-        rs, ri = chunk_cands(ctail, btail, jnp.int32(nch * ch))
+            if row_scale is not None:
+                stail = jnp.pad(stail, ((0, rpad - rem),))
+        rs, ri = chunk_cands(ctail, btail, stail, jnp.int32(nch * ch))
         parts_s.append(rs)
         parts_i.append(ri)
     flat_s = jnp.concatenate(parts_s, axis=1) if len(parts_s) > 1 else parts_s[0]
@@ -505,7 +572,8 @@ def flat_topk_lane(q, corpus, bias, *, k: int, alpha: float = 1.0, ch: int | Non
     return top_s, top_i
 
 
-def flat_search(q, corpus, bias, *, k: int, alpha: float = 1.0, mode: str = "auto"):
+def flat_search(q, corpus, bias, *, k: int, alpha: float = 1.0,
+                mode: str = "auto", row_scale=None):
     """Dispatch (measured @1M x 768 bf16 on v5e):
       auto:  B <= 32  -> Pallas VMEM-accumulator kernel (2.66 ms, lowest
                          latency — the lane scan measures 3.07);
@@ -519,9 +587,9 @@ def flat_search(q, corpus, bias, *, k: int, alpha: float = 1.0, mode: str = "aut
     aligned = n % DEFAULT_BLK_N == 0 and d % LANE == 0
     approx_ok = aligned and k <= CANDS_PER_LANE * LANE
     if mode == "fused":
-        return fused_flat_topk(q, corpus, bias, k=k, alpha=alpha)
+        return fused_flat_topk(q, corpus, bias, k=k, alpha=alpha, row_scale=row_scale)
     if mode == "exact" or not approx_ok or n < MIN_FUSED_N:
-        return flat_topk_xla(q, corpus, bias, alpha, k)
+        return flat_topk_xla(q, corpus, bias, alpha, k, row_scale=row_scale)
     if round_up(q.shape[0], 8) <= ACC_MAX_BLK_B:
-        return fused_flat_topk(q, corpus, bias, k=k, alpha=alpha)
-    return flat_topk_lane(q, corpus, bias, k=k, alpha=alpha)
+        return fused_flat_topk(q, corpus, bias, k=k, alpha=alpha, row_scale=row_scale)
+    return flat_topk_lane(q, corpus, bias, k=k, alpha=alpha, row_scale=row_scale)

@@ -37,8 +37,13 @@ _DTYPES = {
     "int8": jnp.int8,
 }
 
-# int8 storage uses the reference's fixed dequant rule value/127
-# (ngh_page.dart:310-450 int8 raw-vector pages).
+# Legacy int8 dequant rule value/127 (reference ngh_page.dart:310-450
+# int8 raw-vector pages): kept for PRE-EXISTING snapshots. New int8 rows
+# store a PER-VECTOR dequant factor scale_i = max|x_i|/127 (ScaNN/FAISS-SQ
+# style), which neither clips values outside [-1, 1] nor wastes the int8
+# range on small-magnitude normalized vectors (at D=768 a unit row's
+# entries are ~1/sqrt(D) ~ 0.036 -> the global rule quantizes them to
+# +-5 levels; per-vector scaling recovers the full +-127).
 INT8_SCALE = 127.0
 
 
@@ -58,6 +63,8 @@ class DeviceCorpus:
         self.vectors: jax.Array | None = None  # [capacity, d_pad] dtype
         self.valid: jax.Array | None = None  # [capacity] bool
         self.sq_norms: jax.Array | None = None  # [capacity] f32 (of stored rows)
+        # per-row dequant factor (int8 only): x = enc * scales[i]
+        self.scales: jax.Array | None = None  # [capacity] f32
 
         self._slot_pks = np.empty(0, dtype=object)  # slot -> pk
         self._pk_slot: dict = {}  # pk -> slot
@@ -94,11 +101,18 @@ class DeviceCorpus:
         vec = jnp.zeros((new_cap, self.d_pad), self.dtype)
         val = jnp.zeros((new_cap,), jnp.bool_)
         nrm = jnp.zeros((new_cap,), jnp.float32)
+        scl = (
+            jnp.full((new_cap,), 1.0 / INT8_SCALE, jnp.float32)
+            if self.precision == "int8" else None
+        )
         if self.capacity:
             vec = jax.lax.dynamic_update_slice(vec, self.vectors, (0, 0))
             val = jax.lax.dynamic_update_slice(val, self.valid, (0,))
             nrm = jax.lax.dynamic_update_slice(nrm, self.sq_norms, (0,))
+            if scl is not None:
+                scl = jax.lax.dynamic_update_slice(scl, self.scales, (0,))
         self.vectors, self.valid, self.sq_norms = vec, val, nrm
+        self.scales = scl
         pks = np.empty(new_cap, dtype=object)
         pks[: len(self._slot_pks)] = self._slot_pks
         self._slot_pks = pks
@@ -106,8 +120,9 @@ class DeviceCorpus:
 
     # --- host-side encode -------------------------------------------------
 
-    def _prepare(self, raw: np.ndarray) -> np.ndarray:
-        """[m, dims] float input -> [m, d_pad] host array in storage dtype."""
+    def _prepare(self, raw: np.ndarray):
+        """[m, dims] float input -> ([m, d_pad] host array in storage dtype,
+        [m] f32 per-row dequant factors or None)."""
         x = np.asarray(raw, np.float32)
         if x.ndim != 2 or x.shape[1] != self.dims:
             raise ValueError(f"expected [m, {self.dims}] vectors, got {x.shape}")
@@ -117,13 +132,18 @@ class DeviceCorpus:
         if self.d_pad != self.dims:
             x = np.pad(x, ((0, 0), (0, self.d_pad - self.dims)))
         if self.precision == "int8":
-            return np.clip(np.round(x * INT8_SCALE), -127, 127).astype(np.int8)
-        return x
+            amax = np.max(np.abs(x), axis=1)
+            dq = np.where(amax > 0, amax / INT8_SCALE, 1.0 / INT8_SCALE)
+            enc = np.clip(
+                np.round(x / dq[:, None]), -INT8_SCALE, INT8_SCALE
+            ).astype(np.int8)
+            return enc, dq.astype(np.float32)
+        return x, None
 
-    def _stored_sq_norms(self, enc: np.ndarray) -> np.ndarray:
+    def _stored_sq_norms(self, enc: np.ndarray, dq: np.ndarray | None) -> np.ndarray:
         x = enc.astype(np.float32)
-        if self.precision == "int8":
-            x = x / INT8_SCALE
+        if dq is not None:
+            x = x * dq[:, None]
         return np.sum(x * x, axis=1)
 
     # --- mutation ----------------------------------------------------------
@@ -131,7 +151,7 @@ class DeviceCorpus:
     def upsert(self, pks, raw: np.ndarray) -> np.ndarray:
         """Insert or overwrite vectors for `pks`. Returns slot indices."""
         pks = list(pks)
-        enc = self._prepare(raw)
+        enc, dq = self._prepare(raw)
         if len(pks) != enc.shape[0]:
             raise ValueError("pks/vectors length mismatch")
         slots = np.empty(len(pks), np.int64)
@@ -153,7 +173,11 @@ class DeviceCorpus:
         idx = jnp.asarray(slots, jnp.int32)
         self.vectors = self.vectors.at[idx].set(jnp.asarray(enc).astype(self.dtype))
         self.valid = self.valid.at[idx].set(True)
-        self.sq_norms = self.sq_norms.at[idx].set(jnp.asarray(self._stored_sq_norms(enc)))
+        self.sq_norms = self.sq_norms.at[idx].set(
+            jnp.asarray(self._stored_sq_norms(enc, dq))
+        )
+        if dq is not None:
+            self.scales = self.scales.at[idx].set(jnp.asarray(dq))
         return slots
 
     def delete(self, pks) -> int:
@@ -189,6 +213,11 @@ class DeviceCorpus:
         if m:
             nrm = nrm.at[:m].set(self.sq_norms[gather])
         self.vectors, self.valid, self.sq_norms = vec, val, nrm
+        if self.scales is not None:
+            scl = jnp.full((new_cap,), 1.0 / INT8_SCALE, jnp.float32)
+            if m:
+                scl = scl.at[:m].set(self.scales[gather])
+            self.scales = scl
         self.filter_columns.gather_permute(gather, new_cap)
 
         pks = np.empty(new_cap, dtype=object)
@@ -220,9 +249,10 @@ class DeviceCorpus:
         if np.any(slots < 0):
             missing = [pk for pk, s in zip(pks, slots) if s < 0]
             raise KeyError(f"pks not in corpus: {missing[:5]}")
-        x = np.asarray(self.vectors[jnp.asarray(slots, jnp.int32)], np.float32)
-        if self.precision == "int8":
-            x = x / INT8_SCALE
+        idx = jnp.asarray(slots, jnp.int32)
+        x = np.asarray(self.vectors[idx], np.float32)
+        if self.scales is not None:
+            x = x * np.asarray(self.scales[idx])[:, None]
         return x[:, : self.dims]
 
     # --- persistence ----------------------------------------------------------
@@ -235,6 +265,10 @@ class DeviceCorpus:
             "precision": self.precision,
             "normalize": self.normalize,
             "vectors": np.asarray(self.vectors[:m]) if m else np.zeros((0, self.d_pad)),
+            "scales": (
+                np.asarray(self.scales[:m])
+                if self.scales is not None and m else None
+            ),
             "pks": list(self._slot_pks[:m]),
             "filter_columns": self.filter_columns.state_dict(upto=m),
         }
@@ -249,8 +283,20 @@ class DeviceCorpus:
             c._ensure_capacity(m)
             c.vectors = c.vectors.at[:m].set(jnp.asarray(vecs, c.dtype))
             c.valid = c.valid.at[:m].set(True)
+            dq = d.get("scales")
+            if c.precision == "int8":
+                # legacy snapshots (no per-row scales) keep the global
+                # value/127 rule their codes were quantized under
+                dq = (
+                    np.asarray(dq, np.float32)
+                    if dq is not None
+                    else np.full(m, 1.0 / INT8_SCALE, np.float32)
+                )
+                c.scales = c.scales.at[:m].set(jnp.asarray(dq))
+            else:
+                dq = None
             c.sq_norms = c.sq_norms.at[:m].set(
-                jnp.asarray(c._stored_sq_norms(vecs.astype(np.float32)))
+                jnp.asarray(c._stored_sq_norms(vecs.astype(np.float32), dq))
             )
             c._slot_pks[:m] = np.asarray(pks, dtype=object)
             c._pk_slot = {pk: j for j, pk in enumerate(pks)}

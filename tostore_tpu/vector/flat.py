@@ -89,21 +89,17 @@ class FlatVectorIndex:
 
     def _bias_alpha(self, slot_mask: jax.Array | None):
         """Per-slot additive bias folding metric term, tombstones and the
-        hybrid predicate mask; plus the kernel's matmul scale alpha."""
+        hybrid predicate mask; plus the kernel's matmul scale alpha and the
+        per-row int8 dequant factors (corpus.scales; sq_norms are stored
+        dequantized, so only the q.e product needs them)."""
         c = self.corpus
         valid = c.valid
         if slot_mask is not None:
             valid = jnp.logical_and(valid, slot_mask)
         norms = c.sq_norms if self.metric == "l2" else None
         alpha = D.metric_alpha(self.metric)
-        if c.precision == "int8":
-            # stored values are x*127; fold the dequant scale into the score
-            from .corpus import INT8_SCALE
-
-            alpha = alpha / INT8_SCALE
-            # sq_norms are already stored dequantized (see corpus)
         bias = D.make_bias(self.metric, norms, valid)
-        return bias, alpha
+        return bias, alpha, c.scales
 
     def search_arrays(
         self,
@@ -122,8 +118,10 @@ class FlatVectorIndex:
             return dist, slots, np.full((b, k), None, dtype=object)
 
         qj, qsq, single = self._prep_queries(q)
-        bias, alpha = self._bias_alpha(slot_mask)
-        scores, idx = T.flat_search(qj, c.vectors, bias, k=k, alpha=alpha, mode=mode)
+        bias, alpha, row_scale = self._bias_alpha(slot_mask)
+        scores, idx = T.flat_search(
+            qj, c.vectors, bias, k=k, alpha=alpha, mode=mode, row_scale=row_scale
+        )
         dists = D.scores_to_distances(self.metric, scores, qsq)
 
         scores_np = np.asarray(scores)

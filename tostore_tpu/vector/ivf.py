@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..models.results import VectorSearchResult
 from ..ops import distance as D
 from ..ops.runtime import NEG_INF, round_up
-from .corpus import DeviceCorpus, INT8_SCALE
+from .corpus import DeviceCorpus
 from .flat import _METRIC_ALIASES
 from .pq import (
     PQCodebook, train_pq, pq_encode, adc_tables, adc_tables_probed,
@@ -57,8 +57,8 @@ def _slice_scores(q, centroids, slice_bias, sq_norms):
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "k"))
 def _ivf_probe_scan(
-    q, centroids, slice_bias, buckets_slots, vectors, valid, sq_norms, alpha,
-    *, nprobe: int, k: int
+    q, centroids, slice_bias, buckets_slots, vectors, scales, valid, sq_norms,
+    alpha, *, nprobe: int, k: int
 ):
     """One fused IVF search step (jitted, static shapes).
 
@@ -80,6 +80,8 @@ def _ivf_probe_scan(
         s = alpha * jnp.dot(
             vecs, qv.astype(vecs.dtype), preferred_element_type=jnp.float32
         )
+        if scales is not None:  # per-row int8 dequant factors
+            s = s * scales[safe]
         if sq_norms is not None:
             s = s - sq_norms[safe]
         ok = jnp.logical_and(slots >= 0, valid[safe])
@@ -96,7 +98,7 @@ def _ivf_probe_scan(
 )
 def _ivf_probe_scan_pq(
     q, q_raw, centroids, cents_unpad, slice_bias, buckets_slots, codes,
-    codebooks, vectors, valid, sq_norms, alpha,
+    codebooks, vectors, scales, valid, sq_norms, alpha,
     *, nprobe: int, k: int, rerank: int, adc_metric: str, residual: bool
 ):
     """PQ-accelerated probe: ADC over gathered codes selects a re-rank pool
@@ -143,6 +145,8 @@ def _ivf_probe_scan_pq(
         if vecs.dtype == jnp.int8:
             vecs = vecs.astype(jnp.bfloat16)
         s = alpha * jnp.dot(vecs, qv.astype(vecs.dtype), preferred_element_type=jnp.float32)
+        if scales is not None:
+            s = s * scales[csafe]
         if sq_norms is not None:
             s = s - sq_norms[csafe]
         okc = jnp.logical_and(cand >= 0, valid[csafe])
@@ -159,7 +163,7 @@ def _ivf_probe_scan_pq(
 )
 def _ivf_probe_scan_pq_contig(
     q, q_raw, centroids, cents_unpad, slice_bias, buckets_slots, bucket_codes,
-    codebooks, vectors, bucket_bias, sq_norms, alpha,
+    codebooks, vectors, scales, bucket_bias, sq_norms, alpha,
     *, nprobe: int, k: int, rerank: int, adc_metric: str, residual: bool
 ):
     """PQ probe over bucket-contiguous CODES: the Pallas ADC kernel
@@ -202,6 +206,8 @@ def _ivf_probe_scan_pq_contig(
         s = alpha * jnp.dot(
             vecs, qv.astype(vecs.dtype), preferred_element_type=jnp.float32
         )
+        if scales is not None:
+            s = s * scales[csafe]
         if sq_norms is not None:
             s = s - sq_norms[csafe]
         ok = jnp.logical_and(cd >= 0, ca > NEG_INF / 2)
@@ -215,8 +221,8 @@ def _ivf_probe_scan_pq_contig(
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "k"))
 def _ivf_probe_scan_contig(
-    q, centroids, slice_bias, buckets_slots, bucket_vectors, bucket_bias,
-    sq_norms, alpha, *, nprobe: int, k: int
+    q, centroids, slice_bias, buckets_slots, bucket_vectors, bucket_scale,
+    bucket_bias, sq_norms, alpha, *, nprobe: int, k: int
 ):
     """Probe via the bucket-CONTIGUOUS corpus copy and the Pallas
     scalar-prefetch kernel (ops/ivfprobe.py): one sequential [cap, Dp] DMA
@@ -233,7 +239,7 @@ def _ivf_probe_scan_contig(
 
     qdt = jnp.bfloat16 if bucket_vectors.dtype in (jnp.bfloat16, jnp.int8) else q.dtype
     qf = (q * alpha).astype(qdt)
-    s = bucket_probe_scores(qf, probe, bucket_vectors, bucket_bias)
+    s = bucket_probe_scores(qf, probe, bucket_vectors, bucket_bias, bucket_scale)
     s = s.reshape(q.shape[0], nprobe * cap)
     slots = jax.vmap(lambda p: buckets_slots[p].reshape(nprobe * cap))(probe)
     kk = min(k, nprobe * cap)
@@ -246,6 +252,12 @@ def _gather_bucket_vectors(vectors, buckets_slots):
     """[C, cap, Dp] bucket-ordered copy of the corpus (stale/-1 entries
     carry arbitrary rows; search masks them via buckets_slots)."""
     return vectors[jnp.maximum(buckets_slots, 0)]
+
+
+@jax.jit
+def _gather_bucket_scales(scales, buckets_slots):
+    """[C, cap] bucket-ordered per-row int8 dequant factors."""
+    return scales[jnp.maximum(buckets_slots, 0)]
 
 
 @functools.partial(jax.jit, static_argnames=("l2",))
@@ -270,9 +282,11 @@ def _build_core(
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "l2", "n_choices"))
-def _ivf_assign_device(vectors, valid, centroids, *, chunk: int, l2: bool,
-                       n_choices: int = 1):
-    """Chunked nearest-centroid assignment on device. Returns
+def _ivf_assign_device(vectors, valid, centroids, scales=None, *, chunk: int,
+                       l2: bool, n_choices: int = 1):
+    """Chunked nearest-centroid assignment on device. `scales` dequantizes
+    int8 rows into the centroids' (true) space — without it the l2
+    argmin is computed against mis-scaled vectors. Returns
     (choices [Ncap, n_choices] i32, counts [C] i32 first-choice bincounts
     over valid rows)."""
     ncap, dp = vectors.shape
@@ -290,6 +304,8 @@ def _ivf_assign_device(vectors, valid, centroids, *, chunk: int, l2: bool,
         if v.dtype == jnp.int8:
             v = v.astype(jnp.bfloat16)
         sc = jnp.dot(v.astype(cdt), c_t, preferred_element_type=jnp.float32)
+        if scales is not None:
+            sc = sc * jax.lax.dynamic_slice(scales, (s,), (chunk,))[:, None]
         if l2:
             sc = 2.0 * sc - cnorm[None, :]
         outs = []
@@ -496,6 +512,7 @@ class IVFVectorIndex:
         self.bucket_vectors: jax.Array | None = None
         self.bucket_codes: jax.Array | None = None  # [C, M, cap] u8 (PQ)
         self.bucket_bias: jax.Array | None = None  # [C, cap] f32
+        self.bucket_scales: jax.Array | None = None  # [C, cap] f32 (int8)
         self.CONTIG_MAX_BYTES = 6 << 30
 
     # --- helpers ------------------------------------------------------------
@@ -512,9 +529,10 @@ class IVFVectorIndex:
         return self.centroids is not None
 
     def _stored_matrix_f32(self, slots: np.ndarray) -> jax.Array:
-        v = self.corpus.vectors[jnp.asarray(slots, jnp.int32)].astype(jnp.float32)
-        if self.corpus.precision == "int8":
-            v = v / INT8_SCALE
+        idx = jnp.asarray(slots, jnp.int32)
+        v = self.corpus.vectors[idx].astype(jnp.float32)
+        if self.corpus.scales is not None:
+            v = v * self.corpus.scales[idx][:, None]
         return v
 
     # --- training -------------------------------------------------------------
@@ -670,7 +688,7 @@ class IVFVectorIndex:
         cap = self._bucket_cap(len(live))
         if len(live):
             choices, counts = _ivf_assign_device(
-                c.vectors, c.valid, self.centroids,
+                c.vectors, c.valid, self.centroids, c.scales,
                 chunk=self.ASSIGN_CHUNK, l2=(self.metric == "l2"),
             )
             counts_np = np.asarray(counts, np.int64)
@@ -704,8 +722,8 @@ class IVFVectorIndex:
             self.bucket_codes = None
             return
         v = c.vectors.astype(jnp.float32)[:, : c.dims]
-        if c.precision == "int8":
-            v = v / INT8_SCALE
+        if c.scales is not None:
+            v = v * c.scales[:, None]
         if self.pq_residual:
             sl = self._slot_cluster_device()  # slice ids
             v = v - self.centroids_exp[jnp.maximum(sl, 0), : c.dims]
@@ -734,10 +752,15 @@ class IVFVectorIndex:
         if nbytes > self.CONTIG_MAX_BYTES:
             self.bucket_vectors = None
             self.bucket_bias = None
+            self.bucket_scales = None
             return
         self.bucket_vectors = _gather_bucket_vectors(c.vectors, self.buckets_slots)
         self.bucket_bias = _bucket_bias(
             self.buckets_slots, c.valid, c.sq_norms, l2=(self.metric == "l2")
+        )
+        self.bucket_scales = (
+            _gather_bucket_scales(c.scales, self.buckets_slots)
+            if c.scales is not None else None
         )
 
     def _append_to_buckets(self, slots: np.ndarray, choices: np.ndarray):
@@ -796,6 +819,10 @@ class IVFVectorIndex:
                 else jnp.zeros(len(slots), jnp.float32)
             )
             self.bucket_bias = self.bucket_bias.at[cl_j, pos_j].set(bias)
+            if self.bucket_scales is not None:
+                self.bucket_scales = self.bucket_scales.at[cl_j, pos_j].set(
+                    self.corpus.scales[slot_j]
+                )
         elif self.bucket_bias is not None:  # PQ mode: validity-only bias
             self.bucket_bias = self.bucket_bias.at[cl_j, pos_j].set(0.0)
 
@@ -937,8 +964,6 @@ class IVFVectorIndex:
             valid = jnp.logical_and(valid, slot_mask)
 
         alpha = D.metric_alpha(self.metric)
-        if c.precision == "int8":
-            alpha = alpha / INT8_SCALE
         sqn = c.sq_norms if self.metric == "l2" else None
 
         np_probe = int(nprobe or self.nprobe)
@@ -968,6 +993,7 @@ class IVFVectorIndex:
                 self.bucket_codes,
                 self.pq.codebooks,
                 c.vectors,
+                c.scales,
                 bias,
                 sqn,
                 alpha,
@@ -989,6 +1015,7 @@ class IVFVectorIndex:
                 self.codes,
                 self.pq.codebooks,
                 c.vectors,
+                c.scales,
                 valid,
                 sqn,
                 alpha,
@@ -1013,6 +1040,7 @@ class IVFVectorIndex:
                 self.slice_bias,
                 self.buckets_slots,
                 self.bucket_vectors,
+                self.bucket_scales,
                 bias,
                 sqn,
                 alpha,
@@ -1026,6 +1054,7 @@ class IVFVectorIndex:
                 self.slice_bias,
                 self.buckets_slots,
                 c.vectors,
+                c.scales,
                 valid,
                 sqn,
                 alpha,
