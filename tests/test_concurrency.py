@@ -173,6 +173,10 @@ class TestReadAtomicity:
         db.close()
 
     def test_no_dirty_reads_during_transaction(self, db):
+        # buffered transactions: a concurrent reader does NOT block on an
+        # open transaction and sees only committed state — never the
+        # uncommitted insert (round-2 design: per-thread write overlay,
+        # reference write_buffer_manager.dart)
         db.insert("users", {"username": "base", "age": 1})
         seen = []
         entered = threading.Event()
@@ -182,25 +186,21 @@ class TestReadAtomicity:
             with db.transaction():
                 db.insert("users", {"username": "uncommitted", "age": 2})
                 entered.set()
-                release.wait(timeout=5)
+                assert release.wait(timeout=5)
 
         def reader():
             entered.wait(timeout=5)
-            seen.append(db.count("users"))  # blocks until commit
+            seen.append(db.count("users"))  # non-blocking, committed view
             release.set()
 
         t1 = threading.Thread(target=txn_writer)
         t2 = threading.Thread(target=reader)
         t1.start()
         t2.start()
-        # reader is blocked on the engine lock; release after a beat
-        import time as _t
-
-        _t.sleep(0.3)
-        release.set()
         t1.join(timeout=5)
         t2.join(timeout=5)
-        assert seen == [2]  # observed only the committed state
+        assert seen == [1]  # reader never observed the uncommitted insert
+        assert db.count("users") == 2  # visible after commit
 
     def test_bad_isolation_level_rejected(self):
         from tostore_tpu.models.config import DataStoreConfig

@@ -1,0 +1,308 @@
+"""Buffered-transaction semantics (round-2 MVCC-style rework): per-thread
+write overlays, non-blocking committed reads, op-time unique reservations
+(reference write_buffer_manager.dart tryReserve, wbm:54-100), and
+first-committer-wins write-set validation under `serializable` (the
+reference's SSI check, transaction_manager.dart:30-36)."""
+
+import threading
+
+import pytest
+
+from tostore_tpu import ToStoreTPU
+from tostore_tpu.models.config import DataStoreConfig
+from tostore_tpu.models.schema import (
+    DataType,
+    FieldSchema,
+    ForeignKeySchema,
+    PrimaryKeyConfig,
+    TableSchema,
+)
+from tostore_tpu.models.results import BusinessError
+
+
+def users_schema():
+    return TableSchema(
+        name="users",
+        fields=(
+            FieldSchema("username", DataType.text, unique=True),
+            FieldSchema("age", DataType.integer),
+        ),
+    )
+
+
+@pytest.fixture
+def db():
+    d = ToStoreTPU.memory(schemas=[users_schema()])
+    yield d
+    d.close()
+
+
+@pytest.fixture
+def ser_db():
+    d = ToStoreTPU.memory(
+        schemas=[users_schema()],
+        config=DataStoreConfig(isolation_level="serializable"),
+    )
+    yield d
+    d.close()
+
+
+def run_in_thread(fn):
+    out = {}
+
+    def runner():
+        try:
+            out["result"] = fn()
+        except BaseException as e:  # surfaced by the caller
+            out["error"] = e
+
+    t = threading.Thread(target=runner)
+    t.start()
+    t.join(timeout=10)
+    assert not t.is_alive()
+    if "error" in out:
+        raise out["error"]
+    return out.get("result")
+
+
+class TestConcurrentTransactions:
+    def test_disjoint_txns_both_commit(self, db):
+        # interleave two transactions on different records via events
+        a_inserted = threading.Event()
+        b_done = threading.Event()
+
+        def txn_a():
+            with db.transaction():
+                db.insert("users", {"username": "a"})
+                a_inserted.set()
+                assert b_done.wait(timeout=5)
+
+        def txn_b():
+            a_inserted.wait(timeout=5)
+            with db.transaction():
+                db.insert("users", {"username": "b"})
+            b_done.set()
+
+        ta = threading.Thread(target=txn_a)
+        tb = threading.Thread(target=txn_b)
+        ta.start()
+        tb.start()
+        ta.join(timeout=10)
+        tb.join(timeout=10)
+        assert db.count("users") == 2
+
+    def test_serializable_write_write_conflict_aborts(self, ser_db):
+        db = ser_db
+        db.insert("users", {"username": "victim", "age": 1})
+        started = threading.Event()
+        other_committed = threading.Event()
+
+        results = []
+
+        def txn_slow():
+            def action(tx):
+                db.update_by_pk("users", 1, {"age": 10})
+                started.set()
+                assert other_committed.wait(timeout=5)
+
+            results.append(db.transaction(action))
+
+        def txn_fast():
+            started.wait(timeout=5)
+            db.transaction(lambda tx: db.update_by_pk("users", 1, {"age": 20}))
+            other_committed.set()
+
+        t1 = threading.Thread(target=txn_slow)
+        t2 = threading.Thread(target=txn_fast)
+        t1.start()
+        t2.start()
+        t1.join(timeout=10)
+        t2.join(timeout=10)
+        assert not results[0].committed
+        assert "conflict" in results[0].error
+        assert db.get_by_pk("users", 1)["age"] == 20  # first committer won
+
+    def test_read_committed_last_writer_wins(self):
+        db = ToStoreTPU.memory(
+            schemas=[users_schema()],
+            config=DataStoreConfig(isolation_level="readCommitted"),
+        )
+        try:
+            db.insert("users", {"username": "victim", "age": 1})
+            started = threading.Event()
+            other_committed = threading.Event()
+            results = []
+
+            def txn_slow():
+                def action(tx):
+                    db.update_by_pk("users", 1, {"age": 10})
+                    started.set()
+                    assert other_committed.wait(timeout=5)
+
+                results.append(db.transaction(action))
+
+            def txn_fast():
+                started.wait(timeout=5)
+                db.transaction(lambda tx: db.update_by_pk("users", 1, {"age": 20}))
+                other_committed.set()
+
+            t1 = threading.Thread(target=txn_slow)
+            t2 = threading.Thread(target=txn_fast)
+            t1.start()
+            t2.start()
+            t1.join(timeout=10)
+            t2.join(timeout=10)
+            assert results[0].committed
+            assert db.get_by_pk("users", 1)["age"] == 10  # last writer
+        finally:
+            db.close()
+
+    def test_conflict_with_direct_write(self, ser_db):
+        db = ser_db
+        db.insert("users", {"username": "victim", "age": 1})
+        started = threading.Event()
+        direct_done = threading.Event()
+        results = []
+
+        def txn_slow():
+            def action(tx):
+                db.update_by_pk("users", 1, {"age": 10})
+                started.set()
+                assert direct_done.wait(timeout=5)
+
+            results.append(db.transaction(action))
+
+        def direct():
+            started.wait(timeout=5)
+            db.update_by_pk("users", 1, {"age": 99})
+            direct_done.set()
+
+        t1 = threading.Thread(target=txn_slow)
+        t2 = threading.Thread(target=direct)
+        t1.start()
+        t2.start()
+        t1.join(timeout=10)
+        t2.join(timeout=10)
+        assert not results[0].committed
+        assert db.get_by_pk("users", 1)["age"] == 99
+
+    def test_unique_reservation_blocks_other_txn(self, db):
+        reserved = threading.Event()
+        checked = threading.Event()
+        other = {}
+
+        def txn_a():
+            def action(tx):
+                db.insert("users", {"username": "contested"})
+                reserved.set()
+                assert checked.wait(timeout=5)
+                raise BusinessError("abort a")  # roll back -> frees the key
+
+            db.transaction(action)
+
+        def txn_b():
+            reserved.wait(timeout=5)
+            r = db.insert("users", {"username": "contested"})  # direct write
+            other["blocked"] = r.is_error
+            checked.set()
+
+        t1 = threading.Thread(target=txn_a)
+        t2 = threading.Thread(target=txn_b)
+        t1.start()
+        t2.start()
+        t1.join(timeout=10)
+        t2.join(timeout=10)
+        assert other["blocked"]  # op-time reservation rejected the insert
+        # rollback released the reservation
+        assert db.insert("users", {"username": "contested"}).is_success
+
+
+class TestOverlayReads:
+    def test_query_with_condition_sees_own_writes(self, db):
+        db.insert("users", {"username": "old", "age": 50})
+
+        def action(tx):
+            db.insert("users", {"username": "young", "age": 10})
+            db.update_by_pk("users", 1, {"age": 55})
+            res = db.query("users").where("age", ">", 5).fetch()
+            ages = sorted(r["age"] for r in res)
+            assert ages == [10, 55]
+            assert db.count("users") == 2
+            # delete inside txn disappears from own view
+            db.delete_by_pk("users", 2)
+            assert db.count("users") == 1
+            assert db.get_by_pk("users", 2) is None
+
+        assert db.transaction(action).committed
+        assert db.count("users") == 1
+        assert db.get_by_pk("users", 1)["age"] == 55
+
+    def test_order_limit_inside_txn(self, db):
+        for i in range(5):
+            db.insert("users", {"username": f"u{i}", "age": i})
+
+        def action(tx):
+            db.insert("users", {"username": "u9", "age": 9})
+            top = (
+                db.query("users").order_by("age", desc=True).limit(2).fetch()
+            )
+            assert [r["age"] for r in top] == [9, 4]
+
+        assert db.transaction(action).committed
+
+    def test_insert_then_update_then_commit(self, db):
+        def action(tx):
+            r = db.insert("users", {"username": "x", "age": 1})
+            pk = r.success_keys[0]
+            db.update_by_pk("users", pk, {"age": 2})
+
+        assert db.transaction(action).committed
+        assert db.get_by_pk("users", 1)["age"] == 2
+
+    def test_fk_parent_child_same_txn(self):
+        parent = TableSchema(
+            name="teams",
+            fields=(FieldSchema("name", DataType.text, unique=True),),
+        )
+        child = TableSchema(
+            name="players",
+            fields=(
+                FieldSchema("team_id", DataType.integer),
+                FieldSchema("name", DataType.text),
+            ),
+            foreign_keys=(ForeignKeySchema("team_id", "teams"),),
+        )
+        db = ToStoreTPU.memory(schemas=[parent, child])
+        try:
+            def action(tx):
+                r = db.insert("teams", {"name": "reds"})
+                db.insert("players", {"team_id": r.success_keys[0], "name": "p1"})
+
+            assert db.transaction(action).committed
+            assert db.count("players") == 1
+
+            # orphan child rejected at op time against the txn view
+            def bad(tx):
+                r = db.insert("players", {"team_id": 999, "name": "p2"})
+                assert r.is_error
+                raise BusinessError("stop")
+
+            db.transaction(bad)
+            assert db.count("players") == 1
+        finally:
+            db.close()
+
+    def test_kv_buffered_and_rolled_back(self, db):
+        db.kv.set("pre", 1)
+        observed = {}
+
+        def action(tx):
+            db.kv.set("k", 42)
+            assert db.kv.get("k") == 42  # read-your-writes
+            observed["outside"] = run_in_thread(lambda: db.kv.get("k"))
+            raise BusinessError("abort")
+
+        db.transaction(action)
+        assert observed["outside"] is None  # never visible outside
+        assert db.kv.get("k") is None
+        assert db.kv.get("pre") == 1

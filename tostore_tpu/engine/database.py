@@ -6,14 +6,22 @@ with validation/unique/FK pipeline (:1527-1794), batch ops (:3968),
 transactions (:3534), vector search (:5849), KV ops (:5986), spaces
 (:5873), backup/restore (:2253) and status (:986).
 
-Concurrency model: one process-wide re-entrant write lock serializes
-mutations (the TPU engine is a single-controller design — SURVEY.md §2.4
-notes the reference's LockManager/WorkloadScheduler machinery exists to
-arbitrate its own internal async tasks, which don't exist here). A
-transaction holds the write lock for its duration, giving serializable
-isolation by mutual exclusion; rollback replays an undo log; the WAL group
-record is appended only at commit, so a crash mid-transaction rolls back by
-construction.
+Concurrency model: one process-wide re-entrant lock guards base-store
+access per OPERATION (the TPU engine is a single-controller design —
+SURVEY.md §2.4 notes the reference's LockManager/WorkloadScheduler
+machinery exists to arbitrate its own internal async tasks, which don't
+exist here). Transactions BUFFER their writes in a per-thread overlay
+(reference write_buffer_manager.dart) with op-time engine-wide unique-key
+reservations (tryReserve, wbm:54-100), so concurrent readers and writers
+proceed during an open transaction and see only committed state; the
+transaction's own reads merge its overlay (buffer-overlay reads,
+query_executor.dart:2152). Commit replays the op log under the lock —
+after a first-committer-wins write-set validation when the isolation
+level is `serializable` (the reference's SSI check,
+transaction_manager.dart:30-36; `readCommitted` skips it) — and appends
+one WAL group record, so a crash mid-transaction rolls back by
+construction. Rollback just discards the buffer. DDL (create/drop/clear,
+schema updates) is non-transactional and applies immediately.
 """
 
 from __future__ import annotations
@@ -141,13 +149,41 @@ class Subscription:
             subs.remove(self)
 
 
+_TOMBSTONE = None  # overlay value marking an in-transaction delete
+
+
 class _Txn:
+    """Transaction context (reference transaction_manager.dart:17 +
+    write_buffer_manager.dart buffered entries).
+
+    Lifecycle has two phases:
+      - BUFFERING (user code running): writes go to `overlay`/`oplog`, never
+        the base store; unique keys are reserved engine-wide at op time
+        (reference BatchCheckContext.tryReserve, wbm:54-100); the engine
+        lock is held only per-op, so concurrent readers/writers proceed and
+        see only committed state.
+      - COMMIT REPLAY (buffering=False, lock held): the oplog replays
+        through the eager apply paths, which collect `undo` (mid-replay
+        failure rollback), `wal_ops` (one WAL group frame) and `events`
+        (dispatched after commit) on this object."""
+
     def __init__(self, db, tx_id):
         self.db = db
         self.tx_id = tx_id
+        self.buffering = True
+        self.begin_seq = 0
+        # (space, table) -> {pk: record-with-pk | None tombstone}
+        self.overlay: dict[tuple, dict] = {}
+        self.oplog: list[tuple] = []  # ("insert"/"update"/"delete", tkey, pk, payload)
+        self.write_set: set[tuple] = set()  # {(tkey, pk)}
+        self.reservations: set[tuple] = set()  # {(tkey, name, key)}
         self.undo: list[tuple] = []  # (fn, args) applied in reverse on rollback
         self.wal_ops: list[dict] = []
         self.events: list[ChangeEvent] = []
+
+    def table_overlay(self, tkey) -> dict | None:
+        ov = self.overlay.get(tkey)
+        return ov if ov else None
 
 
 class Transaction:
@@ -172,10 +208,14 @@ class Database:
             raise ValueError(
                 f"unknown isolation level {self.config.isolation_level!r}"
             )
-        # one re-entrant engine lock: every transaction (and every read)
-        # serializes, so the EFFECTIVE isolation is always serializable —
-        # strictly stronger than a readCommitted request, never weaker
-        # (reference transaction_manager.dart:17-46 levels)
+        # one re-entrant engine lock guards every base-store mutation and
+        # read; transactions BUFFER their writes (per-thread overlay) and
+        # hold the lock only per-op + during commit replay, so readers never
+        # block on an open transaction and never see uncommitted state.
+        # serializable commits validate their write-set against every txn /
+        # direct write committed since begin (first-committer-wins — the
+        # reference's write-set SSI check, transaction_manager.dart:30-36);
+        # readCommitted commits skip the check (last-writer-wins).
         self._lock = threading.RLock()
         self._tables: dict[tuple[str, str], Table] = {}
         self._schemas: dict[tuple[str, str], TableSchema] = {}
@@ -185,7 +225,14 @@ class Database:
         self._fk_rev_cache: dict | None = None  # ref-table -> referencing FKs
         self._pending_large_ops: dict[str, dict] = {}  # replayed, unfinished
         self._wal_buffer: list | None = None
-        self._txn: _Txn | None = None
+        self._txn_local = threading.local()
+        self._active_txns: set = set()
+        self._commit_seq = 0
+        # [(commit_seq, frozenset{(tkey, pk)})] for write-set validation
+        self._recent_commits: list[tuple[int, frozenset]] = []
+        # engine-wide unique-key reservations: (tkey, map_name, key) ->
+        # (tx_id, pk) — blocks other txns AND direct writers at op time
+        self._unique_res: dict[tuple, tuple] = {}
         self._subs: dict[tuple, list[Subscription]] = {}
         self._closed = False
         self._crontab = None
@@ -212,6 +259,99 @@ class Database:
         self._ensure_kv_table()
         self._mark_interrupted_migrations()
         self._start_crontab()
+
+    # --- per-thread transaction context ------------------------------------
+
+    @property
+    def _txn(self):
+        return getattr(self._txn_local, "txn", None)
+
+    @_txn.setter
+    def _txn(self, value):
+        self._txn_local.txn = value
+
+    def _buffering_txn(self):
+        """The current thread's OPEN (buffering) transaction, if any."""
+        txn = self._txn
+        return txn if txn is not None and txn.buffering else None
+
+    def _overlay_for(self, tkey) -> dict | None:
+        txn = self._buffering_txn()
+        return txn.table_overlay(tkey) if txn is not None else None
+
+    def _tkey(self, t: Table) -> tuple:
+        space = GLOBAL_SPACE if t.schema.is_global else self.current_space
+        return (space, t.schema.name)
+
+    # --- overlay-aware state views (committed base + this thread's txn) ----
+
+    def _view_get(self, t: Table, tkey, pk) -> dict | None:
+        """Record as visible to the current thread (incl. pk field)."""
+        ov = self._overlay_for(tkey)
+        if ov is not None and pk in ov:
+            rec = ov[pk]
+            return dict(rec) if rec is not None else None
+        return t.store.get(pk)
+
+    def _view_exists(self, t: Table, tkey, pk) -> bool:
+        ov = self._overlay_for(tkey)
+        if ov is not None and pk in ov:
+            return ov[pk] is not None
+        return pk in t.store
+
+    def _unique_holder(self, t: Table, tkey, name, key):
+        """Overlay-aware unique lookup: the pk currently holding
+        (map_name, key) in this thread's view, or None."""
+        ov = self._overlay_for(tkey)
+        if ov:
+            for pk, rec in ov.items():
+                if rec is None:
+                    continue
+                for n2, k2 in t._unique_entries(pk, rec):
+                    if n2 == name and k2 == key:
+                        return pk
+        holder = t.unique_maps.get(name, {}).get(key)
+        if holder is not None and ov and holder in ov:
+            rec = ov[holder]
+            if rec is None:
+                return None  # deleted in-txn: value is free
+            if not any(
+                n2 == name and k2 == key
+                for n2, k2 in t._unique_entries(holder, rec)
+            ):
+                return None  # rewritten in-txn without this value
+        return holder
+
+    def _check_reservations(self, tkey, entries, tx_id, pk):
+        """Raise when another transaction holds an op-time reservation on
+        any of `entries` (reference tryReserve, wbm:54-100)."""
+        if not self._unique_res:
+            return
+        for name, key in entries:
+            owner = self._unique_res.get((tkey, name, key))
+            if owner is not None and owner != (tx_id, pk):
+                raise UniqueViolation(tkey[1], name if name != "__pk__" else "pk", key)
+
+    def _match_pks(self, t: Table, tkey, condition: QueryCondition) -> list:
+        """Condition -> pks over base + this thread's overlay."""
+        mask = condition.mask(lambda f: t.store.column_view(f), t.store.high)
+        pks = [t.store.pk_col.get(r) for r in t.store.rows_for_mask(mask)]
+        ov = self._overlay_for(tkey)
+        if ov:
+            pks = [p for p in pks if p not in ov]
+            pks += [
+                p for p, rec in ov.items()
+                if rec is not None and condition.matches(rec)
+            ]
+        return pks
+
+    def _all_pks(self, t: Table, tkey) -> list:
+        pks = t.store.pks()
+        ov = self._overlay_for(tkey)
+        if ov:
+            pks = [p for p in pks if p not in ov]
+            pks += [p for p, rec in ov.items() if rec is not None]
+        return pks
 
     def _make_mesh(self):
         """Optional device mesh for sharded vector corpora (config
@@ -906,10 +1046,11 @@ class Database:
             if v is None:
                 continue
             ref = self._table(fk.references_table)
+            rkey = self._tkey(ref)
             if fk.references_field is None or fk.references_field == ref.schema.primary_key.name:
-                ok = v in ref.store
+                ok = self._view_exists(ref, rkey, v)
             else:
-                ok = ref.unique_maps.get(fk.references_field, {}).get(v) is not None
+                ok = self._unique_holder(ref, rkey, fk.references_field, v) is not None
             if not ok:
                 raise ValidationError(
                     f"foreign key violation: {table.schema.name}.{fk.field}={v!r} "
@@ -1012,15 +1153,26 @@ class Database:
                     pk = t.generate_pk()
                 self._fk_check_write(t, rec)
                 space = GLOBAL_SPACE if t.schema.is_global else self.current_space
-                undo_token = self._txn is not None
+                tkey = (space, table)
+                buf = self._buffering_txn()
+                if buf is not None:
+                    return self._txn_insert(buf, t, tkey, pk_name, pk, rec)
+                cur = self._txn  # commit-replay txn or None (direct write)
+                self._check_reservations(
+                    tkey,
+                    [("__pk__", pk), *t._unique_entries(pk, rec)],
+                    cur.tx_id if cur is not None else None,
+                    pk,
+                )
                 t.apply_insert(pk, rec)
-                if undo_token:
-                    self._txn.undo.append(("delete", t, pk))
+                if cur is not None:
+                    cur.undo.append(("delete", t, pk))
                 self._wal_append(
                     {"op": "insert", "space": space, "table": table, "pk": pk,
                      "rec": self._walable(rec)}
                 )
                 self._counters["inserts"] += 1
+                self._track_direct_write(tkey, pk)
                 self._notify(ChangeEvent("insert", space, table, pk, {**rec, pk_name: pk}))
                 return DbResult.success([pk])
             except UniqueViolation as e:
@@ -1032,6 +1184,28 @@ class Database:
                     else ResultType.validationFailed
                 )
                 return DbResult.error(code, str(e))
+
+    def _txn_insert(self, txn: _Txn, t: Table, tkey, pk_name, pk, rec) -> DbResult:
+        """Buffered insert: validate against the thread's view, reserve the
+        unique keys engine-wide, stage the op. Nothing touches the base
+        store until commit replay."""
+        if self._view_exists(t, tkey, pk):
+            raise UniqueViolation(t.schema.name, pk_name, pk)
+        entries = list(t._unique_entries(pk, rec))
+        for name, key in entries:
+            holder = self._unique_holder(t, tkey, name, key)
+            if holder is not None and holder != pk:
+                raise UniqueViolation(t.schema.name, name, key)
+        all_entries = [("__pk__", pk)] + entries
+        self._check_reservations(tkey, all_entries, txn.tx_id, pk)
+        for e in all_entries:
+            rkey = (tkey,) + e
+            self._unique_res[rkey] = (txn.tx_id, pk)
+            txn.reservations.add(rkey)
+        txn.overlay.setdefault(tkey, {})[pk] = {**rec, pk_name: pk}
+        txn.oplog.append(("insert", tkey, pk, rec))
+        txn.write_set.add((tkey, pk))
+        return DbResult.success([pk])
 
     def _bulk_insert_fast(self, table: str, records: list[dict]):
         """Columnar fast path for batch_insert: validate + unique-check per
@@ -1085,6 +1259,12 @@ class Database:
                 for name, key in entries[1:]:
                     if t.unique_maps[name].get(key) is not None or (name, key) in batch_unique:
                         raise UniqueViolation(t.schema.name, name, key)
+                if self._unique_res:  # open txns' op-time reservations
+                    self._check_reservations(
+                        (space, table),
+                        [("__pk__", pk)] + entries[1:],
+                        None, pk,
+                    )
                 for bkey in entries:
                     batch_unique[bkey] = pk
             except UniqueViolation as e:
@@ -1168,16 +1348,19 @@ class Database:
         (reference upsert semantics, tostore.dart batchUpsert)."""
         with self._lock:
             t = self._table(table)
+            tkey = self._tkey(t)
             pk_name = t.schema.primary_key.name
             pk = data.get(pk_name)
             if pk is None:
-                # try unique-field match
+                # try unique-field match (overlay-aware inside transactions)
                 for f in t.schema.unique_fields():
                     v = data.get(f)
-                    if v is not None and v in t.unique_maps[f]:
-                        pk = t.unique_maps[f][v]
-                        break
-            if pk is not None and pk in t.store:
+                    if v is not None:
+                        holder = self._unique_holder(t, tkey, f, v)
+                        if holder is not None:
+                            pk = holder
+                            break
+            if pk is not None and self._view_exists(t, tkey, pk):
                 return self.update(
                     table, {k: v for k, v in data.items() if k != pk_name}, pk=pk
                 )
@@ -1203,6 +1386,10 @@ class Database:
         return DbResult.success(ok)
 
     def _update_pk(self, t: Table, space: str, pk, updates: dict) -> dict | None:
+        tkey = (space, t.schema.name)
+        buf = self._buffering_txn()
+        if buf is not None:
+            return self._txn_update(buf, t, tkey, pk, updates)
         old = t.store.get(pk)
         if old is None:
             return None
@@ -1210,16 +1397,60 @@ class Database:
         resolved = t.validate(resolved, is_insert=False)
         resolved = {k: v for k, v in resolved.items() if k in updates}
         self._fk_check_write(t, {**old, **resolved})
+        cur = self._txn
+        self._check_reservations(
+            tkey,
+            [
+                e for e in t._unique_entries(pk, {**old, **resolved})
+                if t.unique_maps.get(e[0], {}).get(e[1]) != pk
+            ],
+            cur.tx_id if cur is not None else None,
+            pk,
+        )
         before = t.apply_update(pk, resolved)
-        if self._txn is not None and before is not None:
-            self._txn.undo.append(("update", t, pk, {k: before.get(k) for k in resolved}))
+        if cur is not None and before is not None:
+            cur.undo.append(("update", t, pk, {k: before.get(k) for k in resolved}))
         self._wal_append(
             {"op": "update", "space": space, "table": t.schema.name, "pk": pk,
              "updates": self._walable(resolved)}
         )
         self._counters["updates"] += 1
+        self._track_direct_write(tkey, pk)
         self._notify(ChangeEvent("update", space, t.schema.name, pk, t.store.get(pk)))
         return before
+
+    def _txn_update(self, txn: _Txn, t: Table, tkey, pk, updates: dict) -> dict | None:
+        """Buffered update: Expr resolves against the thread's view at op
+        time (matching the eager path); the resolved updates replay at
+        commit."""
+        cur = self._view_get(t, tkey, pk)
+        if cur is None:
+            return None
+        resolved = resolve_expr_values(updates, cur, False)
+        resolved = t.validate(resolved, is_insert=False)
+        resolved = {k: v for k, v in resolved.items() if k in updates}
+        merged = {**cur, **resolved}
+        self._fk_check_write(t, merged)
+        # only values the txn NEWLY claims need checks + reservations; a
+        # value this pk already holds in the base is not contested (a
+        # concurrent same-row writer conflicts via the write-set instead)
+        entries = [
+            e for e in t._unique_entries(pk, merged)
+            if t.unique_maps.get(e[0], {}).get(e[1]) != pk
+        ]
+        for name, key in entries:
+            holder = self._unique_holder(t, tkey, name, key)
+            if holder is not None and holder != pk:
+                raise UniqueViolation(t.schema.name, name, key)
+        self._check_reservations(tkey, entries, txn.tx_id, pk)
+        for e in entries:
+            rkey = (tkey,) + e
+            self._unique_res[rkey] = (txn.tx_id, pk)
+            txn.reservations.add(rkey)
+        txn.overlay.setdefault(tkey, {})[pk] = merged
+        txn.oplog.append(("update", tkey, pk, resolved))
+        txn.write_set.add((tkey, pk))
+        return {k: cur.get(k) for k in resolved}
 
     def update(
         self,
@@ -1233,15 +1464,13 @@ class Database:
             t = self._table(table)
             space = GLOBAL_SPACE if t.schema.is_global else self.current_space
             try:
+                tkey = (space, t.schema.name)
                 if pk is not None:
-                    pks = [pk] if pk in t.store else []
+                    pks = [pk] if self._view_exists(t, tkey, pk) else []
                 elif condition is not None and not condition.is_empty:
-                    mask = condition.mask(
-                        lambda f: t.store.column_view(f), t.store.high
-                    )
-                    pks = [t.store.pk_col.get(r) for r in t.store.rows_for_mask(mask)]
+                    pks = self._match_pks(t, tkey, condition)
                 elif allow_update_all:
-                    pks = t.store.pks()
+                    pks = self._all_pks(t, tkey)
                 else:
                     return DbResult.error(
                         ResultType.validationFailed,
@@ -1266,6 +1495,18 @@ class Database:
                 return DbResult.error(ResultType.validationFailed, str(e))
 
     def _delete_pk(self, t: Table, space: str, pk, wal: bool = True):
+        tkey = (space, t.schema.name)
+        buf = self._buffering_txn()
+        if buf is not None:
+            # buffered tombstone; FK restrict/cascade runs at commit replay
+            # (the reference defers heavy deletes + cascade ops to commit,
+            # transaction_manager.dart:41-60)
+            if not self._view_exists(t, tkey, pk):
+                return False
+            buf.overlay.setdefault(tkey, {})[pk] = _TOMBSTONE
+            buf.oplog.append(("delete", tkey, pk, None))
+            buf.write_set.add((tkey, pk))
+            return True
         old = t.store.get(pk)
         if old is None:
             return False
@@ -1276,6 +1517,7 @@ class Database:
         if wal:
             self._wal_append({"op": "delete", "space": space, "table": t.schema.name, "pk": pk})
         self._counters["deletes"] += 1
+        self._track_direct_write(tkey, pk)
         self._notify(ChangeEvent("delete", space, t.schema.name, pk, old))
         return True
 
@@ -1291,15 +1533,15 @@ class Database:
             t = self._table(table)
             space = GLOBAL_SPACE if t.schema.is_global else self.current_space
             try:
+                tkey = (space, t.schema.name)
                 if pk is not None:
                     targets = [pk]
                 elif pks is not None:
                     targets = list(pks)
                 elif condition is not None and not condition.is_empty:
-                    mask = condition.mask(lambda f: t.store.column_view(f), t.store.high)
-                    targets = [t.store.pk_col.get(r) for r in t.store.rows_for_mask(mask)]
+                    targets = self._match_pks(t, tkey, condition)
                 elif allow_delete_all:
-                    targets = t.store.pks()
+                    targets = self._all_pks(t, tkey)
                 else:
                     return DbResult.error(
                         ResultType.validationFailed,
@@ -1339,7 +1581,8 @@ class Database:
 
     def get_by_pk(self, table: str, pk) -> dict | None:
         with self._lock:  # no torn reads of mid-update records
-            rec = self._table(table).store.get(pk)
+            t = self._table(table)
+            rec = self._view_get(t, self._tkey(t), pk)
         if rec is not None:
             rec.pop(INGEST_TS_FIELD, None)
             self.weights.record_access(table, pk)
@@ -1377,15 +1620,23 @@ class Database:
     def query(self, table: str, spec: QuerySpec | None = None):
         self._counters["queries"] += 1
         with self._lock, self._timed("query"):
+            t = self._table(table)
+            overlay = self._overlay_for(self._tkey(t))
             return self.executor.execute(
-                self.current_space, table, spec or QuerySpec()
+                self.current_space, table, spec or QuerySpec(), overlay=overlay
             )
 
     def count(self, table: str, condition: QueryCondition | None = None) -> int:
         with self._lock:
             t = self._table(table)
+            tkey = self._tkey(t)
+            ov = self._overlay_for(tkey)
             if condition is None or condition.is_empty:
-                return len(t.store)
+                if not ov:
+                    return len(t.store)
+                return len(self._all_pks(t, tkey))
+            if ov:
+                return len(self._match_pks(t, tkey, condition))
             mask = condition.mask(lambda f: t.store.column_view(f), t.store.high)
             return int(np.count_nonzero(mask & t.store.valid_view()))
 
@@ -1459,20 +1710,22 @@ class Database:
 
     @contextlib.contextmanager
     def _transaction_cm(self):
+        if self._txn is not None:
+            # nested: flatten into outer txn (reference nests zones)
+            yield Transaction(self, self._txn)
+            return
+        txn = _Txn(self, uuid.uuid4().hex[:16])
         with self._lock:
-            if self._txn is not None:
-                # nested: flatten into outer txn (reference nests zones)
-                yield Transaction(self, self._txn)
-                return
-            txn = _Txn(self, uuid.uuid4().hex[:16])
-            self._txn = txn
-            try:
-                yield Transaction(self, txn)
-            except BaseException:
-                self._rollback(txn)
-                raise
-            else:
-                self._commit(txn)
+            txn.begin_seq = self._commit_seq
+            self._active_txns.add(txn)
+        self._txn = txn
+        try:
+            yield Transaction(self, txn)
+        except BaseException:
+            self._abort_buffered(txn)
+            raise
+        else:
+            self._commit_buffered(txn)
 
     def transaction(self, action: Callable | None = None):
         """Context-manager or callback form (reference tostore.dart:860)."""
@@ -1487,23 +1740,94 @@ class Database:
         except (UniqueViolation, ValidationError) as e:
             return TransactionResult(False, None, str(e))
 
-    def _commit(self, txn: _Txn):
+    def _release_txn(self, txn: _Txn):
+        for key in txn.reservations:
+            owner = self._unique_res.get(key)
+            if owner is not None and owner[0] == txn.tx_id:
+                del self._unique_res[key]
+        self._active_txns.discard(txn)
         self._txn = None
-        if txn.wal_ops and self._wal is not None:
-            self._wal.append({"op": "txn", "ops": txn.wal_ops})
+
+    def _abort_buffered(self, txn: _Txn):
+        with self._lock:
+            self._release_txn(txn)
+
+    def _record_commit(self, write_set):
+        """Register a committed write-set for first-committer-wins
+        validation; pruned to what an active transaction could still see."""
+        self._commit_seq += 1
+        if not self._active_txns:
+            self._recent_commits.clear()
+            return
+        self._recent_commits.append((self._commit_seq, frozenset(write_set)))
+        horizon = min(t.begin_seq for t in self._active_txns)
+        while self._recent_commits and self._recent_commits[0][0] <= horizon:
+            self._recent_commits.pop(0)
+
+    def _track_direct_write(self, tkey, pk):
+        """Direct (non-transaction) mutations count as tiny committed txns
+        for conflict detection — only tracked while transactions are open."""
+        if self._active_txns and self._txn is None:
+            self._record_commit({(tkey, pk)})
+
+    def _commit_buffered(self, txn: _Txn):
+        with self._lock:
+            try:
+                if self.config.isolation_level == IsolationLevel.serializable:
+                    for seq, wset in self._recent_commits:
+                        if seq > txn.begin_seq and wset & txn.write_set:
+                            (_, tname), cpk = next(iter(wset & txn.write_set))
+                            raise BusinessError(
+                                f"transaction conflict on {tname} pk={cpk!r}: "
+                                "a concurrent commit wrote the same record",
+                                code="txn_conflict",
+                            )
+                txn.buffering = False  # oplog now replays eagerly
+                try:
+                    for op in txn.oplog:
+                        self._apply_buffered_op(txn, op)
+                except BaseException:
+                    # mid-replay failure (deferred FK restrict/cascade,
+                    # readCommitted races): undo what replayed, then surface
+                    for entry in reversed(txn.undo):
+                        kind, t = entry[0], entry[1]
+                        if kind == "delete":
+                            t.apply_delete(entry[2])
+                        elif kind == "update":
+                            t.apply_update(entry[2], entry[3])
+                        elif kind == "insert":
+                            t.apply_insert(entry[2], entry[3])
+                    raise
+            finally:
+                self._release_txn(txn)
+            self._record_commit(txn.write_set)
+            if txn.wal_ops and self._wal is not None:
+                self._wal.append({"op": "txn", "ops": txn.wal_ops})
         for ev in txn.events:
             self._dispatch(ev)
 
-    def _rollback(self, txn: _Txn):
-        self._txn = None
-        for entry in reversed(txn.undo):
-            kind, t = entry[0], entry[1]
-            if kind == "delete":
-                t.apply_delete(entry[2])
-            elif kind == "update":
-                t.apply_update(entry[2], entry[3])
-            elif kind == "insert":
-                t.apply_insert(entry[2], entry[3])
+    def _apply_buffered_op(self, txn: _Txn, op: tuple):
+        kind, tkey, pk, payload = op
+        space, name = tkey
+        t = self._tables.get(tkey)
+        if t is None:
+            return
+        if kind == "insert":
+            t.apply_insert(pk, payload)
+            txn.undo.append(("delete", t, pk))
+            self._wal_append(
+                {"op": "insert", "space": space, "table": name, "pk": pk,
+                 "rec": self._walable(payload)}
+            )
+            self._counters["inserts"] += 1
+            pk_name = t.schema.primary_key.name
+            self._notify(
+                ChangeEvent("insert", space, name, pk, {**payload, pk_name: pk})
+            )
+        elif kind == "update":
+            self._update_pk(t, space, pk, payload)
+        elif kind == "delete":
+            self._delete_pk(t, space, pk)
 
     # ------------------------------------------------------------- durability
 
@@ -1746,7 +2070,16 @@ class Database:
                 "db_name": self.config.db_name,
                 "memory_mode": self.config.memory_mode,
                 "isolation_level": self.config.isolation_level,
-                "effective_isolation": "serializable",
+                # buffered txn writes + op-time unique reservations; commit
+                # validates the write-set first-committer-wins under
+                # serializable (the reference's write-set SSI check,
+                # transaction_manager.dart:30-36), skips it under
+                # readCommitted. Readers always see committed state only.
+                "effective_isolation": (
+                    "snapshot-write (first-committer-wins)"
+                    if self.config.isolation_level == IsolationLevel.serializable
+                    else "readCommitted"
+                ),
                 "encryption": self.config.encryption.enable_encoding,
             },
             "active_space": self.current_space,

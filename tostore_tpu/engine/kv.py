@@ -36,30 +36,34 @@ class KvStore:
 
     def set(self, key: str, value: Any, ttl_seconds: float | None = None) -> DbResult:
         expires = int(time.time() * 1000 + ttl_seconds * 1000) if ttl_seconds else 0
-        with self._db._lock:
+        db = self._db
+        with db._lock:
             t = self._t()
             rec = {"value": value, "expires_ms": expires}
-            txn = self._db._txn
+            tkey = (self._space, KV_TABLE)
+            buf = db._buffering_txn()
+            if buf is not None:  # buffered with the relational ops
+                if db._view_exists(t, tkey, key):
+                    db._txn_update(buf, t, tkey, key, rec)
+                else:
+                    db._txn_insert(
+                        buf, t, tkey, t.schema.primary_key.name, key, rec
+                    )
+                return DbResult.success([key])
             if key in t.store:
-                old = t.store.get(key)
                 t.apply_update(key, rec)
                 op = "update"
-                if txn is not None:
-                    txn.undo.append(
-                        ("update", t, key, {k: old.get(k) for k in rec})
-                    )
             else:
                 t.apply_insert(key, rec)
                 op = "insert"
-                if txn is not None:
-                    txn.undo.append(("delete", t, key))
-            self._db._wal_append(
+            db._wal_append(
                 {"op": op, "space": self._space, "table": KV_TABLE, "pk": key,
                  **({"rec": rec} if op == "insert" else {"updates": rec})}
             )
+            db._track_direct_write(tkey, key)
             from .database import ChangeEvent
 
-            self._db._notify(ChangeEvent(op, self._space, KV_TABLE, key, rec))
+            db._notify(ChangeEvent(op, self._space, KV_TABLE, key, rec))
             return DbResult.success([key])
 
     def set_many(self, entries: dict[str, Any], ttl_seconds: float | None = None) -> DbResult:
@@ -82,7 +86,7 @@ class KvStore:
     def remove(self, key: str) -> bool:
         with self._db._lock:
             t = self._t()
-            if key not in t.store:
+            if not self._db._view_exists(t, (self._space, KV_TABLE), key):
                 return False
             self._db._delete_pk(t, self._space, key)
             return True
@@ -93,7 +97,7 @@ class KvStore:
     def clear(self) -> int:
         with self._db._lock:
             t = self._t()
-            keys = t.store.pks()
+            keys = self._db._all_pks(t, (self._space, KV_TABLE))
             for k in keys:
                 self._db._delete_pk(t, self._space, k)
             return len(keys)
@@ -102,7 +106,7 @@ class KvStore:
 
     def _live(self, key: str):
         t = self._t()
-        rec = t.store.get(key)
+        rec = self._db._view_get(t, (self._space, KV_TABLE), key)
         if rec is None:
             return None
         exp = rec.get("expires_ms") or 0
@@ -148,8 +152,9 @@ class KvStore:
 
     def get_keys(self, prefix: str = "") -> list[str]:
         t = self._t()
+        pks = self._db._all_pks(t, (self._space, KV_TABLE))
         return sorted(
-            k for k in t.store.pks() if str(k).startswith(prefix) and self._live(k)
+            k for k in pks if str(k).startswith(prefix) and self._live(k)
         )
 
     def count(self, prefix: str = "") -> int:
@@ -165,21 +170,23 @@ class KvStore:
         return max(0.0, (exp - time.time() * 1000) / 1000)
 
     def set_ttl(self, key: str, ttl_seconds: float | None) -> bool:
-        with self._db._lock:
+        db = self._db
+        with db._lock:
             t = self._t()
-            if key not in t.store:
+            tkey = (self._space, KV_TABLE)
+            if not db._view_exists(t, tkey, key):
                 return False
             expires = int(time.time() * 1000 + ttl_seconds * 1000) if ttl_seconds else 0
-            old = t.store.get(key)
+            buf = db._buffering_txn()
+            if buf is not None:
+                db._txn_update(buf, t, tkey, key, {"expires_ms": expires})
+                return True
             t.apply_update(key, {"expires_ms": expires})
-            if self._db._txn is not None:
-                self._db._txn.undo.append(
-                    ("update", t, key, {"expires_ms": old.get("expires_ms")})
-                )
-            self._db._wal_append(
+            db._wal_append(
                 {"op": "update", "space": self._space, "table": KV_TABLE, "pk": key,
                  "updates": {"expires_ms": expires}}
             )
+            db._track_direct_write(tkey, key)
             return True
 
     # --- watch -------------------------------------------------------------------

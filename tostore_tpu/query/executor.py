@@ -295,14 +295,22 @@ class QueryExecutor:
 
     # --- execution -----------------------------------------------------------
 
-    def execute(self, space: str, table_name: str, spec: QuerySpec):
+    def execute(self, space: str, table_name: str, spec: QuerySpec, overlay=None):
+        """`overlay` ({pk: record-with-pk | None}) is the calling thread's
+        open-transaction write buffer for this table: overlaid pks replace
+        (or tombstone) their base rows and overlay inserts join the match
+        set BEFORE joins/aggregation/ordering/pagination — the reference's
+        write-buffer merge into query results (query_executor.dart:2152).
+        Forces the general (materializing) path and skips the cache."""
         from ..models.results import QueryResult
 
         table = self.db._table(table_name, space)
         store = table.store
 
+        if overlay is not None and not overlay:
+            overlay = None
         cache_key = None
-        if spec.use_cache:
+        if spec.use_cache and overlay is None:
             cache_key = (space, table_name, spec.fingerprint())
             hit = self._cache.get(cache_key)
             if hit is not None and hit[0] == self._gen_signature(space, table_name, spec):
@@ -336,7 +344,8 @@ class QueryExecutor:
         # (limit-aware selection, reference handler/topk_heap.dart — a
         # limit(10) over 1M matches must not build 1M record dicts)
         if (
-            not spec.joins
+            overlay is None
+            and not spec.joins
             and not spec.aggregates
             and not spec.group_by
             and not spec.distinct
@@ -374,10 +383,23 @@ class QueryExecutor:
                 total, has_more, start,
             )
 
-        # 3. materialize + joins
+        # 3. materialize (+ overlay merge) + joins
         records = [store.read_row(r) for r in rows]
         for rec in records:
             rec.pop("_system_ingest_ts_ms", None)
+        if overlay is not None:
+            records = [r for r in records if r.get(pk_name) not in overlay]
+            for opk, orec in overlay.items():
+                if orec is None:
+                    continue
+                if (
+                    spec.condition is None
+                    or spec.condition.is_empty
+                    or spec.condition.matches(orec)
+                ):
+                    full = dict(orec)
+                    full.pop("_system_ingest_ts_ms", None)
+                    records.append(full)
         for j in spec.joins:
             records = self._join(space, records, j)
 
