@@ -122,6 +122,161 @@ class TestPlanner:
         assert p.plan == "indexOrder"
 
 
+def composite_schema():
+    return TableSchema(
+        name="ev",
+        fields=(
+            FieldSchema("tenant", DataType.text),
+            FieldSchema("kind", DataType.text),
+            FieldSchema("ts", DataType.integer),
+            FieldSchema("payload", DataType.text),
+        ),
+        indexes=(IndexSchema(fields=("tenant", "kind", "ts"), type="btree"),),
+    )
+
+
+@pytest.fixture
+def cdb():
+    d = ToStoreTPU.memory(schemas=[composite_schema()])
+    rows = [
+        {
+            "tenant": f"t{i % 5}",
+            "kind": f"k{i % 3}",
+            "ts": i,
+            "payload": f"p{i}",
+        }
+        for i in range(600)
+    ]
+    d.batch_insert("ev", rows)
+    yield d
+    d.close()
+
+
+class TestCompositePrefix:
+    def plan(self, db, cond, order_by=None):
+        spec = QuerySpec(condition=cond, order_by=order_by or [])
+        return db.engine.executor.choose_plan(db.engine._table("ev"), spec)
+
+    def test_eq_prefix_plus_range_uses_composite(self, cdb):
+        c = (
+            QueryCondition()
+            .where("tenant", "=", "t1")
+            .where("kind", "=", "k2")
+            .where("ts", ">=", 100)
+            .where("ts", "<", 200)
+        )
+        info = self.plan(cdb, c)
+        assert info.plan == "indexScan"
+        # exact selectivity: t1 & k2 & ts in [100, 200) — far below the
+        # 120 rows a tenant-only first-field plan would estimate
+        true = len(
+            [
+                i
+                for i in range(600)
+                if i % 5 == 1 and i % 3 == 2 and 100 <= i < 200
+            ]
+        )
+        assert info.estimated_rows == true
+        res = (
+            cdb.query("ev")
+            .where("tenant", "=", "t1").where("kind", "=", "k2")
+            .where("ts", ">=", 100).where("ts", "<", 200)
+            .fetch()
+        )
+        assert len(res) == true
+
+    def test_pure_eq_prefix(self, cdb):
+        c = QueryCondition().where("tenant", "=", "t0").where("kind", "=", "k0")
+        info = self.plan(cdb, c)
+        assert info.plan == "indexScan"
+        assert info.estimated_rows == len(
+            [i for i in range(600) if i % 5 == 0 and i % 3 == 0]
+        )
+
+    def test_in_after_eq_prefix(self, cdb):
+        c = (
+            QueryCondition()
+            .where("tenant", "=", "t1")
+            .where("kind", "in", ["k0", "k1"])
+        )
+        info = self.plan(cdb, c)
+        assert info.plan == "indexUnion"
+        res = (
+            cdb.query("ev")
+            .where("tenant", "=", "t1").where_in("kind", ["k0", "k1"])
+            .fetch()
+        )
+        assert all(r["tenant"] == "t1" and r["kind"] in ("k0", "k1") for r in res)
+        assert len(res) == len(
+            [i for i in range(600) if i % 5 == 1 and i % 3 in (0, 1)]
+        )
+
+    def test_ordered_slice_skips_sort_and_is_correct(self, cdb):
+        c = QueryCondition().where("tenant", "=", "t2").where("kind", "=", "k1")
+        info = self.plan(cdb, c, order_by=[("ts", False)])
+        assert info.plan == "indexScan" and info.ordered
+        res = (
+            cdb.query("ev")
+            .where("tenant", "=", "t2").where("kind", "=", "k1")
+            .order_by("ts")
+            .limit(5)
+            .fetch()
+        )
+        expect = sorted(
+            i for i in range(600) if i % 5 == 2 and i % 3 == 1
+        )[:5]
+        assert [r["ts"] for r in res] == expect
+
+    def test_desc_order_not_marked_ordered(self, cdb):
+        c = QueryCondition().where("tenant", "=", "t2")
+        info = self.plan(cdb, c, order_by=[("ts", True)])
+        assert not info.ordered
+        res = (
+            cdb.query("ev").where("tenant", "=", "t2")
+            .order_by("ts", desc=True).limit(3).fetch()
+        )
+        expect = sorted((i for i in range(600) if i % 5 == 2), reverse=True)[:3]
+        assert [r["ts"] for r in res] == expect
+
+
+class TestJoinOrdering:
+    def test_inner_reorder_keeps_semantics(self):
+        users = TableSchema(
+            name="users",
+            fields=(
+                FieldSchema("dept_id", DataType.integer),
+                FieldSchema("badge_id", DataType.integer),
+            ),
+        )
+        depts = TableSchema(
+            name="depts", fields=(FieldSchema("dname", DataType.text),)
+        )
+        badges = TableSchema(
+            name="badges", fields=(FieldSchema("bname", DataType.text),)
+        )
+        d = ToStoreTPU.memory(schemas=[users, depts, badges])
+        try:
+            d.batch_insert("depts", [{"id": i, "dname": f"d{i}"} for i in range(1, 40)])
+            d.batch_insert("badges", [{"id": 1, "bname": "gold"}])
+            d.batch_insert(
+                "users",
+                [{"id": i, "dept_id": (i % 39) + 1, "badge_id": 1 if i % 2 else 99}
+                 for i in range(1, 21)],
+            )
+            res = (
+                d.query("users")
+                .join("depts", "dept_id", "id")      # big right table first
+                .join("badges", "badge_id", "id")    # tiny selective second
+                .fetch()
+            )
+            # inner-join semantics unchanged by selectivity reordering
+            assert len(res) == 10
+            assert all(r["bname"] == "gold" for r in res)
+            assert all(r["dname"].startswith("d") for r in res)
+        finally:
+            d.close()
+
+
 class TestLimitAwareSort:
     def test_limit_matches_full_sort(self, db):
         full = db.query("t").order_by("score").limit(1000).fetch().records

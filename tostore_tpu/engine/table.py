@@ -132,6 +132,40 @@ class SortedIndex:
         a, b = self.range_positions(store, lo, hi, lo_open, hi_open)
         return self._order[a:b]
 
+    def range_positions_multi(
+        self, store: ColumnStore, eq_values: list, bounds=None
+    ) -> tuple[int, int]:
+        """Composite-prefix bisect: equality on the leading `eq_values`
+        fields plus an optional (lo, hi, lo_open, hi_open) range on the
+        NEXT field. The memcomparable concatenated keys make this a plain
+        byte-string range — multi-field index prefixes beyond the first
+        field (reference query_optimizer.dart composite-index selection)."""
+        from ..utils import memcomparable as mc
+
+        if self._gen != store.generation:
+            self._build(store)
+        keys = self._keys
+        prefix = b"".join(self._encode(v) for v in eq_values)
+        if bounds is None:
+            a = int(np.searchsorted(keys, prefix, side="left"))
+            b = int(np.searchsorted(keys, mc.prefix_upper_bound(prefix), side="left"))
+            return a, max(a, b)
+        lo, hi, lo_open, hi_open = bounds
+        if lo is not None:
+            klo = prefix + self._encode(lo)
+            if lo_open:
+                klo = mc.prefix_upper_bound(klo)
+            a = int(np.searchsorted(keys, klo, side="left"))
+        else:
+            a = int(np.searchsorted(keys, prefix, side="left"))
+        if hi is not None:
+            khi = prefix + self._encode(hi)
+            khi = khi if hi_open else mc.prefix_upper_bound(khi)
+            b = int(np.searchsorted(keys, khi, side="left"))
+        else:
+            b = int(np.searchsorted(keys, mc.prefix_upper_bound(prefix), side="left"))
+        return a, max(a, b)
+
 
 def _make_vector_index(dims: int, precision: str, idx: IndexSchema, mesh=None):
     cfg = idx.vector_config

@@ -77,6 +77,9 @@ class ExplainInfo:
     # slices, one per DNF arm (exact counts — the sorted key array makes
     # true selectivity free, reference cost_estimator.dart:9-11)
     arms: list = field(default_factory=list)
+    # single-arm indexScan whose slice already satisfies spec.order_by
+    # (composite key order after the equality prefix) — skips the sort
+    ordered: bool = False
 
 
 def _encode_cursor(values: list, pk) -> str:
@@ -232,7 +235,7 @@ class QueryExecutor:
             cond.dnf() if cond is not None and not cond.is_empty else None
         )
         if conjs and conjs != [[]] and table.sorted_indexes and n:
-            arms = self._plan_arms(table, conjs)
+            arms, eq_len = self._plan_arms(table, conjs)
             if arms is not None:
                 est = sum(b - a for _, a, b in arms)
                 # candidates re-filter through the full residual mask, so an
@@ -240,11 +243,20 @@ class QueryExecutor:
                 # scan; below the noise floor always take the index
                 if est <= self.MIN_COST_ROWS or est <= n // 2:
                     names = sorted({a[0] for a in arms})
+                    ordered = False
+                    if eq_len is not None and spec.order_by:
+                        sidx = table.sorted_indexes[arms[0][0]]
+                        want = tuple(f for f, _ in spec.order_by)
+                        ordered = (
+                            all(not d for _, d in spec.order_by)
+                            and sidx.fields[eq_len : eq_len + len(want)] == want
+                        )
                     return ExplainInfo(
                         "indexScan" if len(arms) == 1 else "indexUnion",
                         ",".join(names),
                         est,
                         arms=arms,
+                        ordered=ordered,
                     )
         if spec.order_by:
             fields_ = tuple(f for f, _ in spec.order_by)
@@ -253,45 +265,96 @@ class QueryExecutor:
                     return ExplainInfo("indexOrder", name, n)
         return ExplainInfo("tableScan", None, n)
 
-    def _plan_arms(self, table, conjs: list[list]) -> list[tuple] | None:
+    def _plan_arms(self, table, conjs: list[list]):
         """Resolve each DNF conjunction to a (index, lo, hi) bisect slice;
         None when any conjunction has no usable index (the union would not
-        be a superset of the matches)."""
+        be a superset of the matches). Returns (arms, eq_len) — eq_len is
+        the equality-prefix length of a SINGLE-conjunction single arm (for
+        the ordered-slice fast path), else None."""
         arms: list[tuple] = []
+        eq_len = None
         for leaves in conjs:
             if not leaves:
-                return None  # TRUE arm: the union is the whole table
-            arm = self._best_arm(table, leaves)
+                return None, None  # TRUE arm: the union is the whole table
+            arm, arm_eq = self._best_arm(table, leaves)
             if arm is None:
-                return None
+                return None, None
             arms.extend(arm)
-        return arms
+            eq_len = arm_eq if len(conjs) == 1 and len(arm) == 1 else None
+        return arms, eq_len
 
-    def _best_arm(self, table, leaves: list) -> list[tuple] | None:
+    @staticmethod
+    def _eq_value(bounds):
+        """Equality value of an _extract_bounds result, else a no-match
+        sentinel (None is a legal value only as 'no bound' here)."""
+        if bounds is None:
+            return None, False
+        lo, hi, lo_open, hi_open = bounds
+        if lo is not None and lo == hi and not lo_open and not hi_open:
+            return lo, True
+        return None, False
+
+    def _best_arm(self, table, leaves: list):
+        """Cheapest bisect arm(s) for one AND-conjunction across all sorted
+        indexes, using the LONGEST usable composite prefix of each index:
+        equality leaves consume leading fields, then one range/eq/in leaf
+        on the next field bounds the slice (reference
+        query_optimizer.dart's composite-index selection; round-1 only ever
+        used fields[0])."""
         best: list[tuple] | None = None
         best_est = None
+        best_eq = None
+        store = table.store
         for name, sidx in table.sorted_indexes.items():
-            first = sidx.fields[0]
-            fs = table.schema.field_map.get(first)
-            bounds = _extract_bounds(leaves, first, fs)
-            if bounds is not None:
-                a, b = sidx.range_positions(table.store, *bounds)
+            # 1. longest equality prefix
+            eq: list = []
+            for f in sidx.fields:
+                fs = table.schema.field_map.get(f)
+                v, is_eq = self._eq_value(_extract_bounds(leaves, f, fs))
+                if not is_eq:
+                    break
+                eq.append(v)
+            nxt = sidx.fields[len(eq)] if len(eq) < len(sidx.fields) else None
+            bounds = None
+            vals = None
+            if nxt is not None:
+                fs = table.schema.field_map.get(nxt)
+                bounds = _extract_bounds(leaves, nxt, fs)
+                vals = next(
+                    (v for f, op, v in leaves if f == nxt and op == "in"), None
+                )
+            if eq and bounds is None and vals is None:
+                # pure equality prefix (possibly the full index)
+                a, b = sidx.range_positions_multi(store, eq)
                 if best_est is None or b - a < best_est:
                     best, best_est = [(name, a, b)], b - a
-            # in-list: one slice per value
-            vals = next(
-                (v for f, op, v in leaves if f == first and op == "in"), None
-            )
+                    best_eq = len(eq)
+            if bounds is not None:
+                if eq:
+                    a, b = sidx.range_positions_multi(store, eq, bounds)
+                else:
+                    a, b = sidx.range_positions(store, *bounds)
+                if best_est is None or b - a < best_est:
+                    best, best_est = [(name, a, b)], b - a
+                    best_eq = len(eq)
+            # in-list on the field after the prefix: one slice per value
             if vals is not None and 0 < len(vals) <= self.MAX_IN_ARMS:
+                fs = table.schema.field_map.get(nxt)
                 sub = []
                 for v in vals:
                     v = _coerce_index_value(v, fs)
-                    a, b = sidx.range_positions(table.store, v, v)
+                    if eq:
+                        a, b = sidx.range_positions_multi(
+                            store, eq, (v, v, False, False)
+                        )
+                    else:
+                        a, b = sidx.range_positions(store, v, v)
                     sub.append((name, a, b))
                 est = sum(b - a for _, a, b in sub)
                 if best_est is None or est < best_est:
                     best, best_est = sub, est
-        return best
+                    best_eq = None
+        return best, best_eq
 
     # --- execution -----------------------------------------------------------
 
@@ -362,8 +425,8 @@ class QueryExecutor:
                 if spec.limit is not None
                 else self.db.config.default_query_limit
             )
-            pre_sorted = plan.plan == "indexOrder" and all(
-                not d for _, d in order
+            pre_sorted = plan.ordered or (
+                plan.plan == "indexOrder" and all(not d for _, d in order)
             )
             if not pre_sorted:
                 # tableScan (flatnonzero) and indexUnion (np.unique) yield
@@ -400,7 +463,7 @@ class QueryExecutor:
                     full = dict(orec)
                     full.pop("_system_ingest_ts_ms", None)
                     records.append(full)
-        for j in spec.joins:
+        for j in self._order_joins(space, table, spec.joins):
             records = self._join(space, records, j)
 
         # 4. aggregates / grouping
@@ -576,6 +639,25 @@ class QueryExecutor:
             keys.append(vk)
             keys.append(nk)
         return keys
+
+    def _order_joins(self, space: str, table, joins: list) -> list:
+        """Join ordering: run INNER joins most-selective-first (smallest
+        right table) so later joins probe a shrunken record set; LEFT joins
+        follow in declared order (they never remove records, so moving them
+        after inners is sound when every join keys off a base-table field).
+        Any RIGHT join, or a join keyed off a joined-in field, keeps the
+        declared order (reordering could change semantics)."""
+        if len(joins) < 2:
+            return joins
+        base_fields = set(table.schema.field_map) | {table.schema.primary_key.name}
+        if any(j.kind == "right" for j in joins) or not all(
+            j.left_field in base_fields for j in joins
+        ):
+            return joins
+        inner = [j for j in joins if j.kind == "inner"]
+        rest = [j for j in joins if j.kind != "inner"]
+        inner.sort(key=lambda j: len(self.db._table(j.table, space).store))
+        return inner + rest
 
     def _rows_from_arms(self, table, arms: list[tuple]) -> np.ndarray:
         """Candidate rows for resolved bisect arms; unions dedupe."""
