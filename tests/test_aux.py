@@ -377,3 +377,40 @@ class TestCrontabIdleStop:
             db.close()
         finally:
             cron.IDLE_STOP_S = old
+
+
+class TestWorkloadScheduler:
+    def test_defers_while_foreground_hot_then_forces(self):
+        from tostore_tpu.engine.maintenance import WorkloadScheduler
+
+        s = WorkloadScheduler(maintenance_share=0.15, defer_s=10.0)
+        s.note_foreground()  # hot: every gate defers...
+        for _ in range(s.MAX_DEFERS):
+            assert not s.may_run("compact")
+        assert s.may_run("compact")  # ...until bounded deferral forces it
+        assert s.deferred_total == s.MAX_DEFERS
+
+    def test_runs_when_idle_and_accounts_share(self):
+        import time as _t
+        from tostore_tpu.engine.maintenance import WorkloadScheduler
+
+        s = WorkloadScheduler(maintenance_share=0.0001, defer_s=0.001)
+        _t.sleep(0.005)
+        assert s.may_run("ttl")  # idle + zero share
+        with s.maintenance():
+            _t.sleep(0.02)
+        # share now exceeds the tiny budget -> defers (until forced)
+        assert not s.may_run("ttl")
+        st = s.stats()
+        assert st["maintenance_share_now"] > st["maintenance_share_budget"]
+
+    def test_engine_exposes_workload_stats(self):
+        from tostore_tpu import ToStoreTPU
+
+        db = ToStoreTPU.memory()
+        try:
+            st = db.status()
+            assert "workload" in st
+            assert "maintenance_share_budget" in st["workload"]
+        finally:
+            db.close()

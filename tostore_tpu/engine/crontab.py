@@ -9,7 +9,9 @@ compaction, periodic time-based checkpoints, and weight decay.
 Idle-stop (reference crontab_manager idle semantics): after IDLE_STOP_S
 with no engine writes the ticker parks on the wake event instead of
 polling; any write wakes it. Job errors are counted and surfaced in
-status() rather than silently swallowed.
+status() rather than silently swallowed. Every job passes the
+WorkloadScheduler gate (maintenance.py) first: maintenance defers while
+foreground traffic is hot (reference workload_scheduler.dart shares).
 """
 
 from __future__ import annotations
@@ -79,15 +81,22 @@ class CrontabManager:
             if self._stop.wait(cfg.crontab_interval_s):
                 return
             now = time.monotonic()
+            sched = self.db.workload
             for due, attr, job in (
                 (cfg.ttl_cleanup_interval_s, "_last_ttl", self.db.run_ttl_cleanup),
                 (COMPACT_EVERY_S, "_last_compact", self.db.run_compaction),
                 (FLUSH_AGE_S, "_last_flush", self._maybe_flush),
             ):
                 if now - getattr(self, attr) >= due:
+                    # workload QoS: defer while foreground traffic is hot or
+                    # the maintenance time share is over budget (bounded —
+                    # a repeatedly deferred job eventually forces through)
+                    if not sched.may_run(job.__name__):
+                        continue
                     setattr(self, attr, now)
                     try:
-                        job()
+                        with sched.maintenance():
+                            job()
                     except Exception as exc:
                         # background maintenance must never kill the engine,
                         # but failures must be visible

@@ -247,11 +247,17 @@ class Database:
         self._timings: dict[str, list] = {}  # op -> [count, total_s]
         self.executor = QueryExecutor(self)
         self._envelope = self._make_envelope()
-        from .maintenance import IntegrityChecker, ResourceManager, WeightManager
+        from .maintenance import (
+            IntegrityChecker, ResourceManager, WeightManager, WorkloadScheduler,
+        )
 
         self.resources = ResourceManager(self.db_dir)
         self.weights = WeightManager()
         self._integrity = IntegrityChecker()
+        self.workload = WorkloadScheduler(
+            maintenance_share=self.config.maintenance_share,
+            defer_s=self.config.maintenance_defer_s,
+        )
         self._mesh = self._make_mesh()
 
         if not self.config.memory_mode:
@@ -552,6 +558,7 @@ class Database:
             cell = self._timings.setdefault(op, [0, 0.0])
             cell[0] += 1
             cell[1] += time.perf_counter() - t0
+            self.workload.note_foreground()
 
     @contextlib.contextmanager
     def profile_trace(self, log_dir: str, host_profiler: bool = False):
@@ -876,6 +883,7 @@ class Database:
     def _wal_append(self, entry: dict):
         if self._crontab is not None:
             self._crontab.poke()
+        self.workload.note_foreground()  # all write paths funnel through here
         if self._txn is not None:
             self._txn.wal_ops.append(entry)
             return
@@ -1580,6 +1588,7 @@ class Database:
     # ------------------------------------------------------------- reads
 
     def get_by_pk(self, table: str, pk) -> dict | None:
+        self.workload.note_foreground()
         with self._lock:  # no torn reads of mid-update records
             t = self._table(table)
             rec = self._view_get(t, self._tkey(t), pk)
@@ -2091,6 +2100,7 @@ class Database:
                 "parked": bool(self._crontab.parked) if self._crontab else None,
                 "job_errors": self._crontab.job_errors if self._crontab else 0,
             },
+            "workload": self.workload.stats(),
             "resources": self.resources.status(),
             "migrations": self.query_migration_status(),
             "uptime_ms": int(time.time() * 1000) - self._opened_ms,

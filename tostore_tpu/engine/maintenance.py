@@ -1,6 +1,6 @@
-"""Resource monitoring, access weights, integrity checking.
+"""Resource monitoring, access weights, integrity checking, workload QoS.
 
-Parity components (SURVEY.md §2.5):
+Parity components (SURVEY.md §2.5 + §2.4):
   - ResourceManager (core/resource_manager.dart): memory/disk monitor with
     normal/warning/critical escalation and write blocking at critical
     (reference dsi:1536). Here it watches host RSS/available memory and
@@ -9,6 +9,16 @@ Parity components (SURVEY.md §2.5):
     (0-100 with decay) driving hot/cold reporting and prewarm ordering.
   - IntegrityChecker (core/integrity_checker.dart): structural checks +
     sampled record validation (first/last N rather than full scans).
+  - WorkloadScheduler (core/workload_scheduler.dart:48-53 token shares
+    flush 40% / query 40% / maintenance 15% / aux 5%): the reference
+    arbitrates its own async I/O tasks with token leases; this engine is
+    single-controller, so QoS reduces to the real contention point —
+    background maintenance (compaction, TTL sweeps, checkpoints) holding
+    the engine lock while foreground traffic is hot. Maintenance defers
+    while foreground ops ran within the defer window or while the
+    maintenance TIME SHARE over the sliding window exceeds its budget;
+    bounded deferral (the reference's lease rebalancing) guarantees
+    progress under sustained load.
 """
 
 from __future__ import annotations
@@ -192,3 +202,73 @@ class IntegrityChecker:
             if not name.startswith("_system_")
         ]
         return {"ok": all(r["ok"] for r in reports), "tables": reports}
+
+
+class WorkloadScheduler:
+    """Foreground-vs-maintenance arbitration (see module docstring; the
+    reference's token-share scheduler, workload_scheduler.dart:14,48-53).
+
+    Foreground ops stamp `note_foreground()` (wired into Database._timed);
+    maintenance jobs run inside `maintenance()` so their wall time is
+    accounted against `maintenance_share` of the sliding window. A job may
+    run when the engine looks idle (no foreground op within `defer_s`) AND
+    the maintenance share is under budget — or when it has been deferred
+    `MAX_DEFERS` times (bounded deferral: progress under sustained load,
+    the reference's lease rebalancing)."""
+
+    WINDOW_S = 60.0
+    MAX_DEFERS = 20
+
+    def __init__(self, maintenance_share: float = 0.15, defer_s: float = 0.25):
+        self.maintenance_share = maintenance_share
+        self.defer_s = defer_s
+        self._last_fg = 0.0
+        self._maint_slices: list[tuple[float, float]] = []  # (end_ts, dur)
+        self._defers: dict[str, int] = {}
+        self.deferred_total = 0
+
+    def note_foreground(self):
+        self._last_fg = time.monotonic()
+
+    def _share_now(self) -> float:
+        now = time.monotonic()
+        self._maint_slices = [
+            (end, dur) for end, dur in self._maint_slices
+            if end >= now - self.WINDOW_S
+        ]
+        return sum(dur for _, dur in self._maint_slices) / self.WINDOW_S
+
+    def may_run(self, job: str) -> bool:
+        """Gate for one maintenance job; deferred jobs eventually force."""
+        now = time.monotonic()
+        busy = now - self._last_fg < self.defer_s
+        over = self._share_now() > self.maintenance_share
+        if (busy or over) and self._defers.get(job, 0) < self.MAX_DEFERS:
+            self._defers[job] = self._defers.get(job, 0) + 1
+            self.deferred_total += 1
+            return False
+        self._defers[job] = 0
+        return True
+
+    def maintenance(self):
+        """Context manager accounting a maintenance job's wall time."""
+        sched = self
+
+        class _Span:
+            def __enter__(self):
+                self.t0 = time.monotonic()
+                return self
+
+            def __exit__(self, *exc):
+                now = time.monotonic()
+                sched._maint_slices.append((now, now - self.t0))
+                return False
+
+        return _Span()
+
+    def stats(self) -> dict:
+        return {
+            "maintenance_share_budget": self.maintenance_share,
+            "maintenance_share_now": round(self._share_now(), 4),
+            "deferred_jobs_total": self.deferred_total,
+        }

@@ -83,6 +83,11 @@ class DataStoreConfig:
     # maintenance
     ttl_cleanup_interval_s: float = 300.0
     crontab_interval_s: float = 1.0
+    # workload QoS (reference workload_scheduler.dart:48-53 maintenance
+    # share): background jobs defer while foreground ops ran within
+    # `maintenance_defer_s` or maintenance exceeds this time share
+    maintenance_share: float = 0.15
+    maintenance_defer_s: float = 0.25
     tombstone_compact_ratio: float = 0.10  # reference vim:897 10% threshold
 
     # TPU-native
