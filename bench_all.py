@@ -289,10 +289,11 @@ def config8_pq():
         cents[assign] + jax.random.normal(jax.random.PRNGKey(1), (n, d), jnp.float32)
     ).astype(jnp.bfloat16)
 
-    def mk(pq_m):
+    def mk(pq_m, pq_k=256):
         idx = IVFVectorIndex(
             d, metric="l2", precision="bfloat16", num_clusters=1024, nprobe=16,
-            pq_subspaces=pq_m, rerank_factor=4, min_train_size=100,
+            pq_subspaces=pq_m, pq_centroids=pq_k, rerank_factor=4,
+            min_train_size=100,
         )
         c = idx.corpus
         c._ensure_capacity(n)
@@ -328,12 +329,32 @@ def config8_pq():
         return _ivf_probe_scan_pq_contig(
             qq, qq[:, :d], idx.centroids_exp, idx.centroids_exp[:, :d],
             idx.slice_bias, idx.buckets_slots, idx.bucket_codes,
-            idx.pq.codebooks, c.vectors, idx.bucket_bias, c.sq_norms, 2.0,
+            idx.pq.codebooks, c.vectors, c.scales, idx.bucket_bias,
+            c.sq_norms, 2.0,
             nprobe=16, k=k, rerank=160, adc_metric="l2",
             residual=idx.pq_residual,
         )
 
     per = timeit(probe, qj, reps=20)
+
+    # 4-bit IVFADC (K=16, M=192, nibble-packed): same 96 B/vector as the
+    # 8-bit M=96 codes with 8x less one-hot work in the ADC kernel
+    idx4 = mk(192, pq_k=16)
+    _, s_pq4, _ = idx4.search_arrays(q, k, nprobe=16)
+    rec_pq4 = recall_at_k(s_pq4, ex)
+    c4 = idx4.corpus
+
+    def probe4(qq):
+        return _ivf_probe_scan_pq_contig(
+            qq, qq[:, :d], idx4.centroids_exp, idx4.centroids_exp[:, :d],
+            idx4.slice_bias, idx4.buckets_slots, idx4.bucket_codes,
+            idx4.pq.codebooks, c4.vectors, c4.scales, idx4.bucket_bias,
+            c4.sq_norms, 2.0,
+            nprobe=16, k=k, rerank=160, adc_metric="l2",
+            residual=idx4.pq_residual,
+        )
+
+    per4 = timeit(probe4, qj, reps=20)
     return {
         "config": "ivf_pq_500kx768_M96_C1024",
         "adc_probe16_b8_device_ms": round(per * 1e3, 2),
@@ -342,6 +363,10 @@ def config8_pq():
         "recall_at_10_rawivf_vs_exact": rec_raw,
         "code_bytes_per_vector": 96,
         "raw_bytes_per_vector": d * 2,
+        "pq4bit_M192_probe_ms": round(per4 * 1e3, 2),
+        "pq4bit_M192_qps": round(b / per4, 1),
+        "pq4bit_M192_recall_at_10": rec_pq4,
+        "pq4bit_code_bytes_per_vector": 96,
     }
 
 

@@ -389,6 +389,48 @@ class TestIVF:
         idx3 = IVFVectorIndex.from_state_dict(legacy)
         assert idx3.pq_residual is False
 
+    def test_4bit_pq_packed_and_unpacked(self, rng):
+        # K=16 codebooks: the ADC kernel runs with 16x less one-hot work
+        # and (when M*K % 256 == 0) nibble-packs two codes per byte; both
+        # layouts must match the unpacked gather path's results
+        nat, d, n, k = 50, 64, 12_000, 10
+        centers = rng.standard_normal((nat, d)).astype(np.float32) * 4
+        x = (centers[rng.integers(0, nat, n)]
+             + rng.standard_normal((n, d))).astype(np.float32)
+        q = x[rng.integers(0, n, 8)] + rng.standard_normal((8, d)).astype(np.float32) * 0.05
+        ex = exact_topk(q, x, k, metric="l2")
+
+        for m in (16, 8):  # m=16 -> packed (256 lanes), m=8 -> unpacked (128)
+            idx = IVFVectorIndex(d, metric="l2", num_clusters=32, nprobe=8,
+                                 pq_subspaces=m, pq_centroids=16,
+                                 min_train_size=100)
+            idx.upsert(list(range(n)), x)
+            assert idx.pq.k == 16
+            if m == 16:
+                assert idx._pack_nibbles
+                assert idx.bucket_codes.shape[1] == m // 2
+            _, slots, _ = idx.search_arrays(q, k, nprobe=8)
+            rec = np.mean([
+                len(set(slots[i].tolist()) & set(ex[i].tolist())) / k
+                for i in range(8)
+            ])
+            assert rec >= (0.8 if m == 16 else 0.6), (m, rec)
+            # contiguous kernel path agrees with the gather fallback
+            bc = idx.bucket_codes
+            idx.bucket_codes = None
+            _, slots2, _ = idx.search_arrays(q, k, nprobe=8)
+            assert np.array_equal(slots, slots2)
+            idx.bucket_codes = bc
+            if m == 16:
+                # incremental upsert keeps packed codes fresh (skipped at
+                # m=8: codes that coarse collapse whole natural clusters to
+                # ONE code, and the re-rank pool cuts the resulting ADC
+                # ties by index order — a legitimate approximation
+                # artifact, not staleness)
+                xq = centers[3] + rng.standard_normal(d).astype(np.float32) * 0.2
+                idx.upsert([77_000], xq[None].astype(np.float32))
+                assert idx.search(xq, top_k=1)[0].primary_key == 77_000
+
     def test_adaptive_cap_grows_on_skewed_first_choice(self, rng):
         # two natural modes, many centroids: most rows' first choice
         # concentrates on few clusters; the adaptive retry must widen the

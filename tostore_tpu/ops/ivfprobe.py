@@ -29,35 +29,55 @@ from jax.experimental.pallas import tpu as pltpu
 from .runtime import interpret_mode
 
 
-# Subspaces folded per one-hot matmul group: [MG*K, cap] bf16 stays ~4 MB
-# in VMEM at K=256, cap~2k.
-ADC_GROUP = 4
+# Lanes of (subspace, centroid) pairs folded per one-hot matmul group:
+# [GROUP_LANES, cap] bf16 one-hot tile stays ~4 MB in VMEM at cap~2k.
+ADC_GROUP_LANES = 1024
 
 
-def _adc_kernel(probes_ref, tab_ref, codes_ref, bias_ref, out_ref):
+def adc_kernel_supported(m: int, k: int) -> bool:
+    """The one-hot LUT kernel needs lane-aligned table groups: K must
+    divide the group width and M*K must be a multiple of 128 (Mosaic lane
+    slices). Unsupported (M, K) combos fall back to the XLA gather path."""
+    return (m * k) % 128 == 0 and ADC_GROUP_LANES % k == 0
+
+
+def _adc_kernel(k, packed, probes_ref, tab_ref, codes_ref, bias_ref, out_ref):
     """ADC over one bucket's codes. The reference's scalar hot loop
     (vector_quantizer.dart:414 adcDistance: d += tab[m][code]) has no TPU
     analogue — Mosaic has no per-lane dynamic gather — so the lookup is a
     one-hot matmul: onehot(code) @ tab rides the MXU, and the group loop
-    bounds the one-hot tile in VMEM. Scores are NEGATED distances plus the
-    bucket bias (higher = better, dead entries -inf)."""
+    bounds the one-hot tile in VMEM. The table arrives pre-flattened
+    [1, M*K] (the [mg, K] -> [1, mg*K] reshape crosses sublanes for
+    K < 128, which Mosaic rejects; lane slices of a flat row are always
+    legal at 128-aligned offsets). With `packed`, codes hold TWO 4-bit
+    subspaces per byte (byte row j = subspaces 2j | 2j+1); the nibbles
+    unpack with VPU shifts, halving the codes DMA. Scores are NEGATED
+    distances plus the bucket bias (higher = better, dead entries -inf)."""
     del probes_ref
-    codes = codes_ref[0]  # [M, cap] u8, subspaces on sublanes
-    m, cap = codes.shape
-    k = tab_ref.shape[3]
+    codes = codes_ref[0]  # [M or M/2, cap] u8, subspaces on sublanes
+    rows, cap = codes.shape
     codes_i = codes.astype(jnp.int32)
     acc = jnp.zeros((1, cap), jnp.float32)
-    for g in range(0, m, ADC_GROUP):
-        mg = min(ADC_GROUP, m - g)
-        cg = codes_i[g : g + mg, :]  # [mg, cap]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (mg, k, cap), 1)
-        oh = (cg[:, None, :] == iota).astype(jnp.bfloat16)  # [mg, k, cap]
-        oh2 = oh.reshape(mg * k, cap)
-        tg = tab_ref[0, 0, g : g + mg, :].reshape(1, mg * k).astype(jnp.bfloat16)
-        acc += jax.lax.dot_general(
-            tg, oh2, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    group_rows = max(1, ADC_GROUP_LANES // k)
+    # packed: two planes over the SAME code bytes (hi nibbles = even
+    # subspaces, lo = odd), with the flat table permuted evens-then-odds
+    # by the caller — plane separation avoids the sublane interleave a
+    # stacked layout would force (measured 1.7x slower)
+    for plane in range(2 if packed else 1):
+        for g in range(0, rows, group_rows):
+            mg = min(group_rows, rows - g)
+            cg = codes_i[g : g + mg, :]  # [mg, cap]
+            if packed:
+                cg = (cg >> 4) if plane == 0 else (cg & 0xF)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (mg, k, cap), 1)
+            oh = (cg[:, None, :] == iota).astype(jnp.bfloat16)  # [mg, k, cap]
+            oh2 = oh.reshape(mg * k, cap)
+            base = (plane * rows + g) * k
+            tg = tab_ref[0, 0, :, base : base + mg * k]
+            acc += jax.lax.dot_general(
+                tg.astype(jnp.bfloat16), oh2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
     out_ref[0, 0] = -acc + bias_ref[0]
 
 
@@ -67,19 +87,31 @@ def adc_bucket_scores(tabs, probes, bucket_codes, bucket_bias):
     — per-probe so residual-PQ tables, built from q - centroid[probe], ride
     the same kernel; non-residual callers broadcast a per-query table over
     P. probes [B, P] i32, bucket_codes [C, M, cap] u8 (bucket-contiguous,
-    subspaces on sublanes), bucket_bias [C, cap]. Returns scores
-    [B, P, cap] f32 (negated distances + bias)."""
+    subspaces on sublanes; [C, M/2, cap] nibble-PACKED when K=16),
+    bucket_bias [C, cap]. Returns scores [B, P, cap] f32 (negated
+    distances + bias). K is generic — 4-bit codebooks (K=16) cut the
+    one-hot VPU work 16x per lane group and pack two codes per byte."""
     b, p = probes.shape
-    c, m, cap = bucket_codes.shape
+    m = tabs.shape[2]
+    c, code_rows, cap = bucket_codes.shape
+    packed = code_rows * 2 == m
+    k = tabs.shape[3]
     bias3 = bucket_bias[:, None, :]
+    if packed:
+        # plane order: even subspaces (hi nibbles) then odd (lo nibbles)
+        perm = jnp.concatenate([jnp.arange(0, m, 2), jnp.arange(1, m, 2)])
+        tabs = tabs[:, :, perm, :]
+    tabs_flat = tabs.reshape(b, p, 1, m * k)  # XLA reshape: free
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, p),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, m, tabs.shape[3]), lambda bi, pi, pr: (bi, pi, 0, 0)
+                (1, 1, 1, m * k), lambda bi, pi, pr: (bi, pi, 0, 0)
             ),
-            pl.BlockSpec((1, m, cap), lambda bi, pi, pr: (pr[bi, pi], 0, 0)),
+            pl.BlockSpec(
+                (1, code_rows, cap), lambda bi, pi, pr: (pr[bi, pi], 0, 0)
+            ),
             pl.BlockSpec((1, 1, cap), lambda bi, pi, pr: (pr[bi, pi], 0, 0)),
         ],
         out_specs=pl.BlockSpec(
@@ -87,11 +119,11 @@ def adc_bucket_scores(tabs, probes, bucket_codes, bucket_bias):
         ),
     )
     out = pl.pallas_call(
-        _adc_kernel,
+        functools.partial(_adc_kernel, k, packed),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, p, 1, cap), jnp.float32),
         interpret=interpret_mode(),
-    )(probes, tabs, bucket_codes, bias3)
+    )(probes, tabs_flat, bucket_codes, bias3)
     return out.reshape(b, p, cap)
 
 

@@ -730,11 +730,35 @@ class IVFVectorIndex:
         self.codes = pq_encode(self.pq.codebooks, v)
         self._refresh_bucket_codes()
 
+    @property
+    def _pack_nibbles(self) -> bool:
+        """4-bit codebooks pack two subspace codes per byte in the
+        contiguous layout (same 2x compression the reference's K would
+        imply; the ADC kernel unpacks with VPU shifts)."""
+        return (
+            self.pq is not None
+            and self.pq.k == 16
+            and self.pq.m % 2 == 0
+            # per-plane table offsets must stay 128-lane aligned
+            and (self.pq.m * self.pq.k) % 256 == 0
+        )
+
+    @staticmethod
+    def _pack_codes(codes: jax.Array) -> jax.Array:
+        """[N, M] 4-bit values -> [N, M/2] u8: byte j = sub 2j | sub 2j+1."""
+        return (codes[:, 0::2] << 4 | codes[:, 1::2]).astype(jnp.uint8)
+
     def _refresh_bucket_codes(self):
+        from ..ops.ivfprobe import adc_kernel_supported
+
         if self.codes is None or self.buckets_slots is None:
             self.bucket_codes = None
             return
-        gathered = self.codes[jnp.maximum(self.buckets_slots, 0)]  # [C,cap,M]
+        if not adc_kernel_supported(self.pq.m, self.pq.k):
+            self.bucket_codes = None  # XLA gather ADC path instead
+            return
+        codes = self._pack_codes(self.codes) if self._pack_nibbles else self.codes
+        gathered = codes[jnp.maximum(self.buckets_slots, 0)]  # [C,cap,M']
         self.bucket_codes = jnp.transpose(gathered, (0, 2, 1))
 
     def _refresh_bucket_vectors(self):
@@ -885,9 +909,13 @@ class IVFVectorIndex:
                     ps = self._slot_pos[sl]
                     placed = cl >= 0
                     if placed.any():
+                        scatter = (
+                            self._pack_codes(codes)
+                            if self._pack_nibbles else codes
+                        )
                         self.bucket_codes = self.bucket_codes.at[
                             jnp.asarray(cl[placed]), :, jnp.asarray(ps[placed])
-                        ].set(codes[jnp.asarray(np.flatnonzero(placed))])
+                        ].set(scatter[jnp.asarray(np.flatnonzero(placed))])
         return slots
 
     def delete(self, pks) -> int:
