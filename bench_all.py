@@ -142,7 +142,8 @@ def config3_ivf_build():
     def probe(qq):
         return _ivf_probe_scan_contig(
             qq, idx.centroids_exp, idx.slice_bias, idx.buckets_slots,
-            idx.bucket_vectors, idx.bucket_bias, c.sq_norms, alpha,
+            idx.bucket_vectors, idx.bucket_scales, idx.bucket_bias,
+            c.sq_norms, alpha,
             nprobe=16, k=10,
         )
 

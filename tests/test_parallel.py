@@ -124,6 +124,36 @@ class TestShardedIVFSlices:
             hits += len(got & set(ex[bi].tolist()))
         assert hits / (8 * k) >= 0.9
 
+    def test_sharded_residual_pq_recall_and_persistence(self, mesh, rng):
+        # IVFADC on the mesh: per-shard residual codes + per-(query, probe)
+        # ADC tables + local exact re-rank + all_gather merge
+        from tostore_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        nat, d, n, c, k = 40, 32, 8000, 16, 10
+        centers = rng.standard_normal((nat, d)).astype(np.float32) * 4
+        x = (centers[rng.integers(0, nat, n)]
+             + rng.standard_normal((n, d)) * 0.5).astype(np.float32)
+        idx = ShardedIVFIndex(d, mesh, metric="l2", num_clusters=c, nprobe=6,
+                              min_train_size=100, pq_subspaces=8)
+        idx.upsert(list(range(n)), x)
+        assert idx.trained and idx.pq is not None and idx.codes is not None
+        q = x[rng.integers(0, n, 8)] + rng.standard_normal((8, d)).astype(np.float32) * 0.05
+        d2 = np.sum((q[:, None, :] - x[None]) ** 2, axis=-1)
+        ex = np.argsort(d2, axis=1)[:, :k]
+        hits = 0
+        for bi in range(8):
+            got = {r.primary_key for r in idx.search(q[bi], top_k=k, nprobe=6)}
+            hits += len(got & set(ex[bi].tolist()))
+        assert hits / (8 * k) >= 0.85
+        # incremental append keeps codes fresh
+        xq = centers[7] + rng.standard_normal(d).astype(np.float32) * 0.1
+        idx.upsert([90_000], xq[None].astype(np.float32))
+        assert idx.search(xq, top_k=1, nprobe=6)[0].primary_key == 90_000
+        # persistence round-trip keeps residual-PQ search working
+        idx2 = ShardedIVFIndex.from_state_dict(idx.state_dict(), mesh)
+        assert idx2.pq is not None
+        assert idx2.search(xq, top_k=1, nprobe=6)[0].primary_key == 90_000
+
     def test_incremental_append_lands_in_slices(self, mesh, rng):
         from tostore_tpu.parallel.sharded_ivf import ShardedIVFIndex
 

@@ -179,6 +179,8 @@ def _make_vector_index(dims: int, precision: str, idx: IndexSchema, mesh=None):
             return ShardedIVFIndex(
                 dims, mesh, metric=metric, dtype=dtype,
                 num_clusters=cfg.num_clusters, nprobe=cfg.nprobe,
+                pq_subspaces=cfg.pq_subspaces, pq_centroids=cfg.pq_centroids,
+                rerank_factor=cfg.rerank_factor, pq_rerank=cfg.pq_rerank,
             )
         from ..parallel.sharded import ShardedFlatIndex
 
@@ -728,6 +730,10 @@ def _index_from_state(vs: dict, mesh=None):
                 cs["dims"], mesh, vs["metric"], dtype,
                 num_clusters=vs.get("num_clusters_cfg", 0),
                 nprobe=vs.get("nprobe", 8),
+                pq_subspaces=vs.get("pq_subspaces", 0),
+                pq_centroids=vs.get("pq_centroids", 256),
+                rerank_factor=vs.get("rerank_factor", 2),
+                pq_rerank=vs.get("pq_rerank", 0),
             )
             orig_min = sh.min_train_size
             sh.min_train_size = 1 << 62
@@ -746,6 +752,13 @@ def _index_from_state(vs: dict, mesh=None):
                     _jnp.asarray(cents), NamedSharding(mesh, P())
                 )
                 sh._trained_size = vs.get("trained_size", len(sh))
+                if vs.get("pq") is not None and vs.get("pq_residual", False):
+                    # residual codebooks transfer across topologies (slice
+                    # centroids are duplicated CLUSTER centroids — the same
+                    # residual space); legacy raw-code books do not
+                    from ..vector.pq import PQCodebook
+
+                    sh.pq = PQCodebook.from_state_dict(vs["pq"])
                 sh._rebuild_buckets()
             return sh
         sh = ShardedFlatIndex(cs["dims"], mesh, vs["metric"], dtype)

@@ -56,19 +56,20 @@ def _sharded_ivf_place(assign, valid, base, *, cap: int, c_exp: int, mesh):
     per-cluster MAX shard-local count, so every shard's rows fit in its own
     copy of the rectangles and SPMD shapes stay static. Bucket entries are
     shard-local row positions. Returns (buckets [nsh*c_exp, cap] sharded,
-    slice_counts [nsh, c_exp])."""
+    slice_counts [nsh, c_exp], slot_slice [capT] sharded — each row's
+    LOCAL slice id, for residual-PQ centroid lookups)."""
 
     def local(a, va, b):
-        buckets, _, _, scounts = _ivf_place_sliced(
+        buckets, slot_slice, _, scounts = _ivf_place_sliced(
             a.reshape(-1), va.reshape(-1), b, cap=cap, c_exp=c_exp
         )
-        return buckets, scounts[None, :]
+        return buckets, scounts[None, :], slot_slice
 
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P("shard"), P("shard"), P()),
-        out_specs=(P("shard", None), P("shard", None)),
+        out_specs=(P("shard", None), P("shard", None), P("shard")),
         check_vma=False,
     )
     return fn(assign, valid, base)
@@ -141,20 +142,127 @@ def _sharded_ivf_probe(
     return fn(q, centroids, slice_bias, buckets, vectors, valid, nrm_arg)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("nprobe", "k", "rerank", "adc_metric", "dims", "mesh"),
+)
+def _sharded_ivf_probe_pq(
+    q, centroids, slice_bias, buckets, codes, codebooks, vectors, valid,
+    sq_norms, alpha,
+    *, nprobe: int, k: int, rerank: int, adc_metric: str, dims: int, mesh
+):
+    """Residual-PQ probe over the mesh (IVFADC per shard): every shard
+    builds its per-(query, probe) residual ADC tables from the REPLICATED
+    expanded centroids, ADC-scans its own code stripe, exact-re-ranks its
+    local pool against raw vectors, and the per-shard winners merge with
+    one all_gather — same communication shape as the raw probe, scanning
+    code bytes instead of vectors. codes [capT, M] u8 sharded over the
+    shard axis; codebooks [M, K, dsub] replicated."""
+    from ..vector.pq import adc_tables_probed
+
+    nsh = shard_count(mesh)
+    cap = buckets.shape[1]
+    rps = vectors.shape[0] // nsh
+    m = codebooks.shape[0]
+
+    def local(qb, cents, sbias, bk, cd, cbs, vl, va, nrm):
+        va = va.reshape(-1)
+        nrm = nrm.reshape(-1)
+        cs = jnp.dot(qb, cents.T, preferred_element_type=jnp.float32)
+        if sq_norms is not None:
+            cn = jnp.sum(cents * cents, axis=1)
+            cs = 2.0 * cs - cn[None, :]
+        cs = cs + sbias[None, :]
+        _, probe = jax.lax.top_k(cs, nprobe)  # [Bl, nprobe]
+        tabs, offs = adc_tables_probed(
+            cbs, qb[:, :dims], cents[:, :dims], probe, metric=adc_metric
+        )
+        idx_m = jnp.arange(m)[None, :]
+
+        def per_query(qv, probes, tab, off):
+            slots = bk[probes].reshape(nprobe * cap)  # local positions
+            safe = jnp.maximum(slots, 0)
+            crow = cd[safe].astype(jnp.int32).reshape(nprobe, cap, m)
+
+            def one(tp, cr):
+                return jnp.sum(tp[idx_m, cr], axis=1)
+
+            d_adc = jax.vmap(one)(tab, crow)
+            s_adc = (-d_adc + off[:, None]).reshape(nprobe * cap)
+            ok = jnp.logical_and(slots >= 0, va[safe])
+            s_adc = jnp.where(ok, s_adc, NEG_INF)
+            r = min(rerank, nprobe * cap)
+            _, ri = jax.lax.top_k(s_adc, r)
+            cand = slots[ri]
+            csafe = jnp.maximum(cand, 0)
+            vecs = vl[csafe]
+            if vecs.dtype == jnp.int8:
+                vecs = vecs.astype(jnp.bfloat16)
+            s = alpha * jnp.dot(
+                vecs, qv.astype(vecs.dtype), preferred_element_type=jnp.float32
+            )
+            if sq_norms is not None:
+                s = s - nrm[csafe]
+            okc = jnp.logical_and(cand >= 0, va[csafe])
+            s = jnp.where(okc, s, NEG_INF)
+            kk = min(k, r)
+            ts, ti = jax.lax.top_k(s, kk)
+            gl = cand[ti] + jax.lax.axis_index("shard") * rps
+            if kk < k:
+                ts = jnp.pad(ts, ((0, k - kk),), constant_values=NEG_INF)
+                gl = jnp.pad(gl, ((0, k - kk),))
+            return ts, gl
+
+        ts, ti = jax.vmap(per_query)(qb, probe, tabs, offs)
+        s_all = jax.lax.all_gather(ts, "shard")
+        i_all = jax.lax.all_gather(ti, "shard")
+        bl = ts.shape[0]
+        s_flat = s_all.transpose(1, 0, 2).reshape(bl, nsh * k)
+        i_flat = i_all.transpose(1, 0, 2).reshape(bl, nsh * k)
+        fs, pos = jax.lax.top_k(s_flat, k)
+        return fs, jnp.take_along_axis(i_flat, pos, axis=1)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("dp", None), P(), P(), P("shard", None), P("shard", None),
+            P(), P("shard", None), P("shard"), P("shard"),
+        ),
+        out_specs=(P("dp", None), P("dp", None)),
+        check_vma=False,
+    )
+    nrm_arg = sq_norms if sq_norms is not None else jnp.zeros(vectors.shape[0], jnp.float32)
+    return fn(q, centroids, slice_bias, buckets, codes, codebooks, vectors,
+              valid, nrm_arg)
+
+
 class ShardedIVFIndex(ShardedFlatIndex):
     """IVF over the striped corpus of ShardedFlatIndex. Falls back to the
     flat sharded scan until trained (same tiny-corpus behavior as the
-    single-device IVFVectorIndex)."""
+    single-device IVFVectorIndex). With `pq_subspaces`, each shard keeps
+    residual-PQ codes of its stripe (IVFADC; same semantics as the
+    single-device index)."""
 
     index_type = "sharded_ivf"
     BALANCE_FACTOR = 2.0
 
     def __init__(self, dims, mesh, metric="cosine", dtype="float32",
-                 num_clusters: int = 0, nprobe: int = 8, min_train_size: int = 4096):
+                 num_clusters: int = 0, nprobe: int = 8,
+                 min_train_size: int = 4096, pq_subspaces: int = 0,
+                 pq_centroids: int = 256, rerank_factor: int = 2,
+                 pq_rerank: int = 0):
         super().__init__(dims, mesh, metric, dtype)
         self.num_clusters_cfg = num_clusters
         self.nprobe = nprobe
         self.min_train_size = min_train_size
+        self.pq_subspaces = pq_subspaces
+        self.pq_centroids = pq_centroids
+        self.rerank_factor = rerank_factor
+        self.pq_rerank = pq_rerank  # 0 = auto max(rerank_factor*k, 16k, 64)
+        self.pq = None  # PQCodebook, replicated (small)
+        self.codes: jax.Array | None = None  # [capT, M] u8, sharded
+        self.slot_slice: jax.Array | None = None  # [capT] i32 local slice
         self.centroids: jax.Array | None = None  # replicated [C, Dp]
         # sliced layout (shared across shards; see ivf._ivf_place_sliced):
         # cluster c owns slices base[c]..base[c]+nsl[c]-1, sized from the
@@ -198,8 +306,30 @@ class ShardedIVFIndex(ShardedFlatIndex):
             cents = sharded_kmeans_step(self.vectors, cents, self.valid, mesh=self.mesh)
         self.centroids = jax.device_put(cents, NamedSharding(self.mesh, P()))
         self._trained_size = n
+        self.pq = None  # stale codebooks must not encode the new layout
         self._rebuild_buckets()
+        if self.pq_subspaces:
+            from ..vector.pq import train_pq
+
+            # residual sample vs each row's PLACEMENT slice centroid
+            sl = np.asarray(self.slot_slice[jnp.asarray(slots, jnp.int32)])
+            cents_np = np.asarray(self.centroids_exp)[:, : self.dims]
+            xs = np.asarray(x)[:, : self.dims] - cents_np[np.maximum(sl, 0)]
+            self.pq = train_pq(xs, m=self.pq_subspaces, k=self.pq_centroids)
+            self._reencode_all()
         return True
+
+    def _reencode_all(self):
+        """Residual-encode every stripe (SPMD: elementwise + replicated
+        gathers — no collectives)."""
+        from ..vector.pq import pq_encode
+
+        if self.capacity == 0:
+            self.codes = None
+            return
+        v = self.vectors.astype(jnp.float32)[:, : self.dims]
+        v = v - self.centroids_exp[jnp.maximum(self.slot_slice, 0), : self.dims]
+        self.codes = pq_encode(self.pq.codebooks, v)
 
     def _maybe_retrain(self) -> bool:
         """Returns True when a (re)train ran — train() ends in
@@ -269,6 +399,11 @@ class ShardedIVFIndex(ShardedFlatIndex):
                 NamedSharding(self.mesh, P("shard", None)),
             )
             self._bucket_counts = np.zeros((self.nsh, c_exp), np.int64)
+            self.slot_slice = jax.device_put(
+                jnp.full((self.capacity,), -1, jnp.int32),
+                NamedSharding(self.mesh, P("shard")),
+            ) if self.capacity else None
+            self.codes = None
             return
         assign, counts = _sharded_ivf_assign(
             self.vectors, self.valid, self.centroids,
@@ -277,12 +412,15 @@ class ShardedIVFIndex(ShardedFlatIndex):
         counts_np = np.asarray(counts, np.int64)  # [nsh, C]
         nsl = np.maximum(1, -(-counts_np.max(axis=0) // cap))
         c_exp = self._install_slices(nsl)
-        buckets, scounts = _sharded_ivf_place(
+        buckets, scounts, slot_slice = _sharded_ivf_place(
             assign, self.valid, jnp.asarray(self._slice_base, jnp.int32),
             cap=cap, c_exp=c_exp, mesh=self.mesh,
         )
         self.buckets = buckets
         self._bucket_counts = np.array(scounts, np.int64)
+        self.slot_slice = slot_slice
+        if self.pq is not None:
+            self._reencode_all()
 
     def _append_to_buckets(self, slots: np.ndarray) -> bool:
         """Incremental append past the high-water mark of each row's
@@ -317,14 +455,33 @@ class ShardedIVFIndex(ShardedFlatIndex):
             jnp.asarray(sl_out, jnp.int32), jnp.asarray(ps_out, jnp.int32)
         ].set(jnp.asarray(pos_in_shard, jnp.int32))
         self._bucket_counts = new_counts
+        local_slice = sl_out - sh * c_exp
+        if self.slot_slice is not None:
+            self.slot_slice = self.slot_slice.at[
+                jnp.asarray(slots, jnp.int32)
+            ].set(jnp.asarray(local_slice, jnp.int32))
+        if self.pq is not None:
+            from ..vector.pq import pq_encode
+
+            idxs = jnp.asarray(slots, jnp.int32)
+            v = self.vectors[idxs].astype(jnp.float32)[:, : self.dims]
+            v = v - self.centroids_exp[
+                jnp.asarray(np.maximum(local_slice, 0), jnp.int32), : self.dims
+            ]
+            self.codes = self.codes.at[idxs].set(pq_encode(self.pq.codebooks, v))
         return True
 
     def upsert(self, pks, raw, _prepped=None):
         existing = [pk for pk in pks if pk in self._pk_slot]
+        cap_before = self.capacity
         slots = super().upsert(pks, raw, _prepped=_prepped)
         rebuilt = self._maybe_retrain()
         if self.trained and not rebuilt:
-            if existing or not self._append_to_buckets(np.asarray(slots, np.int64)):
+            if (
+                existing
+                or self.capacity != cap_before  # re-stripe moved rows
+                or not self._append_to_buckets(np.asarray(slots, np.int64))
+            ):
                 # overwrites may change cluster; overflow needs a new layout
                 self._rebuild_buckets()
         return slots
@@ -334,17 +491,20 @@ class ShardedIVFIndex(ShardedFlatIndex):
         (the inherited compact re-runs __init__, which would reset
         num_clusters/nprobe and drop the centroids — reachable from the
         background compaction cron)."""
-        cfg = (self.num_clusters_cfg, self.nprobe, self.min_train_size)
-        cents, tsize = self.centroids, self._trained_size
-        sup_min = self.min_train_size
+        cfg = (self.num_clusters_cfg, self.nprobe, self.min_train_size,
+               self.pq_subspaces, self.pq_centroids, self.rerank_factor,
+               self.pq_rerank)
+        cents, tsize, pq = self.centroids, self._trained_size, self.pq
         self.min_train_size = 1 << 62  # suppress retrain during re-stripe
         try:
             super().compact()
         finally:
-            self.num_clusters_cfg, self.nprobe, self.min_train_size = cfg
-            self.min_train_size = sup_min
+            (self.num_clusters_cfg, self.nprobe, self.min_train_size,
+             self.pq_subspaces, self.pq_centroids, self.rerank_factor,
+             self.pq_rerank) = cfg
         self.centroids = cents
         self._trained_size = tsize
+        self.pq = pq
         if self.trained:
             self._rebuild_buckets()
 
@@ -375,11 +535,22 @@ class ShardedIVFIndex(ShardedFlatIndex):
         alpha = D.metric_alpha(self.metric)
         sqn = self.sq_norms if self.metric == "l2" else None
         np_probe = min(int(nprobe or self.nprobe), self.centroids_exp.shape[0])
-        scores, idx = _sharded_ivf_probe(
-            qj, self.centroids_exp, self.slice_bias, self.buckets,
-            self.vectors, valid, sqn, alpha,
-            nprobe=np_probe, k=k, mesh=self.mesh,
-        )
+        if self.pq is not None and self.codes is not None:
+            pq_rr = self.pq_rerank or max(self.rerank_factor * k, 16 * k, 64)
+            scores, idx = _sharded_ivf_probe_pq(
+                qj, self.centroids_exp, self.slice_bias, self.buckets,
+                self.codes, self.pq.codebooks, self.vectors, valid, sqn,
+                alpha,
+                nprobe=np_probe, k=k, rerank=pq_rr,
+                adc_metric="dot" if self.metric == "dot" else "l2",
+                dims=self.dims, mesh=self.mesh,
+            )
+        else:
+            scores, idx = _sharded_ivf_probe(
+                qj, self.centroids_exp, self.slice_bias, self.buckets,
+                self.vectors, valid, sqn, alpha,
+                nprobe=np_probe, k=k, mesh=self.mesh,
+            )
         scores = scores[:b]
         idx = idx[:b]
         dists = np.array(D.scores_to_distances(self.metric, scores, qsq), np.float32)
@@ -405,6 +576,11 @@ class ShardedIVFIndex(ShardedFlatIndex):
         d["nprobe"] = self.nprobe
         d["centroids"] = np.asarray(self.centroids) if self.trained else None
         d["trained_size"] = self._trained_size
+        d["pq_subspaces"] = self.pq_subspaces
+        d["pq_centroids"] = self.pq_centroids
+        d["rerank_factor"] = self.rerank_factor
+        d["pq_rerank"] = self.pq_rerank
+        d["pq"] = self.pq.state_dict() if self.pq is not None else None
         return d
 
     @staticmethod
@@ -412,6 +588,10 @@ class ShardedIVFIndex(ShardedFlatIndex):
         idx = ShardedIVFIndex(
             d["dims"], mesh, d["metric"], d["precision"],
             num_clusters=d.get("num_clusters_cfg", 0), nprobe=d.get("nprobe", 8),
+            pq_subspaces=d.get("pq_subspaces", 0),
+            pq_centroids=d.get("pq_centroids", 256),
+            rerank_factor=d.get("rerank_factor", 2),
+            pq_rerank=d.get("pq_rerank", 0),
         )
         orig_min = idx.min_train_size
         idx.min_train_size = 1 << 62  # the saved centroids are about to be
@@ -430,5 +610,9 @@ class ShardedIVFIndex(ShardedFlatIndex):
                 jnp.asarray(d["centroids"], jnp.float32), NamedSharding(mesh, P())
             )
             idx._trained_size = d.get("trained_size", len(idx))
-            idx._rebuild_buckets()
+            if d.get("pq") is not None:
+                from ..vector.pq import PQCodebook
+
+                idx.pq = PQCodebook.from_state_dict(d["pq"])
+            idx._rebuild_buckets()  # re-encodes codes when pq is set
         return idx
