@@ -18,6 +18,7 @@ from tostore_tpu.models.schema import (
     TableSchema,
 )
 from tostore_tpu.models.results import BusinessError
+from tostore_tpu.query.condition import QueryCondition
 
 
 def users_schema():
@@ -185,6 +186,79 @@ class TestConcurrentTransactions:
         t2.join(timeout=10)
         assert not results[0].committed
         assert db.get_by_pk("users", 1)["age"] == 99
+
+    def test_write_skew_aborts_under_serializable(self, ser_db):
+        # classic write-skew: each txn READS the other's row, then writes
+        # its own — disjoint write-sets, so first-committer-wins alone
+        # would let both commit; read-set validation must abort the second
+        db = ser_db
+        db.insert("users", {"username": "a", "age": 1})
+        db.insert("users", {"username": "b", "age": 1})
+        a_read = threading.Event()
+        b_committed = threading.Event()
+        results = []
+
+        def txn_a():
+            def action(tx):
+                assert db.get_by_pk("users", 2)["age"] == 1  # read b
+                a_read.set()
+                assert b_committed.wait(timeout=5)
+                db.update_by_pk("users", 1, {"age": 0})  # write a
+
+            results.append(db.transaction(action))
+
+        def txn_b():
+            a_read.wait(timeout=5)
+
+            def action(tx):
+                assert db.get_by_pk("users", 1)["age"] == 1  # read a
+                db.update_by_pk("users", 2, {"age": 0})  # write b
+
+            results.append(db.transaction(action))
+            b_committed.set()
+
+        t1 = threading.Thread(target=txn_a)
+        t2 = threading.Thread(target=txn_b)
+        t1.start()
+        t2.start()
+        t1.join(timeout=10)
+        t2.join(timeout=10)
+        committed = [r.committed for r in results]
+        assert committed.count(True) == 1  # exactly one survives
+        ages = (db.get_by_pk("users", 1)["age"], db.get_by_pk("users", 2)["age"])
+        assert ages in ((0, 1), (1, 0))  # the invariant "not both 0" held
+
+    def test_phantom_protected_by_table_read(self, ser_db):
+        # predicate query inside a txn conflicts with ANY commit touching
+        # the table (conservative phantom protection)
+        db = ser_db
+        db.insert("users", {"username": "seed", "age": 10})
+        queried = threading.Event()
+        inserted = threading.Event()
+        results = []
+
+        def txn_a():
+            def action(tx):
+                n = db.engine.count("users", QueryCondition().where("age", ">", 5))
+                queried.set()
+                assert inserted.wait(timeout=5)
+                db.insert("users", {"username": f"derived{n}", "age": 99})
+
+            results.append(db.transaction(action))
+
+        def writer():
+            queried.wait(timeout=5)
+            db.insert("users", {"username": "phantom", "age": 50})
+            inserted.set()
+
+        t1 = threading.Thread(target=txn_a)
+        t2 = threading.Thread(target=writer)
+        t1.start()
+        t2.start()
+        t1.join(timeout=10)
+        t2.join(timeout=10)
+        assert not results[0].committed
+        assert "conflict" in results[0].error
 
     def test_unique_reservation_blocks_other_txn(self, db):
         reserved = threading.Event()

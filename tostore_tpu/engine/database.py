@@ -176,6 +176,10 @@ class _Txn:
         self.overlay: dict[tuple, dict] = {}
         self.oplog: list[tuple] = []  # ("insert"/"update"/"delete", tkey, pk, payload)
         self.write_set: set[tuple] = set()  # {(tkey, pk)}
+        # {(tkey, pk)} row reads + {(tkey, None)} table-level predicate
+        # reads (conservative phantom protection: a condition query
+        # conflicts with ANY later commit touching that table)
+        self.read_set: set[tuple] = set()
         self.reservations: set[tuple] = set()  # {(tkey, name, key)}
         self.undo: list[tuple] = []  # (fn, args) applied in reverse on rollback
         self.wal_ops: list[dict] = []
@@ -212,10 +216,12 @@ class Database:
         # read; transactions BUFFER their writes (per-thread overlay) and
         # hold the lock only per-op + during commit replay, so readers never
         # block on an open transaction and never see uncommitted state.
-        # serializable commits validate their write-set against every txn /
-        # direct write committed since begin (first-committer-wins — the
-        # reference's write-set SSI check, transaction_manager.dart:30-36);
-        # readCommitted commits skip the check (last-writer-wins).
+        # serializable commits validate their write-set AND read-set against
+        # every txn / direct write committed since begin (first-committer-
+        # wins; row reads match by pk, predicate reads at table granularity
+        # — conservative phantom protection, strictly stronger than the
+        # reference's write-set-only SSI check, tm:30-36); readCommitted
+        # commits skip validation (last-writer-wins).
         self._lock = threading.RLock()
         self._tables: dict[tuple[str, str], Table] = {}
         self._schemas: dict[tuple[str, str], TableSchema] = {}
@@ -285,6 +291,13 @@ class Database:
         txn = self._buffering_txn()
         return txn.table_overlay(tkey) if txn is not None else None
 
+    def _note_read(self, tkey, pk=None):
+        """Record a row (pk) or predicate (None) read in the open
+        transaction's read-set for serializable validation."""
+        txn = self._buffering_txn()
+        if txn is not None:
+            txn.read_set.add((tkey, pk))
+
     def _tkey(self, t: Table) -> tuple:
         space = GLOBAL_SPACE if t.schema.is_global else self.current_space
         return (space, t.schema.name)
@@ -340,6 +353,7 @@ class Database:
 
     def _match_pks(self, t: Table, tkey, condition: QueryCondition) -> list:
         """Condition -> pks over base + this thread's overlay."""
+        self._note_read(tkey)  # predicate read (update/delete targeting)
         mask = condition.mask(lambda f: t.store.column_view(f), t.store.high)
         pks = [t.store.pk_col.get(r) for r in t.store.rows_for_mask(mask)]
         ov = self._overlay_for(tkey)
@@ -1591,7 +1605,9 @@ class Database:
         self.workload.note_foreground()
         with self._lock:  # no torn reads of mid-update records
             t = self._table(table)
-            rec = self._view_get(t, self._tkey(t), pk)
+            tkey = self._tkey(t)
+            self._note_read(tkey, pk)
+            rec = self._view_get(t, tkey, pk)
         if rec is not None:
             rec.pop(INGEST_TS_FIELD, None)
             self.weights.record_access(table, pk)
@@ -1630,7 +1646,9 @@ class Database:
         self._counters["queries"] += 1
         with self._lock, self._timed("query"):
             t = self._table(table)
-            overlay = self._overlay_for(self._tkey(t))
+            tkey = self._tkey(t)
+            self._note_read(tkey)  # predicate read
+            overlay = self._overlay_for(tkey)
             return self.executor.execute(
                 self.current_space, table, spec or QuerySpec(), overlay=overlay
             )
@@ -1639,6 +1657,7 @@ class Database:
         with self._lock:
             t = self._table(table)
             tkey = self._tkey(t)
+            self._note_read(tkey)  # predicate read
             ov = self._overlay_for(tkey)
             if condition is None or condition.is_empty:
                 if not ov:
@@ -1667,6 +1686,7 @@ class Database:
         predicate into a slot bitmask folded into the scan kernel."""
         self._counters["vector_searches"] += 1
         with self._lock, self._timed("vector_search"):
+            self._note_read(self._tkey(self._table(table)))  # predicate read
             return self._vector_search_locked(
                 table, field, query, top_k, threshold, condition, nprobe,
                 include_records,
@@ -1783,12 +1803,30 @@ class Database:
         with self._lock:
             try:
                 if self.config.isolation_level == IsolationLevel.serializable:
+                    # first-committer-wins over the write-set PLUS read-set
+                    # validation (true serializability incl. write-skew; the
+                    # reference's check is write-set-only, tm:30-36): abort
+                    # when a concurrent commit wrote a record this txn wrote
+                    # OR read — row reads match by pk, predicate reads match
+                    # any write to the table
+                    tables_read = {
+                        tk for tk, pk in txn.read_set if pk is None
+                    }
+                    footprint = txn.write_set | txn.read_set
                     for seq, wset in self._recent_commits:
-                        if seq > txn.begin_seq and wset & txn.write_set:
-                            (_, tname), cpk = next(iter(wset & txn.write_set))
+                        if seq <= txn.begin_seq:
+                            continue
+                        hit = wset & footprint
+                        if not hit:
+                            hit = {
+                                e for e in wset if e[0] in tables_read
+                            }
+                        if hit:
+                            (_, tname), cpk = next(iter(hit))
                             raise BusinessError(
                                 f"transaction conflict on {tname} pk={cpk!r}: "
-                                "a concurrent commit wrote the same record",
+                                "a concurrent commit wrote a record this "
+                                "transaction wrote or read",
                                 code="txn_conflict",
                             )
                 txn.buffering = False  # oplog now replays eagerly
@@ -2080,12 +2118,14 @@ class Database:
                 "memory_mode": self.config.memory_mode,
                 "isolation_level": self.config.isolation_level,
                 # buffered txn writes + op-time unique reservations; commit
-                # validates the write-set first-committer-wins under
-                # serializable (the reference's write-set SSI check,
-                # transaction_manager.dart:30-36), skips it under
-                # readCommitted. Readers always see committed state only.
+                # validates write-set AND read-set first-committer-wins
+                # under serializable (row reads by pk, predicate reads at
+                # table granularity — conservative phantom protection;
+                # strictly stronger than the reference's write-set-only
+                # check, transaction_manager.dart:30-36), skips validation
+                # under readCommitted. Readers always see committed state.
                 "effective_isolation": (
-                    "snapshot-write (first-committer-wins)"
+                    "serializable (read+write-set validation)"
                     if self.config.isolation_level == IsolationLevel.serializable
                     else "readCommitted"
                 ),

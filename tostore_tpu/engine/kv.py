@@ -106,6 +106,7 @@ class KvStore:
 
     def _live(self, key: str):
         t = self._t()
+        self._db._note_read((self._space, KV_TABLE), key)
         rec = self._db._view_get(t, (self._space, KV_TABLE), key)
         if rec is None:
             return None
