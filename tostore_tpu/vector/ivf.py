@@ -248,6 +248,38 @@ def _ivf_probe_scan_contig(
 
 
 @jax.jit
+def _expand_centroids(centroids, slice_cluster):
+    """(centroids_exp, slice_bias) in one dispatch (slice_cluster -1 =
+    padding -> NEG_INF probe bias)."""
+    cents = centroids[jnp.maximum(slice_cluster, 0)]
+    bias = jnp.where(slice_cluster >= 0, 0.0, NEG_INF).astype(jnp.float32)
+    return cents, bias
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cap", "c_exp", "with_vectors", "bias_l2")
+)
+def _place_and_contig(
+    assign, valid, base, vectors, sq_norms,
+    *, cap: int, c_exp: int, with_vectors: bool, bias_l2: bool
+):
+    """Placement + the bucket-contiguous corpus copy + bucket bias in ONE
+    dispatch (the tunneled-TPU environment pays ~30 ms latency per
+    dispatch; the round-1 build ran these as 3-4 separate calls)."""
+    buckets, slot_slice, slot_pos, slice_counts = _ivf_place_sliced(
+        assign, valid, base, cap=cap, c_exp=c_exp
+    )
+    safe = jnp.maximum(buckets, 0)
+    ok = jnp.logical_and(buckets >= 0, valid[safe])
+    bias_base = (
+        -sq_norms[safe] if bias_l2 else jnp.zeros(buckets.shape, jnp.float32)
+    )
+    bucket_bias = jnp.where(ok, bias_base, NEG_INF)
+    bucket_vectors = vectors[safe] if with_vectors else None
+    return buckets, slot_slice, slot_pos, slice_counts, bucket_vectors, bucket_bias
+
+
+@jax.jit
 def _gather_bucket_vectors(vectors, buckets_slots):
     """[C, cap, Dp] bucket-ordered copy of the corpus (stale/-1 entries
     carry arbitrary rows; search masks them via buckets_slots)."""
@@ -336,30 +368,52 @@ def _ivf_place_sliced(assign, valid, base, *, cap: int, c_exp: int):
     the slices share a duplicated centroid, so a probe's top_k naturally
     spends extra budget on fat clusters (measured recall@10 on hard
     clustered data 0.66 -> 0.93 raw at nprobe=16 vs the capped layout).
+
+    SCATTER-FREE on purpose: TPU scatters serialize. Run positions come
+    from a cumulative max over run starts, the bucket matrix is a GATHER
+    from the sorted order (slice runs are contiguous there: flat entry
+    (s, pos) reads sorted position run_start[s] + pos), and the per-slot
+    arrays sort back by original row id (a second stable sort beats a 1M
+    scatter). Measured: the v1 three-scatter placement dominated the warm
+    1M build at ~180 ms.
+
     Returns (buckets [c_exp, cap], slot_slice [Ncap], slot_pos [Ncap],
     slice_counts [c_exp])."""
     ncap = assign.shape[0]
     num_c = base.shape[0]
     idx = jnp.arange(ncap, dtype=jnp.int32)
-    want = jnp.where(valid, assign, num_c)
-    order = jnp.argsort(want, stable=True)
+    want = jnp.where(valid, assign, num_c).astype(jnp.int32)
+    order = jnp.argsort(want, stable=True).astype(jnp.int32)
     ws = want[order]
-    first = jnp.searchsorted(ws, ws, side="left")
-    within = (idx - first).astype(jnp.int32)
+    # first index of each run: positions where the key changes, propagated
+    # forward with a running max (run starts are increasing)
+    change = jnp.concatenate(
+        [jnp.ones(1, jnp.bool_), ws[1:] != ws[:-1]]
+    )
+    first = jax.lax.cummax(jnp.where(change, idx, 0))
+    within = idx - first
     ok = ws < num_c
     sl = jnp.where(ok, base[jnp.minimum(ws, num_c - 1)] + within // cap, -1)
     pos = jnp.where(ok, within % cap, -1)
-    slot_slice = jnp.full(ncap, -1, jnp.int32).at[order].set(sl)
-    slot_pos = jnp.full(ncap, -1, jnp.int32).at[order].set(pos)
-    buckets = jnp.full((c_exp, cap), -1, jnp.int32)
-    buckets = buckets.at[
-        jnp.where(ok, sl, c_exp), jnp.where(ok, pos, 0)
-    ].set(jnp.where(ok, order, -1), mode="drop")
-    slice_counts = (
-        jnp.zeros(c_exp + 1, jnp.int32)
-        .at[jnp.where(ok, sl, c_exp)]
-        .add(1)[:c_exp]
+    # per-slot arrays: stable sort (order, sl, pos) by original row id
+    _, slot_slice, slot_pos = jax.lax.sort(
+        (order, sl.astype(jnp.int32), pos.astype(jnp.int32)),
+        num_keys=1, is_stable=True,
     )
+    # slice run bounds via bisection on the (ascending) sorted slice ids —
+    # sentinel rows map to c_exp so the view is monotone end to end
+    sl_view = jnp.where(ok, sl, c_exp)
+    bounds = jnp.searchsorted(
+        sl_view, jnp.arange(c_exp + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    starts = bounds[:-1]
+    slice_counts = bounds[1:] - starts
+    f = jnp.arange(c_exp * cap, dtype=jnp.int32)
+    s_f = f // cap
+    pos_f = f % cap
+    p = jnp.minimum(starts[s_f] + pos_f, ncap - 1)
+    valid_f = pos_f < slice_counts[s_f]
+    buckets = jnp.where(valid_f, order[p], -1).reshape(c_exp, cap)
     return buckets, slot_slice, slot_pos, slice_counts
 
 
@@ -668,11 +722,8 @@ class IVFVectorIndex:
         self._slice_cluster = sl_cl
         self._slice_base = base
         self._slice_count = nsl.astype(np.int64)
-        self.centroids_exp = self.centroids[
-            jnp.asarray(np.maximum(sl_cl, 0), jnp.int32)
-        ]
-        self.slice_bias = jnp.asarray(
-            np.where(sl_cl >= 0, 0.0, NEG_INF), jnp.float32
+        self.centroids_exp, self.slice_bias = _expand_centroids(
+            self.centroids, jnp.asarray(sl_cl, jnp.int32)
         )
         return c_exp
 
@@ -694,17 +745,33 @@ class IVFVectorIndex:
             counts_np = np.asarray(counts, np.int64)
             nsl = np.maximum(1, -(-counts_np // cap))
             c_exp = self._install_slices(nsl)
-            buckets, ssl, spos, scounts = _ivf_place_sliced(
+            pq_mode = self.pq is not None or self.pq_subspaces
+            nbytes = c_exp * cap * c.vectors.shape[1] * c.vectors.dtype.itemsize
+            with_vec = not pq_mode and nbytes <= self.CONTIG_MAX_BYTES
+            buckets, ssl, spos, scounts, bvec, bbias = _place_and_contig(
                 choices[:, 0], c.valid,
                 jnp.asarray(self._slice_base, jnp.int32),
-                cap=cap, c_exp=c_exp,
+                c.vectors, c.sq_norms,
+                cap=cap, c_exp=c_exp, with_vectors=with_vec,
+                bias_l2=(not pq_mode and self.metric == "l2"),
             )
             self.buckets_slots = buckets
             self._slot_dev = (ssl, spos)
             self._slot_cluster = None  # lazy host mirror, see
             self._slot_pos = None      # _ensure_slot_host()
             self._bucket_counts = np.array(scounts, np.int64)
-        else:
+            self.bucket_vectors = bvec
+            self.bucket_bias = (
+                bbias if (with_vec or pq_mode) else None
+            )
+            if with_vec and c.scales is not None:
+                self.bucket_scales = _gather_bucket_scales(c.scales, buckets)
+            else:
+                self.bucket_scales = None
+            if self.pq is not None:
+                self._reencode_all()
+            return
+        if True:
             c_exp = self._install_slices(np.ones(num_c, np.int64))
             self.buckets_slots = jnp.full((c_exp, cap), -1, jnp.int32)
             self._slot_dev = None
