@@ -414,3 +414,69 @@ class TestWorkloadScheduler:
             assert "maintenance_share_budget" in st["workload"]
         finally:
             db.close()
+
+
+class TestResumableKeyRotation:
+    def test_crash_mid_rotation_resumes_on_reopen(self, tmp_path):
+        # simulate a crash between the wrapped-key persist and the re-seal:
+        # artifacts remain sealed under the OLD key, the manifest carries
+        # pending_rotation — reopening with the NEW passphrase must unwrap
+        # the old key, read everything, finish the re-seal and retire it
+        from tostore_tpu import ToStoreTPU
+        from tostore_tpu.models.config import DataStoreConfig, EncryptionConfig
+        from tests.test_engine import users_schema
+
+        cfg = DataStoreConfig(
+            db_path=str(tmp_path),
+            encryption=EncryptionConfig(enable_encoding=True, encryption_key="old-key"),
+        )
+        db = ToStoreTPU(cfg)
+        db.create_table(users_schema())
+        db.insert("users", {"username": "alice"})
+        eng = db.engine
+        ring = eng._envelope.ring
+        old_id = ring.current
+        ring.rotate("brand-new")
+        eng.global_config.extras["pending_rotation"] = {
+            "current": ring.current,
+            "wrapped": {
+                str(kid): eng._envelope.seal(key).hex()
+                for kid, key in ring.keys.items() if kid != ring.current
+            },
+        }
+        eng._persist_manifest()
+        # crash NOW: no re-seal happened; close file handles only
+        eng._wal.close()
+        eng._crontab.stop()
+
+        new_cfg = DataStoreConfig(
+            db_path=str(tmp_path),
+            encryption=EncryptionConfig(enable_encoding=True, encryption_key="brand-new"),
+        )
+        db2 = ToStoreTPU(new_cfg)
+        assert db2.count("users") == 1  # old-key snapshot was readable
+        st = db2.engine.global_config.extras
+        assert "pending_rotation" not in st  # resume completed
+        assert db2.engine._counters.get("resumed_key_rotation") == 1
+        assert list(db2.engine._envelope.ring.keys) == [db2.engine._envelope.ring.current]
+        db2.close()
+        # and the re-sealed artifacts open under the new key alone
+        db3 = ToStoreTPU(new_cfg)
+        assert db3.count("users") == 1
+        db3.close()
+
+    def test_completed_rotation_leaves_no_pending_state(self, tmp_path):
+        from tostore_tpu import ToStoreTPU
+        from tostore_tpu.models.config import DataStoreConfig, EncryptionConfig
+        from tests.test_engine import users_schema
+
+        cfg = DataStoreConfig(
+            db_path=str(tmp_path),
+            encryption=EncryptionConfig(enable_encoding=True, encryption_key="k1"),
+        )
+        db = ToStoreTPU(cfg)
+        db.create_table(users_schema())
+        db.insert("users", {"username": "a"})
+        assert db.rotate_encryption_key("k2").is_success
+        assert "pending_rotation" not in db.engine.global_config.extras
+        db.close()

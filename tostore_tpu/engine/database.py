@@ -472,6 +472,26 @@ class Database:
             self.global_config.version = ENGINE_VERSION
             self._persist_manifest()
 
+        # resumable key rotation (reference key_migration_runner.dart): a
+        # crash between rotate() and the full re-seal left the manifest
+        # carrying the RETIRING keys wrapped under the new one — unwrap
+        # them into the ring before reading any sealed artifact, finish
+        # the re-seal after recovery (_finish_pending_rotation)
+        resume_rotation = False
+        pend = self.global_config.extras.get("pending_rotation")
+        if pend and self._envelope is not None:
+            ring = self._envelope.ring
+            if ring.current != pend["current"]:
+                # the reopen config assigned the new passphrase a different
+                # key id; artifacts are sealed under the rotation's id
+                ring.keys[pend["current"]] = ring.keys.pop(ring.current)
+                ring.current = pend["current"]
+            for kid_s, blob_hex in pend["wrapped"].items():
+                kid = int(kid_s)
+                if kid not in ring.keys:
+                    ring.keys[kid] = self._envelope.open(bytes.fromhex(blob_hex))
+            resume_rotation = True
+
         # table snapshots: per-table files via the manifest catalog; a
         # legacy round-1 monolithic current.snap loads once and migrates
         legacy_snap = os.path.join(d, "current.snap")
@@ -536,6 +556,21 @@ class Database:
             for p in (legacy_snap, legacy_wal):
                 if os.path.exists(p):
                     os.remove(p)
+        if resume_rotation:
+            self._finish_pending_rotation()
+
+    def _finish_pending_rotation(self):
+        """Re-seal every artifact under the current key and retire the
+        wrapped ones (the resume half of rotate_encryption_key)."""
+        ring = self._envelope.ring
+        self.flush(force_all=True)
+        for kid in [k for k in ring.keys if k != ring.current]:
+            ring.retire(kid)
+        self.global_config.extras.pop("pending_rotation", None)
+        self._persist_manifest()
+        self._counters["resumed_key_rotation"] = (
+            self._counters.get("resumed_key_rotation", 0) + 1
+        )
 
     def _start_crontab(self):
         from .crontab import CrontabManager
@@ -1978,9 +2013,26 @@ class Database:
             ring = self._envelope.ring
             old_id = ring.current
             ring.rotate(new_passphrase)
+            if not self.config.memory_mode:
+                # crash safety: persist the retiring keys WRAPPED under the
+                # new key BEFORE re-sealing, so a crash mid-re-seal reopens
+                # with the new passphrase and resumes (reference resumable
+                # key migration, key_migration_runner.dart)
+                self.global_config.extras["pending_rotation"] = {
+                    "current": ring.current,
+                    "wrapped": {
+                        str(kid): self._envelope.seal(key).hex()
+                        for kid, key in ring.keys.items()
+                        if kid != ring.current
+                    },
+                }
+                self._persist_manifest()
             # every artifact re-sealed under the new key; WAL rotated
             self.flush(force_all=True)
             ring.retire(old_id)
+            self.global_config.extras.pop("pending_rotation", None)
+            if not self.config.memory_mode:
+                self._persist_manifest()
             return DbResult.success(data={"key_id": ring.current})
 
     # ------------------------------------------------------------- backup/restore
