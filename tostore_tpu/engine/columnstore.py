@@ -222,10 +222,8 @@ class ColumnStore:
             v[: len(self.valid)] = self.valid
             self.valid = v
         self.valid[rows] = True
-        for j, pk in enumerate(pks):
-            r = int(rows[j])
-            self._pk_row[pk] = r
-            self.pk_col.set(r, pk)
+        self._pk_row.update(zip(pks, rows.tolist()))
+        self.pk_col.bulk_set(rows, pks)
         for name, col in self.columns.items():
             vals = col_values.get(name)
             col.bulk_set(rows, vals)

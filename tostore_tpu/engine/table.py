@@ -442,14 +442,22 @@ class Table:
         col_values = dict(col_values)
         col_values[INGEST_TS_FIELD] = [now] * len(pks)
         self.store.bulk_insert(pks, col_values)
-        needed = set(self._unique_field_names)
-        for _, fields in self._unique_index_specs:
-            needed.update(fields)
-        if needed:
-            ucols = {f: col_values.get(f) for f in needed}
-            for j, pk in enumerate(pks):
-                rec = {f: (c[j] if c is not None else None) for f, c in ucols.items()}
-                self._unique_apply(pk, rec, None)
+        # unique maps: one zip pass per constraint instead of a per-record
+        # dict + _unique_apply call (measured hot in 200k-row batches)
+        for f in self._unique_field_names:
+            vals = col_values.get(f)
+            if vals is not None:
+                self.unique_maps[f].update(
+                    (v, pk) for v, pk in zip(vals, pks) if v is not None
+                )
+        for name, fields in self._unique_index_specs:
+            cols = [col_values.get(x) for x in fields]
+            if any(c is None for c in cols):
+                continue
+            m = self.unique_maps[name]
+            for pk, key in zip(pks, zip(*cols)):
+                if None not in key:
+                    m[key] = pk
         for field in self.vector_indexes:
             vals = col_values.get(field)
             if vals is not None:
