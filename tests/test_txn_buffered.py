@@ -291,6 +291,138 @@ class TestConcurrentTransactions:
         assert db.insert("users", {"username": "contested"}).is_success
 
 
+class TestReviewRegressions:
+    def test_fk_parent_delete_conflicts_with_child_insert(self):
+        # review finding: a buffered child insert's FK check is a READ of
+        # the parent — a concurrent parent delete must abort the txn under
+        # serializable, and readCommitted must re-check FK at replay
+        parent = TableSchema(
+            name="teams", fields=(FieldSchema("name", DataType.text),)
+        )
+        child = TableSchema(
+            name="players",
+            fields=(FieldSchema("team_id", DataType.integer),),
+            foreign_keys=(ForeignKeySchema("team_id", "teams"),),
+        )
+        for level in ("serializable", "readCommitted"):
+            db = ToStoreTPU.memory(
+                schemas=[parent, child],
+                config=DataStoreConfig(isolation_level=level),
+            )
+            try:
+                db.insert("teams", {"name": "reds"})
+                checked = threading.Event()
+                deleted = threading.Event()
+                results = []
+
+                def txn():
+                    def action(tx):
+                        r = db.insert("players", {"team_id": 1})
+                        assert r.is_success  # parent visible at op time
+                        checked.set()
+                        assert deleted.wait(timeout=5)
+
+                    results.append(db.transaction(action))
+
+                def deleter():
+                    checked.wait(timeout=5)
+                    db.delete_by_pk("teams", 1)
+                    deleted.set()
+
+                t1 = threading.Thread(target=txn)
+                t2 = threading.Thread(target=deleter)
+                t1.start()
+                t2.start()
+                t1.join(timeout=10)
+                t2.join(timeout=10)
+                assert not results[0].committed, level
+                assert db.count("players") == 0  # no dangling FK
+            finally:
+                db.close()
+
+    def test_ddl_wal_record_survives_txn_rollback(self, tmp_path):
+        # review finding: DDL inside an open txn applies immediately and
+        # its WAL record must hit the log even when the txn rolls back
+        db = ToStoreTPU.open(str(tmp_path), schemas=[users_schema()])
+        extra = TableSchema(
+            name="extra", fields=(FieldSchema("x", DataType.integer),)
+        )
+        try:
+            with db.transaction():
+                db.create_table(extra)
+                raise BusinessError("rollback")
+        except BusinessError:
+            pass
+        db.insert("extra", {"x": 1})  # table exists (DDL non-transactional)
+        db.engine._wal.close()
+        db.engine._crontab.stop()
+        db2 = ToStoreTPU.open(str(tmp_path))
+        assert db2.count("extra") == 1  # create_table WAL record replayed
+        db2.close()
+
+    def test_batch_insert_conflicts_with_predicate_read(self, ser_db):
+        db = ser_db
+        queried = threading.Event()
+        inserted = threading.Event()
+        results = []
+
+        def txn():
+            def action(tx):
+                db.count("users")
+                queried.set()
+                assert inserted.wait(timeout=5)
+                db.insert("users", {"username": "mine"})
+
+            results.append(db.transaction(action))
+
+        def batcher():
+            queried.wait(timeout=5)
+            db.batch_insert("users", [{"username": f"b{i}"} for i in range(5)])
+            inserted.set()
+
+        t1 = threading.Thread(target=txn)
+        t2 = threading.Thread(target=batcher)
+        t1.start()
+        t2.start()
+        t1.join(timeout=10)
+        t2.join(timeout=10)
+        assert not results[0].committed  # fast-path batch was visible
+
+    def test_vector_search_hides_own_deletes(self):
+        import numpy as np
+        from tostore_tpu.models.schema import (
+            IndexSchema, VectorFieldConfig, VectorIndexConfig,
+        )
+
+        schema = TableSchema(
+            name="docs",
+            fields=(
+                FieldSchema(
+                    "emb", DataType.vector,
+                    vector_config=VectorFieldConfig(dimensions=8),
+                ),
+            ),
+            indexes=(IndexSchema(fields=("emb",), type="vector"),),
+        )
+        db = ToStoreTPU.memory(schemas=[schema])
+        try:
+            rng = np.random.default_rng(0)
+            x = rng.standard_normal((20, 8)).astype(np.float32)
+            db.batch_insert(
+                "docs", [{"id": i + 1, "emb": x[i].tolist()} for i in range(20)]
+            )
+            assert db.vector_search("docs", "emb", x[3], top_k=1)[0].primary_key == 4
+
+            def action(tx):
+                db.delete_by_pk("docs", 4)
+                hits = db.vector_search("docs", "emb", x[3], top_k=3)
+                assert all(r.primary_key != 4 for r in hits)
+
+            assert db.transaction(action).committed
+        finally:
+            db.close()
+
+
 class TestOverlayReads:
     def test_query_with_condition_sees_own_writes(self, db):
         db.insert("users", {"username": "old", "age": 50})

@@ -14,8 +14,11 @@ exist here). Transactions BUFFER their writes in a per-thread overlay
 (reference write_buffer_manager.dart) with op-time engine-wide unique-key
 reservations (tryReserve, wbm:54-100), so concurrent readers and writers
 proceed during an open transaction and see only committed state; the
-transaction's own reads merge its overlay (buffer-overlay reads,
-query_executor.dart:2152). Commit replays the op log under the lock —
+transaction's own relational/KV reads merge its overlay (buffer-overlay
+reads, query_executor.dart:2152); vector search reflects the committed,
+flushed index (minus rows the txn deleted/rewrote) — buffered inserts
+become searchable at commit, matching the reference's flush-deferred
+vector index updates. Commit replays the op log under the lock —
 after a first-committer-wins write-set validation when the isolation
 level is `serializable` (the reference's SSI check,
 transaction_manager.dart:30-36; `readCommitted` skips it) — and appends
@@ -933,8 +936,13 @@ class Database:
         if self._crontab is not None:
             self._crontab.poke()
         self.workload.note_foreground()  # all write paths funnel through here
-        if self._txn is not None:
-            self._txn.wal_ops.append(entry)
+        txn = self._txn
+        if txn is not None and not txn.buffering:
+            # commit replay groups its frames into one WAL txn record;
+            # during BUFFERING the only callers are non-transactional ops
+            # (DDL, clear, large deletes) whose records must hit the WAL
+            # immediately — buffered data ops never reach here
+            txn.wal_ops.append(entry)
             return
         if self._wal_buffer is not None:
             self._wal_buffer.append(entry)
@@ -1106,8 +1114,14 @@ class Database:
             rkey = self._tkey(ref)
             if fk.references_field is None or fk.references_field == ref.schema.primary_key.name:
                 ok = self._view_exists(ref, rkey, v)
+                # parent existence is a READ: a concurrent parent delete
+                # must conflict with this txn under serializable
+                self._note_read(rkey, v)
             else:
-                ok = self._unique_holder(ref, rkey, fk.references_field, v) is not None
+                holder = self._unique_holder(ref, rkey, fk.references_field, v)
+                ok = holder is not None
+                if holder is not None:
+                    self._note_read(rkey, holder)
             if not ok:
                 raise ValidationError(
                     f"foreign key violation: {table.schema.name}.{fk.field}={v!r} "
@@ -1344,6 +1358,8 @@ class Database:
                  "pks": pks, "cols": final_cols}
             )
             self._counters["inserts"] += len(pks)
+            if self._active_txns:  # visible to serializable validation
+                self._record_commit({((space, table), pk) for pk in pks})
             if self._subs:
                 names = list(final_cols)
                 for j, pk in enumerate(pks):
@@ -1761,6 +1777,13 @@ class Database:
             np.asarray(query, np.float32), top_k=top_k, threshold=threshold,
             slot_mask=slot_mask, **kwargs
         )
+        ov = self._overlay_for(self._tkey(t))
+        if ov:
+            # own-transaction overlay: a row deleted or rewritten in the
+            # open txn must not surface from the committed index (buffered
+            # INSERTS become searchable at commit + flush, matching the
+            # reference's flush-deferred vector index updates)
+            results = [r for r in results if r.primary_key not in ov]
         if include_records:
             results = [
                 VectorSearchResult(
@@ -1895,6 +1918,10 @@ class Database:
         if t is None:
             return
         if kind == "insert":
+            # re-check FK at replay: under readCommitted a parent may have
+            # been deleted since the op-time check (no read-set validation
+            # protects it); a violation rolls the whole commit back
+            self._fk_check_write(t, payload)
             t.apply_insert(pk, payload)
             txn.undo.append(("delete", t, pk))
             self._wal_append(

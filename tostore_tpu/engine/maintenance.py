@@ -226,8 +226,15 @@ class WorkloadScheduler:
         self._maint_slices: list[tuple[float, float]] = []  # (end_ts, dur)
         self._defers: dict[str, int] = {}
         self.deferred_total = 0
+        import threading
+
+        self._tl = threading.local()
 
     def note_foreground(self):
+        # a maintenance job's own writes (TTL deletes, compaction) must not
+        # stamp the foreground clock and defer the NEXT maintenance job
+        if getattr(self._tl, "in_maintenance", False):
+            return
         self._last_fg = time.monotonic()
 
     def _share_now(self) -> float:
@@ -257,9 +264,11 @@ class WorkloadScheduler:
         class _Span:
             def __enter__(self):
                 self.t0 = time.monotonic()
+                sched._tl.in_maintenance = True
                 return self
 
             def __exit__(self, *exc):
+                sched._tl.in_maintenance = False
                 now = time.monotonic()
                 sched._maint_slices.append((now, now - self.t0))
                 return False

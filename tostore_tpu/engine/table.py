@@ -731,7 +731,11 @@ def _index_from_state(vs: dict, mesh=None):
         cs = vs["corpus"]
         vecs = np.asarray(cs["vectors"], np.float32)
         if cs["precision"] == "int8":
-            vecs = vecs / 127.0
+            sc = cs.get("scales")
+            if sc is not None:  # per-vector dequant factors
+                vecs = vecs * np.asarray(sc, np.float32)[:, None]
+            else:  # legacy global value/127 rule
+                vecs = vecs / 127.0
         dtype = "bfloat16" if cs["precision"] == "bfloat16" else "float32"
         if vtype == "ivf":
             sh = ShardedIVFIndex(

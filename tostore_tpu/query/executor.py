@@ -654,6 +654,15 @@ class QueryExecutor:
             j.left_field in base_fields for j in joins
         ):
             return joins
+        # _join merges with setdefault (first writer wins an unqualified
+        # shared field name), so reordering is only sound when the joined
+        # tables' field names are pairwise disjoint
+        seen: set = set()
+        for j in joins:
+            fields = set(self.db._table(j.table, space).schema.field_map)
+            if seen & fields:
+                return joins
+            seen |= fields
         inner = [j for j in joins if j.kind == "inner"]
         rest = [j for j in joins if j.kind != "inner"]
         inner.sort(key=lambda j: len(self.db._table(j.table, space).store))

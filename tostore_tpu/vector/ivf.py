@@ -302,17 +302,6 @@ def _bucket_bias(buckets_slots, valid, sq_norms, *, l2: bool):
     return jnp.where(ok, base, NEG_INF)
 
 
-def _build_core(
-    vectors, valid, centroids, *, n_choices: int, cap: int, chunk: int, l2: bool
-):
-    """Traceable core of the device build — also runs per-shard inside
-    shard_map for the mesh-sharded index (parallel/sharded_ivf.py)."""
-    return _ivf_build_impl(
-        vectors, valid, centroids,
-        n_choices=n_choices, cap=cap, chunk=chunk, l2=l2,
-    )
-
-
 @functools.partial(jax.jit, static_argnames=("chunk", "l2", "n_choices"))
 def _ivf_assign_device(vectors, valid, centroids, scales=None, *, chunk: int,
                        l2: bool, n_choices: int = 1):
@@ -364,7 +353,7 @@ def _ivf_place_sliced(assign, valid, base, *, cap: int, c_exp: int):
     """Sliced bucket placement: every valid row lands in its FIRST-choice
     cluster; a cluster with count > cap occupies ceil(count/cap)
     consecutive bucket rows ("slices", base[c] = its first row). Unlike the
-    capped 2nd/3rd-choice spill of _ivf_build_impl, nothing is displaced —
+    round-1 capped 2nd/3rd-choice spill layout, nothing is displaced —
     the slices share a duplicated centroid, so a probe's top_k naturally
     spends extra budget on fat clusters (measured recall@10 on hard
     clustered data 0.66 -> 0.93 raw at nprobe=16 vs the capped layout).
@@ -415,95 +404,6 @@ def _ivf_place_sliced(assign, valid, base, *, cap: int, c_exp: int):
     valid_f = pos_f < slice_counts[s_f]
     buckets = jnp.where(valid_f, order[p], -1).reshape(c_exp, cap)
     return buckets, slot_slice, slot_pos, slice_counts
-
-
-def _ivf_build_impl(
-    vectors, valid, centroids, *, n_choices: int, cap: int, chunk: int, l2: bool
-):
-    """Full bucket build on device — assignment matmul + capped balanced
-    placement — in ONE dispatch (round-1 did 16 host-looped assignment
-    chunks with per-chunk readbacks plus host argsort placement; VERDICT r1
-    item 3). Returns (buckets [C,cap], slot_cluster [Ncap], slot_pos
-    [Ncap], counts [C], leftover) — leftover > 0 (all choices full; rare
-    with BALANCE_FACTOR headroom) signals the host fallback. Used by the
-    MESH-SHARDED index (shard_map needs one static bucket shape across
-    shards); the single-device IVFVectorIndex uses the sliced build below.
-
-    Placement mirrors _place_balanced exactly: per choice round, rows
-    stable-sorted by wanted cluster, within-run positions via
-    first-occurrence searchsorted, capped fits committed."""
-    ncap, dp = vectors.shape
-    num_c = centroids.shape[0]
-    chunk = min(chunk, ncap)
-
-    # --- assignment: chunked scores -> top-n_choices clusters ------------
-    cdt = jnp.bfloat16 if vectors.dtype in (jnp.bfloat16, jnp.int8) else vectors.dtype
-    c_t = centroids.T.astype(cdt)
-    cnorm = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=1)
-    g = -(-ncap // chunk)
-    starts = jnp.minimum(jnp.arange(g) * chunk, max(ncap - chunk, 0))
-
-    lanes = jnp.arange(num_c)[None, :]
-
-    def body(s):
-        v = jax.lax.dynamic_slice(vectors, (s, 0), (chunk, dp))
-        if v.dtype == jnp.int8:
-            v = v.astype(jnp.bfloat16)
-        sc = jnp.dot(v.astype(cdt), c_t, preferred_element_type=jnp.float32)
-        if l2:
-            sc = 2.0 * sc - cnorm[None, :]
-        # iterative argmax beats lax.top_k(3) ~7x on [chunk, C] (measured)
-        outs = []
-        for _ in range(n_choices):
-            a = jnp.argmax(sc, axis=1)
-            outs.append(a.astype(jnp.int32))
-            sc = jnp.where(lanes == a[:, None], -jnp.inf, sc)
-        return jnp.stack(outs, axis=1)
-
-    tops = jax.lax.map(body, starts)  # [g, chunk, n_choices]
-    rows = (starts[:, None] + jnp.arange(chunk)[None, :]).reshape(-1)
-    choices = jnp.zeros((ncap, n_choices), jnp.int32)
-    choices = choices.at[rows].set(tops.reshape(-1, n_choices))
-
-    # --- capped balanced placement ---------------------------------------
-    slot_cl = jnp.full(ncap, -1, jnp.int32)
-    slot_pos = jnp.full(ncap, -1, jnp.int32)
-    counts = jnp.zeros(num_c, jnp.int32)
-    idx = jnp.arange(ncap, dtype=jnp.int32)
-    for ch in range(n_choices):
-        pend = (slot_cl < 0) & valid
-        want = jnp.where(pend, choices[:, ch], num_c)  # sentinel sorts last
-        order = jnp.argsort(want, stable=True)
-        ws = want[order]
-        first = jnp.searchsorted(ws, ws, side="left")
-        within = (idx - first).astype(jnp.int32)
-        pos = counts[jnp.minimum(ws, num_c - 1)] + within
-        fits = (ws < num_c) & (pos < cap)
-        slot_cl = slot_cl.at[order].max(jnp.where(fits, ws, -1))
-        slot_pos = slot_pos.at[order].max(jnp.where(fits, pos, -1))
-        counts = counts.at[jnp.where(fits, ws, num_c)].add(1, mode="drop")
-    # final spread (host _place_balanced's last resort): remaining rows
-    # take free capacity in ascending-cluster order — k-means collapse on
-    # hard data can fill every preferred choice
-    pend = (slot_cl < 0) & valid
-    rank = jnp.cumsum(pend) - 1  # rank among pending, index order
-    free = jnp.maximum(cap - counts, 0)
-    cumfree = jnp.cumsum(free)
-    cl_f = jnp.searchsorted(cumfree, rank, side="right").astype(jnp.int32)
-    base = jnp.where(cl_f > 0, cumfree[jnp.maximum(cl_f - 1, 0)], 0)
-    pos_f = (counts[jnp.minimum(cl_f, num_c - 1)] + rank - base).astype(jnp.int32)
-    okf = pend & (cl_f < num_c)
-    slot_cl = jnp.where(okf, cl_f, slot_cl)
-    slot_pos = jnp.where(okf, pos_f, slot_pos)
-    counts = counts.at[jnp.where(okf, cl_f, num_c)].add(1, mode="drop")
-    leftover = jnp.sum((slot_cl < 0) & valid)
-
-    ok = slot_cl >= 0
-    buckets = jnp.full((num_c, cap), -1, jnp.int32)
-    buckets = buckets.at[
-        jnp.where(ok, slot_cl, num_c), jnp.where(ok, slot_pos, 0)
-    ].set(jnp.where(ok, idx, -1), mode="drop")
-    return buckets, slot_cl, slot_pos, counts, leftover
 
 
 class IVFVectorIndex:
@@ -771,13 +671,13 @@ class IVFVectorIndex:
             if self.pq is not None:
                 self._reencode_all()
             return
-        if True:
-            c_exp = self._install_slices(np.ones(num_c, np.int64))
-            self.buckets_slots = jnp.full((c_exp, cap), -1, jnp.int32)
-            self._slot_dev = None
-            self._slot_cluster = np.full(c.capacity, -1, np.int32)
-            self._slot_pos = np.full(c.capacity, -1, np.int32)
-            self._bucket_counts = np.zeros(c_exp, np.int64)
+        # empty corpus: one empty slice per cluster
+        c_exp = self._install_slices(np.ones(num_c, np.int64))
+        self.buckets_slots = jnp.full((c_exp, cap), -1, jnp.int32)
+        self._slot_dev = None
+        self._slot_cluster = np.full(c.capacity, -1, np.int32)
+        self._slot_pos = np.full(c.capacity, -1, np.int32)
+        self._bucket_counts = np.zeros(c_exp, np.int64)
         self._refresh_bucket_vectors()
         if self.pq is not None:
             self._reencode_all()
