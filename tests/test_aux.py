@@ -480,3 +480,25 @@ class TestResumableKeyRotation:
         assert db.rotate_encryption_key("k2").is_success
         assert "pending_rotation" not in db.engine.global_config.extras
         db.close()
+
+
+class TestScopedStatus:
+    def test_scoped_accessors(self):
+        from tostore_tpu import ToStoreTPU
+        from tests.test_engine import users_schema
+
+        db = ToStoreTPU.memory(schemas=[users_schema()])
+        try:
+            db.insert("users", {"username": "a"})
+            full = db.status()  # callable surface unchanged
+            assert "tables" in full and "config" in full
+            assert db.status.memory()["level"] in ("normal", "warning", "critical")
+            assert db.status.config()["memory_mode"] is True
+            sp = db.status.space()
+            assert sp["space"] == "default" and sp["record_count"] == 1
+            ti = db.status.table("users")
+            assert ti["records"] == 1 and "username" in ti["unique_constraints"]
+            assert db.status.migration() == []
+            assert "maintenance_share_budget" in db.status.workload()
+        finally:
+            db.close()

@@ -242,8 +242,12 @@ class ToStoreTPU:
     def watch(self, table: str | None = None, callback: Callable | None = None, condition=None):
         return self._db.watch(table, callback, condition)
 
-    def status(self) -> dict:
-        return self._db.status()
+    @property
+    def status(self) -> "DbStatus":
+        """Scoped status surface (reference Interface/status_provider.dart:
+        DbStatus.memory()/space()/table()/config()/migration()). Callable
+        for the full report: `db.status()`."""
+        return DbStatus(self._db)
 
     def check_integrity(self) -> dict:
         return self._db.check_integrity()
@@ -262,3 +266,55 @@ class ToStoreTPU:
 
     def query_migration_status(self, task_id: int | None = None):
         return self._db.query_migration_status(task_id)
+
+
+class DbStatus:
+    """Runtime observability, scoped like the reference's status provider
+    (Interface/status_provider.dart:9-21 + model/memory_info.dart,
+    space_info.dart, table_info.dart, config_info.dart): `db.status()` is
+    the full report; the scoped accessors return one section each."""
+
+    def __init__(self, engine):
+        self._db = engine
+
+    def __call__(self) -> dict:
+        return self._db.status()
+
+    def memory(self) -> dict:
+        """Host + device memory and disk (reference memory_info.dart)."""
+        return self._db.resources.status()
+
+    def config(self) -> dict:
+        return self._db.status()["config"]
+
+    def space(self, name: str | None = None) -> dict:
+        """Tables + record counts of one space (reference space_info.dart)."""
+        name = name or self._db.current_space
+        full = self._db.status()["tables"]
+        tables = {
+            k.split("/", 1)[1]: v
+            for k, v in full.items()
+            if k.split("/", 1)[0] == name
+        }
+        return {"space": name, "tables": tables,
+                "record_count": sum(t["records"] for t in tables.values())}
+
+    def table(self, name: str) -> dict:
+        """Per-table detail (reference table_info.dart record/index counts)."""
+        t = self._db._table(name)
+        return {
+            "table": name,
+            "records": len(t.store),
+            "indexes": sorted(t.sorted_indexes),
+            "unique_constraints": sorted(t.unique_maps),
+            "vector_indexes": {
+                f: {"type": vi.index_type, "count": len(vi)}
+                for f, vi in t.vector_indexes.items()
+            },
+        }
+
+    def migration(self, task_id: int | None = None):
+        return self._db.query_migration_status(task_id)
+
+    def workload(self) -> dict:
+        return self._db.workload.stats()
