@@ -458,3 +458,78 @@ class TestIVF:
         # still fully searchable with full probe
         q = x[7]
         assert idx.search(q, top_k=1, nprobe=16)[0].primary_key == 7
+
+
+class TestBackgroundRetrain:
+    def test_capture_build_install_roundtrip(self, rng):
+        d, n = 32, 2000
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        idx = IVFVectorIndex(d, metric="l2", num_clusters=8, nprobe=8,
+                             min_train_size=100)
+        idx.defer_retrain = True
+        idx.upsert(list(range(400)), x[:400])   # initial inline train
+        assert idx.trained
+        idx.upsert(list(range(400, n)), x[400:])  # 4x growth: deferred
+        assert idx.needs_retrain()  # inline retrain skipped
+        cap = idx.capture_build_state()
+        shadow = idx.build_retrained(cap)
+        assert idx.install_retrained(cap, shadow)
+        assert not idx.needs_retrain()
+        assert idx.search(x[77], top_k=1)[0].primary_key == 77
+
+    def test_stale_install_rejected(self, rng):
+        d, n = 16, 1200
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        idx = IVFVectorIndex(d, metric="l2", num_clusters=8, nprobe=8,
+                             min_train_size=100)
+        idx.defer_retrain = True
+        idx.upsert(list(range(n)), x)
+        cap = idx.capture_build_state()
+        shadow = idx.build_retrained(cap)
+        idx.upsert([99_999], x[:1])  # concurrent mutation
+        assert not idx.install_retrained(cap, shadow)
+        assert idx.search(x[5], top_k=1)[0].primary_key == 5  # still intact
+
+    def test_engine_background_retrain(self):
+        from tostore_tpu import ToStoreTPU
+        from tostore_tpu.models.schema import (
+            DataType, FieldSchema, IndexSchema, TableSchema,
+            VectorFieldConfig, VectorIndexConfig,
+        )
+
+        schema = TableSchema(
+            name="docs",
+            fields=(
+                FieldSchema("emb", DataType.vector,
+                            vector_config=VectorFieldConfig(dimensions=16)),
+            ),
+            indexes=(
+                IndexSchema(fields=("emb",), type="vector",
+                            vector_config=VectorIndexConfig(
+                                index_type="ivf", metric="l2",
+                                num_clusters=8, nprobe=8)),
+            ),
+        )
+        db = ToStoreTPU.memory(schemas=[schema])
+        try:
+            rng = np.random.default_rng(0)
+            x = rng.standard_normal((2400, 16)).astype(np.float32)
+            db.batch_insert("docs", [
+                {"id": i + 1, "emb": x[i].tolist()} for i in range(300)
+            ])
+            db.vector_search("docs", "emb", x[0], top_k=1)  # flush + train
+            t = [v for k, v in db.engine._tables.items() if k[1] == "docs"][0]
+            vi = next(iter(t.vector_indexes.values()))
+            assert vi.defer_retrain and vi.trained
+            db.batch_insert("docs", [
+                {"id": i + 1, "emb": x[i].tolist()} for i in range(300, 2400)
+            ])
+            db.vector_search("docs", "emb", x[0], top_k=1)  # flush (no stall)
+            assert vi.needs_retrain()
+            assert db.engine.run_vector_maintenance() == 1
+            assert not vi.needs_retrain()
+            assert db.engine._counters["background_retrains"] == 1
+            hit = db.vector_search("docs", "emb", x[1234], top_k=1)[0]
+            assert hit.primary_key == 1235
+        finally:
+            db.close()

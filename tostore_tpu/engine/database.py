@@ -2172,6 +2172,34 @@ class Database:
                 for vi in t.vector_indexes.values():
                     vi.maybe_compact(self.config.tombstone_compact_ratio)
 
+    def run_vector_maintenance(self) -> int:
+        """Background IVF retrains without stalling the engine: capture the
+        immutable device arrays under the lock, run the multi-second
+        train + bucket build OUTSIDE it, swap the new layout in if the
+        index did not mutate meanwhile (RCU over jax immutability — the
+        reference runs index maintenance through its async
+        background_write_scheduler for the same reason)."""
+        jobs = []
+        with self._lock:
+            for t in self._tables.values():
+                for vi in t.vector_indexes.values():
+                    if (
+                        getattr(vi, "defer_retrain", False)
+                        and vi.needs_retrain()
+                    ):
+                        jobs.append((vi, vi.capture_build_state()))
+        done = 0
+        for vi, cap in jobs:
+            shadow = vi.build_retrained(cap)  # off-lock: queries proceed
+            with self._lock:
+                if vi.install_retrained(cap, shadow):
+                    done += 1
+        if done:
+            self._counters["background_retrains"] = (
+                self._counters.get("background_retrains", 0) + done
+            )
+        return done
+
     # ------------------------------------------------------------- status
 
     def status(self) -> dict:

@@ -186,7 +186,7 @@ def _make_vector_index(dims: int, precision: str, idx: IndexSchema, mesh=None):
 
         return ShardedFlatIndex(dims, mesh, metric=metric, dtype=dtype)
     if cfg.index_type.value in ("ivf", "ngh"):
-        return IVFVectorIndex(
+        ivf = IVFVectorIndex(
             dims,
             metric=metric,
             precision=precision,
@@ -198,6 +198,10 @@ def _make_vector_index(dims: int, precision: str, idx: IndexSchema, mesh=None):
             pq_residual=cfg.pq_residual,
             pq_rerank=cfg.pq_rerank,
         )
+        # engine-owned: growth retrains run in background maintenance
+        # (Database.run_vector_maintenance) instead of the write path
+        ivf.defer_retrain = True
+        return ivf
     return FlatVectorIndex(dims, metric=metric, precision=precision)
 
 

@@ -406,6 +406,17 @@ def _ivf_place_sliced(assign, valid, base, *, cap: int, c_exp: int):
     return buckets, slot_slice, slot_pos, slice_counts
 
 
+class _CountOnly(dict):
+    """Stand-in pk map for shadow corpora: only len() is consulted."""
+
+    def __init__(self, n: int):
+        super().__init__()
+        self._n = n
+
+    def __len__(self):
+        return self._n
+
+
 class IVFVectorIndex:
     index_type = "ivf"
 
@@ -440,6 +451,12 @@ class IVFVectorIndex:
         # sliced layout + larger re-rank pool
         self.pq_residual = pq_residual
         self.pq_rerank = pq_rerank  # 0 = auto: max(rerank_factor*k, 16k, 64)
+        # engine-owned indexes defer the 4x-growth retrain to background
+        # maintenance (run_vector_maintenance: RCU capture/build/install,
+        # so multi-second rebuilds never stall the write path); standalone
+        # library use keeps the inline retrain
+        self.defer_retrain = False
+        self._mutations = 0  # staleness check for off-lock rebuilds
 
         self.centroids: jax.Array | None = None  # [C, Dp] f32 (real)
         # sliced layout: cluster c owns slices base[c]..base[c]+nsl[c]-1 of
@@ -571,13 +588,77 @@ class IVFVectorIndex:
 
     def _maybe_retrain(self):
         """Retrain when corpus grew 4x past the training snapshot (reference
-        retrain-on-mismatch analogue, vector_index_manager.dart:703)."""
+        retrain-on-mismatch analogue, vector_index_manager.dart:703). The
+        initial train is always inline (the index cannot search without
+        it); the growth retrain defers to background maintenance when the
+        engine owns the index."""
         n = len(self.corpus)
         if not self.trained:
             if n >= self.min_train_size:
                 self.train()
-        elif n >= 4 * max(self._trained_size, 1):
+        elif n >= 4 * max(self._trained_size, 1) and not self.defer_retrain:
             self.train(force=True)
+
+    def needs_retrain(self) -> bool:
+        return self.trained and len(self.corpus) >= 4 * max(self._trained_size, 1)
+
+    # --- background (off-lock) retrain: RCU over immutable device arrays ---
+
+    def capture_build_state(self) -> dict:
+        """Snapshot the inputs of a retrain under the engine lock. The jax
+        arrays are immutable, so the references stay valid while the build
+        runs outside the lock; `mutations` detects concurrent changes."""
+        c = self.corpus
+        return {
+            "mutations": self._mutations,
+            "vectors": c.vectors,
+            "valid": c.valid,
+            "sq_norms": c.sq_norms,
+            "scales": c.scales,
+            "high": c._high,
+            "capacity": c.capacity,
+            "live": len(c),
+        }
+
+    def build_retrained(self, cap: dict) -> "IVFVectorIndex":
+        """Run the full train + bucket build against the captured arrays
+        WITHOUT any lock: returns a shadow index carrying the new layout
+        (install_retrained swaps it in)."""
+        shadow = IVFVectorIndex(
+            self.dims, metric=self.metric, precision=self.corpus.precision,
+            num_clusters=self.num_clusters_cfg, nprobe=self.nprobe,
+            pq_subspaces=self.pq_subspaces, pq_centroids=self.pq_centroids,
+            rerank_factor=self.rerank_factor,
+            min_train_size=self.min_train_size,
+            pq_residual=self.pq_residual, pq_rerank=self.pq_rerank,
+        )
+        sc = shadow.corpus
+        sc.vectors = cap["vectors"]
+        sc.valid = cap["valid"]
+        sc.sq_norms = cap["sq_norms"]
+        sc.scales = cap["scales"]
+        sc._high = cap["high"]
+        sc.capacity = cap["capacity"]
+        sc._pk_slot = _CountOnly(cap["live"])  # train only needs len()
+        shadow.train(force=True)
+        return shadow
+
+    def install_retrained(self, cap: dict, shadow: "IVFVectorIndex") -> bool:
+        """Swap the shadow's layout in under the engine lock; refuses when
+        the index mutated since capture (the next maintenance tick
+        retries)."""
+        if self._mutations != cap["mutations"] or not shadow.trained:
+            return False
+        for attr in (
+            "centroids", "centroids_exp", "slice_bias", "_slice_cluster",
+            "_slice_base", "_slice_count", "buckets_slots", "_bucket_counts",
+            "_slot_dev", "_slot_cluster", "_slot_pos", "bucket_vectors",
+            "bucket_bias", "bucket_scales", "pq", "codes", "bucket_codes",
+            "_trained_size",
+        ):
+            setattr(self, attr, getattr(shadow, attr))
+        self._mutations += 1
+        return True
 
     # --- bucket maintenance -----------------------------------------------------
 
@@ -820,6 +901,7 @@ class IVFVectorIndex:
     # --- mutation ------------------------------------------------------------------
 
     def upsert(self, pks, vectors: np.ndarray):
+        self._mutations += 1
         pks = list(pks)
         existing = [pk for pk in pks if pk in self.corpus._pk_slot]
         slots = self.corpus.upsert(pks, vectors)
@@ -886,6 +968,7 @@ class IVFVectorIndex:
         return slots
 
     def delete(self, pks) -> int:
+        self._mutations += 1
         # vacate bucket entries eagerly: a freed slot may be reused by a new
         # vector, and a stale entry would surface it from the wrong cluster
         slots = self.corpus.slots_for_pks(pks)
@@ -910,6 +993,7 @@ class IVFVectorIndex:
         return n
 
     def compact(self):
+        self._mutations += 1
         self.corpus.compact()
         if self.trained:
             self._rebuild_buckets()
