@@ -533,3 +533,80 @@ class TestBackgroundRetrain:
             assert hit.primary_key == 1235
         finally:
             db.close()
+
+
+class TestBackgroundCompaction:
+    def test_capture_build_install(self, rng):
+        d, n = 16, 2000
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        idx = IVFVectorIndex(d, metric="l2", num_clusters=8, nprobe=8,
+                             min_train_size=100)
+        idx.defer_retrain = True
+        idx.upsert(list(range(n)), x)
+        idx.delete(list(range(0, n, 3)))  # 33% tombstones
+        assert idx.needs_compact(0.10)
+        cap_before = idx.corpus.capacity
+        cap = idx.capture_compact_state()
+        shadow = idx.build_compacted(cap)
+        assert idx.install_compacted(cap, shadow)
+        assert idx.corpus.deleted_count == 0
+        assert len(idx.corpus) == n - len(range(0, n, 3))
+        assert idx.corpus.capacity <= cap_before
+        assert idx.search(x[1], top_k=1)[0].primary_key == 1  # pk 1 survives
+        assert all(r.primary_key % 3 != 0 for r in idx.search(x[4], top_k=10))
+
+    def test_stale_compact_rejected(self, rng):
+        d, n = 16, 1000
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        idx = IVFVectorIndex(d, metric="l2", num_clusters=8, nprobe=8,
+                             min_train_size=100)
+        idx.defer_retrain = True
+        idx.upsert(list(range(n)), x)
+        idx.delete(list(range(200)))
+        cap = idx.capture_compact_state()
+        shadow = idx.build_compacted(cap)
+        idx.upsert([55_555], x[:1])  # concurrent mutation
+        assert not idx.install_compacted(cap, shadow)
+        assert idx.search(x[500], top_k=1)[0].primary_key == 500
+
+    def test_engine_background_compaction(self):
+        from tostore_tpu import ToStoreTPU
+        from tostore_tpu.models.schema import (
+            DataType, FieldSchema, IndexSchema, TableSchema,
+            VectorFieldConfig, VectorIndexConfig,
+        )
+
+        schema = TableSchema(
+            name="docs",
+            fields=(
+                FieldSchema("emb", DataType.vector,
+                            vector_config=VectorFieldConfig(dimensions=16)),
+            ),
+            indexes=(
+                IndexSchema(fields=("emb",), type="vector",
+                            vector_config=VectorIndexConfig(
+                                index_type="ivf", metric="l2",
+                                num_clusters=8, nprobe=8)),
+            ),
+        )
+        db = ToStoreTPU.memory(schemas=[schema])
+        try:
+            rng = np.random.default_rng(1)
+            x = rng.standard_normal((800, 16)).astype(np.float32)
+            db.batch_insert("docs", [
+                {"id": i + 1, "emb": x[i].tolist()} for i in range(800)
+            ])
+            db.vector_search("docs", "emb", x[0], top_k=1)  # flush + train
+            for pk in range(1, 300):
+                db.delete_by_pk("docs", pk)
+            db.vector_search("docs", "emb", x[0], top_k=1)  # flush deletes
+            t = [v for k, v in db.engine._tables.items() if k[1] == "docs"][0]
+            vi = next(iter(t.vector_indexes.values()))
+            assert vi.needs_compact(0.10)
+            assert db.engine.run_vector_maintenance() == 1
+            assert vi.corpus.deleted_count == 0
+            assert db.engine._counters["background_compactions"] == 1
+            hit = db.vector_search("docs", "emb", x[500], top_k=1)[0]
+            assert hit.primary_key == 501
+        finally:
+            db.close()

@@ -2170,6 +2170,8 @@ class Database:
         with self._lock:
             for t in self._tables.values():
                 for vi in t.vector_indexes.values():
+                    if getattr(vi, "defer_retrain", False) and vi.trained:
+                        continue  # run_vector_maintenance compacts off-lock
                     vi.maybe_compact(self.config.tombstone_compact_ratio)
 
     def run_vector_maintenance(self) -> int:
@@ -2180,20 +2182,31 @@ class Database:
         reference runs index maintenance through its async
         background_write_scheduler for the same reason)."""
         jobs = []
+        ratio = self.config.tombstone_compact_ratio
         with self._lock:
             for t in self._tables.values():
                 for vi in t.vector_indexes.values():
-                    if (
-                        getattr(vi, "defer_retrain", False)
-                        and vi.needs_retrain()
-                    ):
-                        jobs.append((vi, vi.capture_build_state()))
+                    if not getattr(vi, "defer_retrain", False):
+                        continue
+                    if vi.needs_retrain():
+                        jobs.append(("retrain", vi, vi.capture_build_state()))
+                    elif vi.needs_compact(ratio):
+                        jobs.append(("compact", vi, vi.capture_compact_state()))
         done = 0
-        for vi, cap in jobs:
-            shadow = vi.build_retrained(cap)  # off-lock: queries proceed
-            with self._lock:
-                if vi.install_retrained(cap, shadow):
-                    done += 1
+        for kind, vi, cap in jobs:
+            if kind == "retrain":
+                shadow = vi.build_retrained(cap)  # off-lock: queries proceed
+                with self._lock:
+                    if vi.install_retrained(cap, shadow):
+                        done += 1
+            else:
+                shadow = vi.build_compacted(cap)  # off-lock
+                with self._lock:
+                    if vi.install_compacted(cap, shadow):
+                        done += 1
+                        self._counters["background_compactions"] = (
+                            self._counters.get("background_compactions", 0) + 1
+                        )
         if done:
             self._counters["background_retrains"] = (
                 self._counters.get("background_retrains", 0) + done

@@ -624,14 +624,7 @@ class IVFVectorIndex:
         """Run the full train + bucket build against the captured arrays
         WITHOUT any lock: returns a shadow index carrying the new layout
         (install_retrained swaps it in)."""
-        shadow = IVFVectorIndex(
-            self.dims, metric=self.metric, precision=self.corpus.precision,
-            num_clusters=self.num_clusters_cfg, nprobe=self.nprobe,
-            pq_subspaces=self.pq_subspaces, pq_centroids=self.pq_centroids,
-            rerank_factor=self.rerank_factor,
-            min_train_size=self.min_train_size,
-            pq_residual=self.pq_residual, pq_rerank=self.pq_rerank,
-        )
+        shadow = self._shadow()
         sc = shadow.corpus
         sc.vectors = cap["vectors"]
         sc.valid = cap["valid"]
@@ -643,19 +636,127 @@ class IVFVectorIndex:
         shadow.train(force=True)
         return shadow
 
+    _LAYOUT_ATTRS = (
+        "centroids", "centroids_exp", "slice_bias", "_slice_cluster",
+        "_slice_base", "_slice_count", "buckets_slots", "_bucket_counts",
+        "_slot_dev", "_slot_cluster", "_slot_pos", "bucket_vectors",
+        "bucket_bias", "bucket_scales", "pq", "codes", "bucket_codes",
+        "_trained_size",
+    )
+
     def install_retrained(self, cap: dict, shadow: "IVFVectorIndex") -> bool:
         """Swap the shadow's layout in under the engine lock; refuses when
         the index mutated since capture (the next maintenance tick
         retries)."""
         if self._mutations != cap["mutations"] or not shadow.trained:
             return False
+        for attr in self._LAYOUT_ATTRS:
+            setattr(self, attr, getattr(shadow, attr))
+        self._mutations += 1
+        return True
+
+    def _shadow(self) -> "IVFVectorIndex":
+        return IVFVectorIndex(
+            self.dims, metric=self.metric, precision=self.corpus.precision,
+            num_clusters=self.num_clusters_cfg, nprobe=self.nprobe,
+            pq_subspaces=self.pq_subspaces, pq_centroids=self.pq_centroids,
+            rerank_factor=self.rerank_factor,
+            min_train_size=self.min_train_size,
+            pq_residual=self.pq_residual, pq_rerank=self.pq_rerank,
+        )
+
+    # --- background compaction (same RCU pattern as the retrain) ----------
+
+    def needs_compact(self, ratio_threshold: float = 0.10) -> bool:
+        c = self.corpus
+        return (
+            self.trained
+            and c.deleted_count > 0
+            and c.deleted_ratio >= ratio_threshold
+        )
+
+    def capture_compact_state(self) -> dict:
+        """Snapshot for an off-lock compact: the device arrays are
+        immutable references; the host pk array copies (the pk->slot dict
+        rebuilds from it during the build)."""
+        from .filters import FilterColumns
+
+        c = self.corpus
+        fc = FilterColumns()
+        fc.columns = dict(c.filter_columns.columns)
+        fc.int_columns = dict(c.filter_columns.int_columns)
+        return {
+            "mutations": self._mutations,
+            "vectors": c.vectors,
+            "valid": c.valid,
+            "sq_norms": c.sq_norms,
+            "scales": c.scales,
+            "slot_pks": c._slot_pks.copy(),
+            "high": c._high,
+            "filters": fc,
+            "centroids": self.centroids,
+            "trained_size": self._trained_size,
+            "pq_book": self.pq,
+        }
+
+    def build_compacted(self, cap: dict) -> "IVFVectorIndex":
+        """Re-pack live rows + rebuild the layout against the captured
+        state, with no lock held. Mirrors DeviceCorpus.compact; the PQ
+        codebooks transfer (slices rebuild from the same centroids, so the
+        residual space is unchanged)."""
+        from ..ops.runtime import ROW_BLOCK
+
+        shadow = self._shadow()
+        sc = shadow.corpus
+        slot_pks = cap["slot_pks"]
+        live = np.flatnonzero(
+            np.asarray([pk is not None for pk in slot_pks[: cap["high"]]])
+        )
+        m = len(live)
+        gather = jnp.asarray(live, jnp.int32)
+        new_cap = max(ROW_BLOCK, round_up(max(m, 1), ROW_BLOCK))
+        vec = jnp.zeros((new_cap, sc.d_pad), sc.dtype)
+        val = jnp.zeros((new_cap,), jnp.bool_)
+        nrm = jnp.zeros((new_cap,), jnp.float32)
+        if m:
+            vec = vec.at[:m].set(cap["vectors"][gather])
+            val = val.at[:m].set(True)
+            nrm = nrm.at[:m].set(cap["sq_norms"][gather])
+        sc.vectors, sc.valid, sc.sq_norms = vec, val, nrm
+        if cap["scales"] is not None:
+            from .corpus import INT8_SCALE
+
+            scl = jnp.full((new_cap,), 1.0 / INT8_SCALE, jnp.float32)
+            if m:
+                scl = scl.at[:m].set(cap["scales"][gather])
+            sc.scales = scl
+        sc.filter_columns = cap["filters"]
+        sc.filter_columns.gather_permute(gather, new_cap)
+        pks = np.empty(new_cap, dtype=object)
+        pks[:m] = slot_pks[live]
+        sc._slot_pks = pks
+        sc._pk_slot = {pk: j for j, pk in enumerate(pks[:m])}
+        sc._free = []
+        sc._high = m
+        sc.capacity = new_cap
+        shadow.centroids = cap["centroids"]
+        shadow._trained_size = cap["trained_size"]
+        shadow.pq = cap["pq_book"]
+        if shadow.trained:
+            shadow._rebuild_buckets()
+        return shadow
+
+    def install_compacted(self, cap: dict, shadow: "IVFVectorIndex") -> bool:
+        if self._mutations != cap["mutations"]:
+            return False
+        c, scorp = self.corpus, shadow.corpus
         for attr in (
-            "centroids", "centroids_exp", "slice_bias", "_slice_cluster",
-            "_slice_base", "_slice_count", "buckets_slots", "_bucket_counts",
-            "_slot_dev", "_slot_cluster", "_slot_pos", "bucket_vectors",
-            "bucket_bias", "bucket_scales", "pq", "codes", "bucket_codes",
-            "_trained_size",
+            "vectors", "valid", "sq_norms", "scales", "_slot_pks",
+            "_pk_slot", "_free", "_high", "capacity", "filter_columns",
         ):
+            setattr(c, attr, getattr(scorp, attr))
+        c.deleted_count = 0
+        for attr in self._LAYOUT_ATTRS:
             setattr(self, attr, getattr(shadow, attr))
         self._mutations += 1
         return True
