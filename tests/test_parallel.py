@@ -182,3 +182,61 @@ class TestDriverEntrypoints:
 
         g.dryrun_multichip(8)
         g.dryrun_multichip(4)
+
+
+class TestShardedInt8:
+    def test_flat_int8_matches_f32(self, mesh, rng):
+        from tostore_tpu.parallel.sharded import ShardedFlatIndex
+
+        n, d, k = 4000, 64, 10
+        x = rng.standard_normal((n, d)).astype(np.float32) * 3  # outside [-1,1]
+        i8 = ShardedFlatIndex(d, mesh, metric="l2", dtype="int8")
+        i8.upsert(list(range(n)), x)
+        f32 = ShardedFlatIndex(d, mesh, metric="l2", dtype="float32")
+        f32.upsert(list(range(n)), x)
+        q = x[rng.integers(0, n, 6)] + rng.standard_normal((6, d)).astype(np.float32) * 0.05
+        d8, p8 = i8.search_arrays(q, k)
+        df, pf = f32.search_arrays(q, k)
+        agree = np.mean([
+            len({p for p in p8[i] if p is not None} & set(pf[i])) / k
+            for i in range(6)
+        ])
+        assert agree >= 0.9
+        assert np.max(np.abs(d8[:, 0] - df[:, 0])) < 0.5  # quant tolerance
+        # persistence dequantizes + re-quantizes cleanly
+        i8b = ShardedFlatIndex.from_state_dict(i8.state_dict(), mesh)
+        assert i8b.precision == "int8"
+        _, p8b = i8b.search_arrays(q, k)
+        assert {p for p in p8b[0] if p is not None} == {p for p in p8[0] if p is not None}
+
+    def test_sharded_ivf_int8(self, mesh, rng):
+        from tostore_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        nat, d, n, c, k = 30, 32, 6000, 16, 10
+        centers = rng.standard_normal((nat, d)).astype(np.float32) * 4
+        x = (centers[rng.integers(0, nat, n)]
+             + rng.standard_normal((n, d)) * 0.5).astype(np.float32)
+        idx = ShardedIVFIndex(d, mesh, metric="l2", dtype="int8",
+                              num_clusters=c, nprobe=6, min_train_size=100)
+        idx.upsert(list(range(n)), x)
+        assert idx.trained and idx.scales is not None
+        q = x[rng.integers(0, n, 6)]
+        d2 = np.sum((q[:, None, :] - x[None]) ** 2, axis=-1)
+        ex = np.argsort(d2, axis=1)[:, :k]
+        hits = 0
+        for bi in range(6):
+            got = {r.primary_key for r in idx.search(q[bi], top_k=k, nprobe=6)}
+            hits += len(got & set(ex[bi].tolist()))
+        assert hits / (6 * k) >= 0.8
+
+    def test_sharded_ivf_int8_pq(self, mesh, rng):
+        from tostore_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        d, n = 32, 4000
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        idx = ShardedIVFIndex(d, mesh, metric="l2", dtype="int8",
+                              num_clusters=8, nprobe=8, min_train_size=100,
+                              pq_subspaces=8)
+        idx.upsert(list(range(n)), x)
+        assert idx.pq is not None
+        assert idx.search(x[42], top_k=1, nprobe=8)[0].primary_key == 42

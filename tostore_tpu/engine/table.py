@@ -172,7 +172,7 @@ def _make_vector_index(dims: int, precision: str, idx: IndexSchema, mesh=None):
     metric = cfg.metric.kernel_name
     if mesh is not None and len(mesh.devices.flat) > 1:
         # mesh-sharded corpus (BASELINE config #5)
-        dtype = "bfloat16" if precision == "bfloat16" else "float32"
+        dtype = precision if precision in ("bfloat16", "int8") else "float32"
         if cfg.index_type.value in ("ivf", "ngh"):
             from ..parallel.sharded_ivf import ShardedIVFIndex
 

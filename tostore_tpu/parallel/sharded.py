@@ -26,17 +26,22 @@ from .mesh import corpus_sharding, replicated, shard_count
 
 
 @functools.partial(jax.jit, static_argnames=("k", "alpha", "mesh", "mode"))
-def sharded_flat_topk(q, corpus, bias, *, k: int, alpha: float = 1.0, mesh, mode: str = "auto"):
+def sharded_flat_topk(q, corpus, bias, *, k: int, alpha: float = 1.0, mesh,
+                      mode: str = "auto", row_scale=None):
     """q: [B, D] sharded over dp; corpus: [N, D] sharded over shard;
-    bias: [N]. Returns (scores [B, k], global idx [B, k]) sharded over dp,
-    replicated over shard."""
+    bias: [N]; row_scale: optional [N] per-row dequant factors (per-vector
+    int8) sharded over shard. Returns (scores [B, k], global idx [B, k])
+    sharded over dp, replicated over shard."""
     n = corpus.shape[0]
     nsh = shard_count(mesh)
     n_local = n // nsh
 
-    def local(qb, c, b):
+    def local(qb, c, b, sc):
         b = b.reshape(-1)
-        s, i = T.flat_search(qb, c, b, k=min(k, n_local), alpha=alpha, mode=mode)
+        rs = sc.reshape(-1) if row_scale is not None else None
+        s, i = T.flat_search(
+            qb, c, b, k=min(k, n_local), alpha=alpha, mode=mode, row_scale=rs
+        )
         if s.shape[1] < k:
             pad = k - s.shape[1]
             s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=NEG_INF)
@@ -53,22 +58,26 @@ def sharded_flat_topk(q, corpus, bias, *, k: int, alpha: float = 1.0, mesh, mode
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("dp", None), P("shard", None), P("shard")),
+        in_specs=(P("dp", None), P("shard", None), P("shard"), P("shard")),
         out_specs=(P("dp", None), P("dp", None)),
         check_vma=False,
     )
-    return fn(q, corpus, bias)
+    sc_arg = row_scale if row_scale is not None else bias  # unused placeholder
+    return fn(q, corpus, bias, sc_arg)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh",))
-def sharded_kmeans_step(x, centroids, valid, *, mesh):
+def sharded_kmeans_step(x, centroids, valid, scales=None, *, mesh):
     """One data-parallel Lloyd iteration: x [N, D] sharded over
-    (dp, shard) jointly; centroids [K, D] replicated; valid [N] bool.
+    (dp, shard) jointly; centroids [K, D] replicated; valid [N] bool;
+    scales: optional [N] per-row dequant factors (int8 corpora).
     Returns new centroids (replicated)."""
     k = centroids.shape[0]
 
-    def local(xl, c, vl):
+    def local(xl, c, vl, sc):
         vl = vl.reshape(-1)
+        if scales is not None:  # dequantize int8 rows into true space
+            xl = xl * sc.reshape(-1)[:, None]
         d2 = (
             jnp.sum(xl * xl, axis=1, keepdims=True)
             - 2.0 * jnp.dot(xl, c.T, preferred_element_type=jnp.float32)
@@ -85,11 +94,15 @@ def sharded_kmeans_step(x, centroids, valid, *, mesh):
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(("dp", "shard"), None), P(), P(("dp", "shard"))),
+        in_specs=(
+            P(("dp", "shard"), None), P(), P(("dp", "shard")),
+            P(("dp", "shard")),
+        ),
         out_specs=P(),
         check_vma=False,
     )
-    return fn(x.astype(jnp.float32), centroids, valid)
+    sc_arg = scales if scales is not None else valid  # unused placeholder
+    return fn(x.astype(jnp.float32), centroids, valid, sc_arg)
 
 
 class ShardedFlatIndex:
@@ -109,13 +122,16 @@ class ShardedFlatIndex:
         self.mesh = mesh
         self.dims = dims
         self.d_pad = round_up(max(dims, 128), 128)
-        self.dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype]
+        self.dtype = {
+            "float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8,
+        }[dtype]
         self.nsh = shard_count(mesh)
         self.block = ROW_BLOCK * self.nsh  # capacity granularity
         self.capacity = 0
         self.vectors = None  # [cap, d_pad] sharded over shard axis
         self.valid = None  # [cap] bool
         self.sq_norms = None  # [cap] f32
+        self.scales = None  # [cap] f32 per-row dequant factors (int8 only)
         self._slot_pks = np.empty(0, dtype=object)
         self._pk_slot: dict = {}
         # per-shard next free position (round-robin fill keeps stripes even)
@@ -145,6 +161,10 @@ class ShardedFlatIndex:
         vec = jnp.zeros((new_cap, self.d_pad), self.dtype, device=sh)
         val = jnp.zeros((new_cap,), jnp.bool_, device=sh1)
         nrm = jnp.zeros((new_cap,), jnp.float32, device=sh1)
+        scl = (
+            jnp.full((new_cap,), 1.0, jnp.float32, device=sh1)
+            if self.dtype == jnp.int8 else None
+        )
         if self.capacity:
             # re-stripe old shard regions into the new layout
             old_rps = rps
@@ -157,6 +177,8 @@ class ShardedFlatIndex:
                 vec = jax.lax.dynamic_update_slice(vec, self.vectors[src], (dst, 0))
                 val = jax.lax.dynamic_update_slice(val, self.valid[src], (dst,))
                 nrm = jax.lax.dynamic_update_slice(nrm, self.sq_norms[src], (dst,))
+                if scl is not None:
+                    scl = jax.lax.dynamic_update_slice(scl, self.scales[src], (dst,))
             pks = np.empty(new_cap, dtype=object)
             old_pk_slot = {}
             for s in range(self.nsh):
@@ -171,6 +193,7 @@ class ShardedFlatIndex:
         else:
             self._slot_pks = np.empty(new_cap, dtype=object)
         self.vectors, self.valid, self.sq_norms = vec, val, nrm
+        self.scales = scl
         self.capacity = new_cap
 
     def upsert(self, pks, raw: np.ndarray, _prepped: np.ndarray | None = None):
@@ -199,9 +222,21 @@ class ShardedFlatIndex:
                 self._slot_pks[slot] = pk
             slots[j] = slot
         idx = jnp.asarray(slots, jnp.int32)
-        self.vectors = self.vectors.at[idx].set(jnp.asarray(x).astype(self.dtype))
+        if self.dtype == jnp.int8:
+            # per-vector quantization (same rule as DeviceCorpus._prepare)
+            amax = np.max(np.abs(x), axis=1)
+            dq = np.where(amax > 0, amax / 127.0, 1.0 / 127.0).astype(np.float32)
+            enc = np.clip(np.round(x / dq[:, None]), -127, 127).astype(np.int8)
+            self.vectors = self.vectors.at[idx].set(jnp.asarray(enc))
+            self.scales = self.scales.at[idx].set(jnp.asarray(dq))
+            deq = enc.astype(np.float32) * dq[:, None]
+            self.sq_norms = self.sq_norms.at[idx].set(
+                jnp.asarray(np.sum(deq * deq, axis=1))
+            )
+        else:
+            self.vectors = self.vectors.at[idx].set(jnp.asarray(x).astype(self.dtype))
+            self.sq_norms = self.sq_norms.at[idx].set(jnp.asarray(np.sum(x * x, axis=1)))
         self.valid = self.valid.at[idx].set(True)
-        self.sq_norms = self.sq_norms.at[idx].set(jnp.asarray(np.sum(x * x, axis=1)))
         return slots
 
     def delete(self, pks) -> int:
@@ -225,6 +260,8 @@ class ShardedFlatIndex:
 
     @property
     def precision(self) -> str:
+        if self.dtype == jnp.int8:
+            return "int8"
         return "bfloat16" if self.dtype == jnp.bfloat16 else "float32"
 
     @property
@@ -261,11 +298,13 @@ class ShardedFlatIndex:
     def state_dict(self) -> dict:
         live_pks = list(self._pk_slot)
         slots = self.slots_for_pks(live_pks)
-        vecs = (
-            np.asarray(self.vectors[jnp.asarray(slots, jnp.int32)])
-            if live_pks
-            else np.zeros((0, self.d_pad), np.float32)
-        )
+        if live_pks:
+            idxs = jnp.asarray(slots, jnp.int32)
+            vecs = np.asarray(self.vectors[idxs], np.float32)
+            if self.dtype == jnp.int8:  # persist dequantized storage rows
+                vecs = vecs * np.asarray(self.scales[idxs])[:, None]
+        else:
+            vecs = np.zeros((0, self.d_pad), np.float32)
         return {
             "type": "sharded_flat",
             "metric": self.metric,
@@ -342,7 +381,10 @@ class ShardedFlatIndex:
             valid = jnp.logical_and(valid, jnp.asarray(slot_mask))
         bias = D.make_bias(self.metric, norms, valid)
         alpha = D.metric_alpha(self.metric)
-        scores, idx = sharded_flat_topk(qj, self.vectors, bias, k=k, alpha=alpha, mesh=self.mesh)
+        scores, idx = sharded_flat_topk(
+            qj, self.vectors, bias, k=k, alpha=alpha, mesh=self.mesh,
+            row_scale=self.scales,
+        )
         scores = scores[:b]
         idx = idx[:b]
         dists = np.array(D.scores_to_distances(self.metric, scores, qsq), np.float32)

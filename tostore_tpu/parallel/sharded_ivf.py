@@ -27,26 +27,30 @@ from .mesh import query_sharding, shard_count
 from .sharded import ShardedFlatIndex, sharded_kmeans_step
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "l2", "mesh"))
-def _sharded_ivf_assign(vectors, valid, centroids, *, chunk: int, l2: bool, mesh):
+@functools.partial(jax.jit, static_argnames=("chunk", "l2", "has_scales", "mesh"))
+def _sharded_ivf_assign(vectors, valid, centroids, scales,
+                        *, chunk: int, l2: bool, has_scales: bool, mesh):
     """Per-shard nearest-centroid assignment in one dispatch. Returns
     (assign [capT] i32 sharded, counts [nsh, C] i32 per-shard first-choice
-    bincounts)."""
+    bincounts). `scales` dequantizes int8 stripes (pass `valid` as the
+    placeholder when has_scales is False)."""
 
-    def local(v, va, c):
+    def local(v, va, c, sc):
         choices, counts = _ivf_assign_device(
-            v, va.reshape(-1), c, chunk=chunk, l2=l2
+            v, va.reshape(-1), c,
+            sc.reshape(-1) if has_scales else None,
+            chunk=chunk, l2=l2,
         )
         return choices[:, 0], counts[None, :]
 
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("shard", None), P("shard"), P()),
+        in_specs=(P("shard", None), P("shard"), P(), P("shard")),
         out_specs=(P("shard"), P("shard", None)),
         check_vma=False,
     )
-    return fn(vectors, valid, centroids)
+    return fn(vectors, valid, centroids, scales)
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "c_exp", "mesh"))
@@ -75,10 +79,12 @@ def _sharded_ivf_place(assign, valid, base, *, cap: int, c_exp: int, mesh):
     return fn(assign, valid, base)
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "k", "mesh"))
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "k", "has_scales", "mesh")
+)
 def _sharded_ivf_probe(
-    q, centroids, slice_bias, buckets, vectors, valid, sq_norms, alpha,
-    *, nprobe: int, k: int, mesh
+    q, centroids, slice_bias, buckets, vectors, scales, valid, sq_norms,
+    alpha, *, nprobe: int, k: int, has_scales: bool, mesh
 ):
     """q [B, Dp] sharded over dp; centroids [C_exp, Dp] slice-expanded,
     replicated; slice_bias [C_exp] replicated (NEG_INF on padding slices);
@@ -88,9 +94,10 @@ def _sharded_ivf_probe(
     cap = buckets.shape[1]
     rps = vectors.shape[0] // nsh
 
-    def local(qb, cents, sbias, bk, vl, va, nrm):
+    def local(qb, cents, sbias, bk, vl, sc, va, nrm):
         va = va.reshape(-1)
         nrm = nrm.reshape(-1)
+        scl = sc.reshape(-1) if has_scales else None
         cs = jnp.dot(qb, cents.T, preferred_element_type=jnp.float32)
         if sq_norms is not None:
             cn = jnp.sum(cents * cents, axis=1)
@@ -107,6 +114,8 @@ def _sharded_ivf_probe(
             s = alpha * jnp.dot(
                 vecs, qv.astype(vecs.dtype), preferred_element_type=jnp.float32
             )
+            if scl is not None:
+                s = s * scl[safe]
             if sq_norms is not None:
                 s = s - nrm[safe]
             ok = jnp.logical_and(slots >= 0, va[safe])
@@ -133,23 +142,26 @@ def _sharded_ivf_probe(
         mesh=mesh,
         in_specs=(
             P("dp", None), P(), P(), P("shard", None), P("shard", None),
-            P("shard"), P("shard"),
+            P("shard"), P("shard"), P("shard"),
         ),
         out_specs=(P("dp", None), P("dp", None)),
         check_vma=False,
     )
     nrm_arg = sq_norms if sq_norms is not None else jnp.zeros(vectors.shape[0], jnp.float32)
-    return fn(q, centroids, slice_bias, buckets, vectors, valid, nrm_arg)
+    return fn(q, centroids, slice_bias, buckets, vectors, scales, valid, nrm_arg)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nprobe", "k", "rerank", "adc_metric", "dims", "mesh"),
+    static_argnames=(
+        "nprobe", "k", "rerank", "adc_metric", "dims", "has_scales", "mesh",
+    ),
 )
 def _sharded_ivf_probe_pq(
-    q, centroids, slice_bias, buckets, codes, codebooks, vectors, valid,
-    sq_norms, alpha,
-    *, nprobe: int, k: int, rerank: int, adc_metric: str, dims: int, mesh
+    q, centroids, slice_bias, buckets, codes, codebooks, vectors, scales,
+    valid, sq_norms, alpha,
+    *, nprobe: int, k: int, rerank: int, adc_metric: str, dims: int,
+    has_scales: bool, mesh
 ):
     """Residual-PQ probe over the mesh (IVFADC per shard): every shard
     builds its per-(query, probe) residual ADC tables from the REPLICATED
@@ -165,9 +177,10 @@ def _sharded_ivf_probe_pq(
     rps = vectors.shape[0] // nsh
     m = codebooks.shape[0]
 
-    def local(qb, cents, sbias, bk, cd, cbs, vl, va, nrm):
+    def local(qb, cents, sbias, bk, cd, cbs, vl, sc, va, nrm):
         va = va.reshape(-1)
         nrm = nrm.reshape(-1)
+        scl = sc.reshape(-1) if has_scales else None
         cs = jnp.dot(qb, cents.T, preferred_element_type=jnp.float32)
         if sq_norms is not None:
             cn = jnp.sum(cents * cents, axis=1)
@@ -201,6 +214,8 @@ def _sharded_ivf_probe_pq(
             s = alpha * jnp.dot(
                 vecs, qv.astype(vecs.dtype), preferred_element_type=jnp.float32
             )
+            if scl is not None:
+                s = s * scl[csafe]
             if sq_norms is not None:
                 s = s - nrm[csafe]
             okc = jnp.logical_and(cand >= 0, va[csafe])
@@ -227,14 +242,14 @@ def _sharded_ivf_probe_pq(
         mesh=mesh,
         in_specs=(
             P("dp", None), P(), P(), P("shard", None), P("shard", None),
-            P(), P("shard", None), P("shard"), P("shard"),
+            P(), P("shard", None), P("shard"), P("shard"), P("shard"),
         ),
         out_specs=(P("dp", None), P("dp", None)),
         check_vma=False,
     )
     nrm_arg = sq_norms if sq_norms is not None else jnp.zeros(vectors.shape[0], jnp.float32)
     return fn(q, centroids, slice_bias, buckets, codes, codebooks, vectors,
-              valid, nrm_arg)
+              scales, valid, nrm_arg)
 
 
 class ShardedIVFIndex(ShardedFlatIndex):
@@ -298,12 +313,16 @@ class ShardedIVFIndex(ShardedFlatIndex):
         )
         slots = self.slots_for_pks(sample_pks)
         x = self.vectors[jnp.asarray(slots, jnp.int32)].astype(jnp.float32)
+        if self.scales is not None:
+            x = x * self.scales[jnp.asarray(slots, jnp.int32)][:, None]
         num_c = min(num_c, len(sample_pks))
         init = rng.choice(len(sample_pks), num_c, replace=False)
         cents = x[jnp.asarray(init, jnp.int32)]
         # data-parallel Lloyd over the FULL sharded corpus
         for _ in range(10):
-            cents = sharded_kmeans_step(self.vectors, cents, self.valid, mesh=self.mesh)
+            cents = sharded_kmeans_step(
+                self.vectors, cents, self.valid, self.scales, mesh=self.mesh
+            )
         self.centroids = jax.device_put(cents, NamedSharding(self.mesh, P()))
         self._trained_size = n
         self.pq = None  # stale codebooks must not encode the new layout
@@ -327,7 +346,10 @@ class ShardedIVFIndex(ShardedFlatIndex):
         if self.capacity == 0:
             self.codes = None
             return
-        v = self.vectors.astype(jnp.float32)[:, : self.dims]
+        v = self.vectors.astype(jnp.float32)
+        if self.scales is not None:
+            v = v * self.scales[:, None]
+        v = v[:, : self.dims]
         v = v - self.centroids_exp[jnp.maximum(self.slot_slice, 0), : self.dims]
         self.codes = pq_encode(self.pq.codebooks, v)
 
@@ -350,6 +372,8 @@ class ShardedIVFIndex(ShardedFlatIndex):
         for a in range(0, len(slots), 65536):
             chunk = slots[a : a + 65536]
             v = self.vectors[jnp.asarray(chunk, jnp.int32)].astype(jnp.float32)
+            if self.scales is not None:
+                v = v * self.scales[jnp.asarray(chunk, jnp.int32)][:, None]
             s = jnp.dot(v, self.centroids.T, preferred_element_type=jnp.float32)
             if self.metric == "l2":
                 cn = jnp.sum(self.centroids * self.centroids, axis=1)
@@ -407,7 +431,9 @@ class ShardedIVFIndex(ShardedFlatIndex):
             return
         assign, counts = _sharded_ivf_assign(
             self.vectors, self.valid, self.centroids,
-            chunk=min(65536, rps), l2=(self.metric == "l2"), mesh=self.mesh,
+            self.scales if self.scales is not None else self.valid,
+            chunk=min(65536, rps), l2=(self.metric == "l2"),
+            has_scales=self.scales is not None, mesh=self.mesh,
         )
         counts_np = np.asarray(counts, np.int64)  # [nsh, C]
         nsl = np.maximum(1, -(-counts_np.max(axis=0) // cap))
@@ -464,7 +490,10 @@ class ShardedIVFIndex(ShardedFlatIndex):
             from ..vector.pq import pq_encode
 
             idxs = jnp.asarray(slots, jnp.int32)
-            v = self.vectors[idxs].astype(jnp.float32)[:, : self.dims]
+            v = self.vectors[idxs].astype(jnp.float32)
+            if self.scales is not None:
+                v = v * self.scales[idxs][:, None]
+            v = v[:, : self.dims]
             v = v - self.centroids_exp[
                 jnp.asarray(np.maximum(local_slice, 0), jnp.int32), : self.dims
             ]
@@ -535,21 +564,24 @@ class ShardedIVFIndex(ShardedFlatIndex):
         alpha = D.metric_alpha(self.metric)
         sqn = self.sq_norms if self.metric == "l2" else None
         np_probe = min(int(nprobe or self.nprobe), self.centroids_exp.shape[0])
+        sc_arg = self.scales if self.scales is not None else self.valid
         if self.pq is not None and self.codes is not None:
             pq_rr = self.pq_rerank or max(self.rerank_factor * k, 16 * k, 64)
             scores, idx = _sharded_ivf_probe_pq(
                 qj, self.centroids_exp, self.slice_bias, self.buckets,
-                self.codes, self.pq.codebooks, self.vectors, valid, sqn,
-                alpha,
+                self.codes, self.pq.codebooks, self.vectors, sc_arg, valid,
+                sqn, alpha,
                 nprobe=np_probe, k=k, rerank=pq_rr,
                 adc_metric="dot" if self.metric == "dot" else "l2",
-                dims=self.dims, mesh=self.mesh,
+                dims=self.dims, has_scales=self.scales is not None,
+                mesh=self.mesh,
             )
         else:
             scores, idx = _sharded_ivf_probe(
                 qj, self.centroids_exp, self.slice_bias, self.buckets,
-                self.vectors, valid, sqn, alpha,
-                nprobe=np_probe, k=k, mesh=self.mesh,
+                self.vectors, sc_arg, valid, sqn, alpha,
+                nprobe=np_probe, k=k, has_scales=self.scales is not None,
+                mesh=self.mesh,
             )
         scores = scores[:b]
         idx = idx[:b]
