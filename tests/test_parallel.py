@@ -240,3 +240,19 @@ class TestShardedInt8:
         idx.upsert(list(range(n)), x)
         assert idx.pq is not None
         assert idx.search(x[42], top_k=1, nprobe=8)[0].primary_key == 42
+
+    def test_int8_compact_preserves_scales(self, mesh, rng):
+        # review regression: compact re-quantized raw int8 codes as if they
+        # were true values, resetting every per-vector scale to ~1.0
+        from tostore_tpu.parallel.sharded import ShardedFlatIndex
+
+        n, d = 2000, 32
+        x = rng.standard_normal((n, d)).astype(np.float32) * 3
+        idx = ShardedFlatIndex(d, mesh, metric="l2", dtype="int8")
+        idx.upsert(list(range(n)), x)
+        idx.delete(list(range(500)))
+        d0, p0 = idx.search_arrays(x[1000], k=1)
+        assert p0[0][0] == 1000 and d0[0][0] < 3.0
+        idx.compact()
+        d1, p1 = idx.search_arrays(x[1000], k=1)
+        assert p1[0][0] == 1000 and d1[0][0] < 3.0

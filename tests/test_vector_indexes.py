@@ -610,3 +610,54 @@ class TestBackgroundCompaction:
             assert hit.primary_key == 501
         finally:
             db.close()
+
+    def test_filter_update_invalidates_inflight_build(self):
+        # review regression: a filter-only record update flushed during an
+        # off-lock compaction build must invalidate the capture (the
+        # swapped-in filter columns would otherwise predate the update)
+        from tostore_tpu import ToStoreTPU, QueryCondition
+        from tostore_tpu.models.schema import (
+            DataType, FieldSchema, IndexSchema, TableSchema,
+            VectorFieldConfig, VectorIndexConfig,
+        )
+
+        schema = TableSchema(
+            name="docs",
+            fields=(
+                FieldSchema("views", DataType.integer),
+                FieldSchema("emb", DataType.vector,
+                            vector_config=VectorFieldConfig(dimensions=8)),
+            ),
+            indexes=(IndexSchema(fields=("emb",), type="vector",
+                                 vector_config=VectorIndexConfig(
+                                     index_type="ivf", metric="l2",
+                                     num_clusters=8, nprobe=8)),),
+        )
+        db = ToStoreTPU.memory(schemas=[schema])
+        try:
+            rng = np.random.default_rng(2)
+            x = rng.standard_normal((600, 8)).astype(np.float32)
+            db.batch_insert("docs", [
+                {"id": i + 1, "views": 0, "emb": x[i].tolist()}
+                for i in range(600)
+            ])
+            db.vector_search("docs", "emb", x[0], top_k=1)  # flush + train
+            for pk in range(1, 100):
+                db.delete_by_pk("docs", pk)
+            db.vector_search("docs", "emb", x[0], top_k=1)  # flush deletes
+            t = [v for k, v in db.engine._tables.items() if k[1] == "docs"][0]
+            vi = next(iter(t.vector_indexes.values()))
+            cap = vi.capture_compact_state()
+            shadow = vi.build_compacted(cap)
+            # concurrent filter-only update + flush while the build ran
+            db.update_by_pk("docs", 500, {"views": 9})
+            db.vector_search("docs", "emb", x[0], top_k=1)  # flush filters
+            assert not vi.install_compacted(cap, shadow)  # stale capture
+            # the filter value survived and hybrid search sees it
+            res = db.vector_search(
+                "docs", "emb", x[499], top_k=1,
+                condition=QueryCondition().where("views", "=", 9),
+            )
+            assert res and res[0].primary_key == 500
+        finally:
+            db.close()

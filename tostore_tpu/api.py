@@ -285,16 +285,30 @@ class DbStatus:
         return self._db.resources.status()
 
     def config(self) -> dict:
-        return self._db.status()["config"]
+        from tostore_tpu.models.config import IsolationLevel
+
+        cfg = self._db.config
+        return {
+            "db_path": cfg.db_path,
+            "db_name": cfg.db_name,
+            "memory_mode": cfg.memory_mode,
+            "isolation_level": cfg.isolation_level,
+            "effective_isolation": (
+                "serializable (read+write-set validation)"
+                if cfg.isolation_level == IsolationLevel.serializable
+                else "readCommitted"
+            ),
+            "encryption": cfg.encryption.enable_encoding,
+        }
 
     def space(self, name: str | None = None) -> dict:
-        """Tables + record counts of one space (reference space_info.dart)."""
+        """Tables + record counts of one space (reference space_info.dart)
+        — computed directly, without the full report's resource probes."""
         name = name or self._db.current_space
-        full = self._db.status()["tables"]
         tables = {
-            k.split("/", 1)[1]: v
-            for k, v in full.items()
-            if k.split("/", 1)[0] == name
+            tname: {"records": len(t.store)}
+            for (sp, tname), t in self._db._tables.items()
+            if sp == name and not tname.startswith("_system_")
         }
         return {"space": name, "tables": tables,
                 "record_count": sum(t["records"] for t in tables.values())}

@@ -2199,6 +2199,9 @@ class Database:
                 with self._lock:
                     if vi.install_retrained(cap, shadow):
                         done += 1
+                        self._counters["background_retrains"] = (
+                            self._counters.get("background_retrains", 0) + 1
+                        )
             else:
                 shadow = vi.build_compacted(cap)  # off-lock
                 with self._lock:
@@ -2207,10 +2210,6 @@ class Database:
                         self._counters["background_compactions"] = (
                             self._counters.get("background_compactions", 0) + 1
                         )
-        if done:
-            self._counters["background_retrains"] = (
-                self._counters.get("background_retrains", 0) + done
-            )
         return done
 
     # ------------------------------------------------------------- status

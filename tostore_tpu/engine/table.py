@@ -634,6 +634,10 @@ class Table:
                         else "float"
                     )
                     fc.update(fname, np.asarray(s, np.int64), v, c.capacity, kind=kind)
+                if by_field and hasattr(idx, "_mutations"):
+                    # filter columns are part of the corpus an off-lock
+                    # rebuild captures: invalidate in-flight RCU builds
+                    idx._mutations += 1
                 fpend.clear()
 
     def vector_index_for(self, field: str):
@@ -740,7 +744,10 @@ def _index_from_state(vs: dict, mesh=None):
                 vecs = vecs * np.asarray(sc, np.float32)[:, None]
             else:  # legacy global value/127 rule
                 vecs = vecs / 127.0
-        dtype = "bfloat16" if cs["precision"] == "bfloat16" else "float32"
+        dtype = (
+            cs["precision"]
+            if cs["precision"] in ("bfloat16", "int8") else "float32"
+        )
         if vtype == "ivf":
             sh = ShardedIVFIndex(
                 cs["dims"], mesh, vs["metric"], dtype,
@@ -809,4 +816,7 @@ def _index_from_state(vs: dict, mesh=None):
             )
         return flat
     cls = IVFVectorIndex if vtype == "ivf" else FlatVectorIndex
-    return cls.from_state_dict(vs)
+    idx = cls.from_state_dict(vs)
+    if isinstance(idx, IVFVectorIndex):
+        idx.defer_retrain = True  # engine-owned: background maintenance
+    return idx

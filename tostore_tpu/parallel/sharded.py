@@ -223,10 +223,9 @@ class ShardedFlatIndex:
             slots[j] = slot
         idx = jnp.asarray(slots, jnp.int32)
         if self.dtype == jnp.int8:
-            # per-vector quantization (same rule as DeviceCorpus._prepare)
-            amax = np.max(np.abs(x), axis=1)
-            dq = np.where(amax > 0, amax / 127.0, 1.0 / 127.0).astype(np.float32)
-            enc = np.clip(np.round(x / dq[:, None]), -127, 127).astype(np.int8)
+            from ..vector.corpus import quantize_int8
+
+            enc, dq = quantize_int8(x)
             self.vectors = self.vectors.at[idx].set(jnp.asarray(enc))
             self.scales = self.scales.at[idx].set(jnp.asarray(dq))
             deq = enc.astype(np.float32) * dq[:, None]
@@ -279,7 +278,12 @@ class ShardedFlatIndex:
             self.__init__(self.dims, self.mesh, self.metric, self.precision)
             return
         slots = self.slots_for_pks(live_pks)
-        vecs = np.asarray(self.vectors[jnp.asarray(slots, jnp.int32)], np.float32)
+        idxs = jnp.asarray(slots, jnp.int32)
+        vecs = np.asarray(self.vectors[idxs], np.float32)
+        if self.dtype == jnp.int8:
+            # dequantize: _prepped rows must be TRUE storage-space values
+            # (re-quantization resets the per-vector scales otherwise)
+            vecs = vecs * np.asarray(self.scales[idxs])[:, None]
         fcols = self.filter_columns.gather_host(slots)
         metric, mesh, dims, prec = self.metric, self.mesh, self.dims, self.precision
         self.__init__(dims, mesh, metric, prec)

@@ -47,6 +47,16 @@ _DTYPES = {
 INT8_SCALE = 127.0
 
 
+def quantize_int8(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-vector int8 quantization: (codes int8, dequant factors f32) with
+    scale_i = max|x_i|/INT8_SCALE (1/INT8_SCALE for all-zero rows). The ONE
+    implementation shared by DeviceCorpus and the mesh-sharded indexes."""
+    amax = np.max(np.abs(x), axis=1)
+    dq = np.where(amax > 0, amax / INT8_SCALE, 1.0 / INT8_SCALE).astype(np.float32)
+    enc = np.clip(np.round(x / dq[:, None]), -INT8_SCALE, INT8_SCALE).astype(np.int8)
+    return enc, dq
+
+
 class DeviceCorpus:
     """Mutable [capacity, D_pad] device matrix with tombstones and PK map."""
 
@@ -132,12 +142,7 @@ class DeviceCorpus:
         if self.d_pad != self.dims:
             x = np.pad(x, ((0, 0), (0, self.d_pad - self.dims)))
         if self.precision == "int8":
-            amax = np.max(np.abs(x), axis=1)
-            dq = np.where(amax > 0, amax / INT8_SCALE, 1.0 / INT8_SCALE)
-            enc = np.clip(
-                np.round(x / dq[:, None]), -INT8_SCALE, INT8_SCALE
-            ).astype(np.int8)
-            return enc, dq.astype(np.float32)
+            return quantize_int8(x)
         return x, None
 
     def _stored_sq_norms(self, enc: np.ndarray, dq: np.ndarray | None) -> np.ndarray:
