@@ -167,6 +167,87 @@ class TestBatchOps:
         rows = {r["username"]: r for r in db.query("users").fetch()}
         assert rows["alice"]["age"] == 2 and rows["bob"]["age"] == 3
 
+    def test_batch_update_fast_path(self, db):
+        # uniform, expression-free, non-unique fields -> columnar path
+        db.batch_insert("users", [
+            {"id": i + 1, "username": f"u{i}", "age": i % 100}
+            for i in range(200)
+        ])
+        r = db.batch_update("users", [
+            {"id": i + 1, "age": (i % 100) + 1, "balance": float(i)}
+            for i in range(200)
+        ])
+        assert r.is_success and len(r.success_keys) == 200
+        rec = db.get_by_pk("users", 50)
+        assert rec["age"] == (49 % 100) + 1 and rec["balance"] == 49.0
+        # index on age stays consistent (generation-invalidated)
+        assert db.query("users").where("age", "=", 100).count() == 2
+        assert db.engine.timings().get("batch_update", {}).get("count", 0) >= 1
+
+    def test_batch_update_partial_and_missing(self, db):
+        db.batch_insert("users", [
+            {"id": i + 1, "username": f"u{i}", "age": 1} for i in range(5)
+        ])
+        r = db.batch_update("users", [
+            {"id": 1, "age": 7},
+            {"id": 999, "age": 8},          # missing pk
+            {"id": 2, "age": 500},          # out of bounds (max 200)
+        ])
+        assert r.is_partial
+        assert r.success_keys == [1]
+        assert set(r.failed_keys) == {999, 2}
+        assert db.get_by_pk("users", 1)["age"] == 7
+        assert db.get_by_pk("users", 2)["age"] == 1  # unchanged
+
+    def test_batch_update_unique_field_general_path(self, db):
+        db.batch_insert("users", [
+            {"id": i + 1, "username": f"u{i}"} for i in range(4)
+        ])
+        # unique-field updates must maintain the unique maps (general path)
+        r = db.batch_update("users", [
+            {"id": 1, "username": "w0"}, {"id": 2, "username": "w1"},
+        ])
+        assert r.is_success
+        # old values released, new values claimed
+        assert db.insert("users", {"username": "u0"}).is_success
+        assert not db.insert("users", {"username": "w0"}).is_success
+
+    def test_batch_update_durable(self, tmp_path):
+        db = ToStoreTPU.open(str(tmp_path), schemas=[users_schema()])
+        db.batch_insert("users", [
+            {"id": i + 1, "username": f"u{i}", "age": 1} for i in range(50)
+        ])
+        r = db.batch_update("users", [
+            {"id": i + 1, "age": 9} for i in range(50)
+        ])
+        assert r.is_success
+        db.engine._wal.close()  # crash: no final checkpoint
+        db2 = ToStoreTPU.open(str(tmp_path), schemas=[users_schema()])
+        assert db2.get_by_pk("users", 25)["age"] == 9  # WAL replay applied
+        db2.close()
+
+    def test_batch_upsert_fast_split(self, db):
+        db.batch_insert("users", [
+            {"id": i + 1, "username": f"u{i}", "age": 1} for i in range(3)
+        ])
+        r = db.batch_upsert("users", [
+            {"id": 2, "age": 42},             # existing -> columnar update
+            {"id": 10, "username": "nn", "age": 5},  # new -> columnar insert
+        ])
+        assert r.is_success and set(r.success_keys) == {2, 10}
+        assert db.get_by_pk("users", 2)["age"] == 42
+        assert db.get_by_pk("users", 10)["username"] == "nn"
+
+    def test_batch_update_notifies_watchers(self, db):
+        db.batch_insert("users", [
+            {"id": i + 1, "username": f"u{i}", "age": 1} for i in range(3)
+        ])
+        got = []
+        db.watch("users", callback=got.append)
+        db.batch_update("users", [{"id": 1, "age": 2}, {"id": 2, "age": 3}])
+        assert [e.type for e in got] == ["update", "update"]
+        assert got[0].record["age"] == 2
+
 
 class TestQueries:
     def setup_rows(self, db, n=20):

@@ -194,3 +194,76 @@ class TestShardedEngine:
         assert idx.deleted_count == 0 and len(idx) == 90
         hit = db.vector_search("docs", "emb", vecs[99], top_k=1)[0]
         assert hit.primary_key == 100
+
+
+class TestShardedEngineMaintenance:
+    """Engine-level background maintenance over mesh indexes: the 4x-growth
+    retrain and tombstone compaction run through run_vector_maintenance
+    (off-lock RCU), never inline on the write path."""
+
+    def _ivf_db(self):
+        from tostore_tpu.models.schema import VectorIndexConfig, VectorIndexType
+        import dataclasses
+
+        schema = dataclasses.replace(
+            docs_schema(16),
+            indexes=(
+                IndexSchema(
+                    fields=("emb",), type="vector",
+                    vector_config=VectorIndexConfig(
+                        index_type=VectorIndexType.ivf, num_clusters=8,
+                        nprobe=8,
+                    ),
+                ),
+            ),
+        )
+        return ToStoreTPU(DataStoreConfig(mesh_shape=(2, 4)), schemas=[schema])
+
+    def test_background_retrain(self, rng):
+        db = self._ivf_db()
+        try:
+            x = rng.standard_normal((2400, 16)).astype(np.float32)
+            vi = db.engine._table("docs").vector_indexes["emb"]
+            assert vi.index_type == "sharded_ivf"
+            vi.min_train_size = 100  # train on the small initial batch
+            db.batch_insert("docs", [
+                {"title": f"d{i}", "emb": x[i].tolist()} for i in range(300)
+            ])
+            db.vector_search("docs", "emb", x[0], top_k=1)  # flush + train
+            assert vi.defer_retrain and vi.trained
+            db.batch_insert("docs", [
+                {"title": f"d{i}", "emb": x[i].tolist()}
+                for i in range(300, 2400)
+            ])
+            db.vector_search("docs", "emb", x[0], top_k=1)  # flush, no stall
+            assert vi.needs_retrain()
+            assert db.engine.run_vector_maintenance() == 1
+            assert not vi.needs_retrain()
+            assert db.engine._counters["background_retrains"] == 1
+            hit = db.vector_search("docs", "emb", x[1234], top_k=1)[0]
+            assert hit.primary_key == 1235
+        finally:
+            db.close()
+
+    def test_background_compaction(self, rng):
+        db = self._ivf_db()
+        try:
+            x = rng.standard_normal((800, 16)).astype(np.float32)
+            vi0 = db.engine._table("docs").vector_indexes["emb"]
+            vi0.min_train_size = 100  # train on the small initial batch
+            db.batch_insert("docs", [
+                {"title": f"d{i}", "emb": x[i].tolist()} for i in range(800)
+            ])
+            db.vector_search("docs", "emb", x[0], top_k=1)
+            for pk in range(1, 300):
+                db.delete_by_pk("docs", pk)
+            db.vector_search("docs", "emb", x[0], top_k=1)  # flush deletes
+            vi = db.engine._table("docs").vector_indexes["emb"]
+            assert vi.needs_compact(0.10)
+            assert db.engine.run_vector_maintenance() == 1
+            assert vi.deleted_count == 0
+            assert db.engine._counters["background_compactions"] == 1
+            hit = db.vector_search("docs", "emb", x[500], top_k=1)[0]
+            assert hit.primary_key == 501
+        finally:
+            db.close()

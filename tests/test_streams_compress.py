@@ -65,6 +65,44 @@ class TestWatchStreams:
         assert [e.record["v"] for e in out] == [1, 2]
         db.close()
 
+    def test_cancelled_async_consumer_releases_thread(self):
+        # VERDICT r2 Weak #7: _astream parked an executor thread in an
+        # unbounded queue.get — a cancelled consumer leaked the thread
+        # until the next event. The bounded get must return (Empty) within
+        # the poll window with NO event arriving.
+        import time as _t
+
+        db = ToStoreTPU.memory(schemas=[schema()])
+        sub = db.watch("t")
+        returns = []
+        orig_get = sub._queue.get
+
+        def rec_get(*a, **k):
+            try:
+                return orig_get(*a, **k)
+            finally:
+                returns.append(_t.time())
+
+        sub._queue.get = rec_get
+
+        async def run():
+            ait = sub.__aiter__()
+            task = asyncio.ensure_future(ait.__anext__())
+            await asyncio.sleep(0.05)  # let the worker park in get
+            task.cancel()
+            try:
+                await task
+            except asyncio.CancelledError:
+                pass
+            # worker must free itself without any event being emitted
+            deadline = _t.time() + 2.0
+            while not returns and _t.time() < deadline:
+                await asyncio.sleep(0.05)
+
+        asyncio.run(run())
+        assert returns, "executor thread stayed parked after cancel"
+        db.close()
+
 
 class TestCompression:
     def test_compressed_artifacts_round_trip(self, tmp_path):

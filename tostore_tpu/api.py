@@ -113,32 +113,10 @@ class ToStoreTPU:
         return self._db.update(table, updates, pk=pk)
 
     def batch_update(self, table: str, records: list[dict]):
-        """Each record must carry the PK; remaining fields are updates."""
-        ok, failed, errors = [], [], {}
-        for rec in records:
-            schema = self._db.get_schema(table)
-            pk_name = schema.primary_key.name
-            pk = rec.get(pk_name)
-            if pk is None:
-                failed.append(None)
-                errors[str(rec)] = "missing primary key"
-                continue
-            r = self._db.update(
-                table, {k: v for k, v in rec.items() if k != pk_name}, pk=pk
-            )
-            hit = r.is_success and bool(r.success_keys)
-            (ok if hit else failed).append(pk)
-            if not hit:
-                errors[pk] = r.message or "primary key not found"
-        from .models.results import DbResult
-
-        if failed and ok:
-            return DbResult.partial(ok, failed, errors)
-        if failed:
-            from .models.results import ResultType
-
-            return DbResult.error(ResultType.validationFailed, "batch update failures", failed, errors)
-        return DbResult.success(ok)
+        """Each record must carry the PK; remaining fields are updates.
+        Uniform expression-free batches ride a columnar fast path (one
+        coerce pass per field, one store pass, one WAL frame)."""
+        return self._db.batch_update(table, records)
 
     def delete(self, table: str) -> DeleteBuilder:
         return DeleteBuilder(self._db, table)

@@ -243,6 +243,17 @@ class ColumnStore:
         self.generation += 1
         return row
 
+    def bulk_patch(self, rows: np.ndarray, col_values: dict[str, list]):
+        """Column-wise patch of existing rows (batch_update fast path):
+        one bulk_set per updated column instead of one set() per cell
+        (reference batch_update_compute.dart isolate batches)."""
+        rows = np.asarray(rows, np.int64)
+        for name, vals in col_values.items():
+            col = self.columns.get(name)
+            if col is not None:
+                col.bulk_set(rows, vals)
+        self.generation += 1
+
     def patch(self, pk, updates: dict) -> int | None:
         row = self._pk_row.get(pk)
         if row is None:

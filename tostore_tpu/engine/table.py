@@ -176,12 +176,16 @@ def _make_vector_index(dims: int, precision: str, idx: IndexSchema, mesh=None):
         if cfg.index_type.value in ("ivf", "ngh"):
             from ..parallel.sharded_ivf import ShardedIVFIndex
 
-            return ShardedIVFIndex(
+            sivf = ShardedIVFIndex(
                 dims, mesh, metric=metric, dtype=dtype,
                 num_clusters=cfg.num_clusters, nprobe=cfg.nprobe,
                 pq_subspaces=cfg.pq_subspaces, pq_centroids=cfg.pq_centroids,
                 rerank_factor=cfg.rerank_factor, pq_rerank=cfg.pq_rerank,
             )
+            # engine-owned: growth retrains + compactions run off-lock in
+            # background maintenance (Database.run_vector_maintenance)
+            sivf.defer_retrain = True
+            return sivf
         from ..parallel.sharded import ShardedFlatIndex
 
         return ShardedFlatIndex(dims, mesh, metric=metric, dtype=dtype)
@@ -532,6 +536,21 @@ class Table:
             self._unique_apply(pk, rec, None)
             self._vector_stage(pk, rec)
 
+    def bulk_apply_update_cols(self, pks: list, rows, col_values: dict[str, list]):
+        """Columnar update of pre-validated fields on existing rows — the
+        batch analogue of apply_update. The caller guarantees existence and
+        that no PK/unique/FK fields are touched (those need the general
+        per-record path)."""
+        self.store.bulk_patch(rows, col_values)
+        touches_vec = any(f in col_values for f in self.vector_indexes)
+        touches_filt = any(f in col_values for f in self.filter_fields)
+        if touches_vec or touches_filt:
+            names = list(col_values)
+            for j, pk in enumerate(pks):
+                self._vector_stage(
+                    pk, {name: col_values[name][j] for name in names}
+                )
+
     def apply_insert(self, pk, record: dict):
         if self.schema.primary_key.type == PrimaryKeyType.sequential:
             self._seq.observe(pk)
@@ -730,7 +749,9 @@ def _index_from_state(vs: dict, mesh=None):
         from ..parallel.sharded_ivf import ShardedIVFIndex
 
         if vtype == "sharded_ivf":
-            return ShardedIVFIndex.from_state_dict(vs, mesh)
+            sivf = ShardedIVFIndex.from_state_dict(vs, mesh)
+            sivf.defer_retrain = True  # engine-owned: background maintenance
+            return sivf
         if vtype == "sharded_flat":
             return ShardedFlatIndex.from_state_dict(vs, mesh)
         # single-device snapshot -> sharded: stored rows are already in
@@ -783,6 +804,7 @@ def _index_from_state(vs: dict, mesh=None):
 
                     sh.pq = PQCodebook.from_state_dict(vs["pq"])
                 sh._rebuild_buckets()
+            sh.defer_retrain = True  # engine-owned: background maintenance
             return sh
         sh = ShardedFlatIndex(cs["dims"], mesh, vs["metric"], dtype)
         if len(cs["pks"]):
