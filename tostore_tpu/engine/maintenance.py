@@ -117,30 +117,47 @@ class WeightManager:
     DECAY = 0.5
 
     def __init__(self, max_entries: int = 100_000):
+        import threading
+
         self._w: dict[tuple, float] = {}
         self.max_entries = max_entries
+        # recorders run outside the engine lock (read paths must not
+        # serialize on it just to bump a weight); decay iterates
+        self._mu = threading.Lock()
 
     def record_access(self, table: str, pk):
         key = (table, pk)
-        self._w[key] = min(self.MAX_WEIGHT, self._w.get(key, 0.0) + self.HIT_BONUS)
-        if len(self._w) > self.max_entries:
+        with self._mu:
+            self._w[key] = min(
+                self.MAX_WEIGHT, self._w.get(key, 0.0) + self.HIT_BONUS
+            )
+            overflow = len(self._w) > self.max_entries
+        if overflow:
             self.decay(evict=True)
 
     def decay(self, evict: bool = False):
-        dead = []
-        for k in self._w:
-            self._w[k] *= self.DECAY
-            if self._w[k] < 1.0:
-                dead.append(k)
-        if evict or dead:
-            for k in dead:
-                del self._w[k]
+        with self._mu:
+            dead = []
+            for k in self._w:
+                self._w[k] *= self.DECAY
+                if self._w[k] < 1.0:
+                    dead.append(k)
+            if evict or dead:
+                for k in dead:
+                    del self._w[k]
 
     def weight(self, table: str, pk) -> float:
         return self._w.get((table, pk), 0.0)
 
+    def table_weight(self, table: str) -> float:
+        """Aggregate access weight of a table — drives prewarm ordering and
+        cache-eviction priority (reference prewarm consumer dsi:5723)."""
+        with self._mu:
+            return sum(w for (t, _), w in self._w.items() if t == table)
+
     def top_hot(self, table: str, n: int = 100) -> list:
-        items = [(pk, w) for (t, pk), w in self._w.items() if t == table]
+        with self._mu:
+            items = [(pk, w) for (t, pk), w in self._w.items() if t == table]
         items.sort(key=lambda x: -x[1])
         return items[:n]
 

@@ -37,6 +37,15 @@ class ValidationError(ValueError):
     pass
 
 
+class NullKey:
+    """Sentinel for IS NULL index bounds — `None` already means
+    'unbounded' in the planner's (lo, hi) tuples, so null equality needs
+    its own marker; SortedIndex._encode maps it to the null byte tag."""
+
+
+NULL_KEY = NullKey()
+
+
 class SortedIndex:
     """Ordered secondary index: lazily (re)built sorted key array over live
     rows — the vectorized stand-in for the reference's paged index B+Trees
@@ -55,6 +64,8 @@ class SortedIndex:
     def _encode(v) -> bytes:
         from ..utils import memcomparable as mc
 
+        if v is NULL_KEY:
+            return mc.encode_value(None)
         if isinstance(v, np.bool_):
             v = bool(v)
         elif isinstance(v, np.integer):
@@ -164,6 +175,29 @@ class SortedIndex:
             b = int(np.searchsorted(keys, khi, side="left"))
         else:
             b = int(np.searchsorted(keys, mc.prefix_upper_bound(prefix), side="left"))
+        return a, max(a, b)
+
+    def prefix_positions_multi(
+        self, store: ColumnStore, eq_values: list, text_prefix: str
+    ) -> tuple[int, int]:
+        """Bisect positions of rows whose next-field TEXT value starts
+        with `text_prefix`, after an equality prefix — the LIKE 'abc%'
+        index arm (reference searchIndex prefix scans,
+        index_manager.dart:3299). The memcomparable text encoding is
+        escape-stable, so the encoded prefix (type tag + escaped utf8,
+        NO terminator) is a byte-prefix of exactly the matching keys."""
+        from ..utils import memcomparable as mc
+
+        if self._gen != store.generation:
+            self._build(store)
+        keys = self._keys
+        base = b"".join(self._encode(v) for v in eq_values)
+        kp = (
+            base + b"\x06"
+            + text_prefix.encode().replace(b"\x00", b"\x00\xff")
+        )
+        a = int(np.searchsorted(keys, kp, side="left"))
+        b = int(np.searchsorted(keys, mc.prefix_upper_bound(kp), side="left"))
         return a, max(a, b)
 
 

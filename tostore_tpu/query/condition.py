@@ -26,8 +26,9 @@ _OPS = {"=", "!=", ">", "<", ">=", "<=", "in", "notIn", "between", "like", "notL
 
 
 def _like_to_regex(pattern: str) -> re.Pattern:
-    """SQL LIKE: % = any run, _ = single char. Case-insensitive like the
-    reference matcher."""
+    """SQL LIKE: % = any run, _ = single char. Case-SENSITIVE — parity
+    with the reference matcher (value_matcher.dart:318 builds a plain
+    RegExp), and what makes memcomparable prefix index arms sound."""
     out = []
     for ch in pattern:
         if ch == "%":
@@ -36,7 +37,7 @@ def _like_to_regex(pattern: str) -> re.Pattern:
             out.append(".")
         else:
             out.append(re.escape(ch))
-    return re.compile("^" + "".join(out) + "$", re.IGNORECASE | re.DOTALL)
+    return re.compile("^" + "".join(out) + "$", re.DOTALL)
 
 
 def _coerce_pair(a, b):

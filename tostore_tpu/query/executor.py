@@ -114,11 +114,23 @@ def _extract_bounds(leaves: list, field: str, fs):
 
     from ..models.schema import DataType
 
+    from ..engine.table import NULL_KEY
+
     lo = hi = None
     lo_open = hi_open = False
     found = False
     for f, op, v in leaves:
-        if f != field or op not in ("=", ">", "<", ">=", "<=", "between"):
+        if f != field:
+            continue
+        if op == "is" and v is None:
+            # IS NULL: equality on the null key (nulls sort first in the
+            # memcomparable order; reference index_manager.dart null-range
+            # scans). NULL_KEY because None means 'unbounded' here.
+            lo = hi = NULL_KEY
+            lo_open = hi_open = False
+            found = True
+            continue
+        if op not in ("=", ">", "<", ">=", "<=", "between"):
             continue
         v = (
             _coerce_index_value(v, fs)
@@ -146,6 +158,18 @@ def _extract_bounds(leaves: list, field: str, fs):
         if isinstance(hi, float):
             hi, hi_open = math.ceil(hi), False
     return lo, hi, lo_open, hi_open
+
+
+def _like_literal_prefix(pattern: str) -> str | None:
+    """Literal prefix of a LIKE pattern up to the first wildcard ('' ->
+    None: no index arm). A wildcard-free pattern is its own prefix (the
+    arm is exact there; the residual regex confirms)."""
+    cut = len(pattern)
+    for ch in "%_":
+        i = pattern.find(ch)
+        if i >= 0:
+            cut = min(cut, i)
+    return pattern[:cut] or None
 
 
 def _copy_record(r: dict) -> dict:
@@ -337,6 +361,23 @@ class QueryExecutor:
                 if best_est is None or b - a < best_est:
                     best, best_est = [(name, a, b)], b - a
                     best_eq = len(eq)
+            # LIKE with a literal prefix on the field after the eq prefix:
+            # a [prefix, prefix-upper) memcomparable slice (reference
+            # searchIndex prefix scans, index_manager.dart:3299). Sound
+            # because LIKE is case-sensitive (parity with
+            # value_matcher.dart:318); the residual regex re-filters.
+            if nxt is not None:
+                pat = next(
+                    (v for f, op, v in leaves
+                     if f == nxt and op == "like" and isinstance(v, str)),
+                    None,
+                )
+                lp = _like_literal_prefix(pat) if pat else None
+                if lp:
+                    a, b = sidx.prefix_positions_multi(store, eq, lp)
+                    if best_est is None or b - a < best_est:
+                        best, best_est = [(name, a, b)], b - a
+                        best_eq = None
             # in-list on the field after the prefix: one slice per value
             if vals is not None and 0 < len(vals) <= self.MAX_IN_ARMS:
                 fs = table.schema.field_map.get(nxt)
@@ -377,6 +418,10 @@ class QueryExecutor:
             cache_key = (space, table_name, spec.fingerprint())
             hit = self._cache.get(cache_key)
             if hit is not None and hit[0] == self._gen_signature(space, table_name, spec):
+                # LRU: re-insert at the hot end so capacity- and
+                # pressure-eviction take the coldest entries first
+                self._cache.pop(cache_key)
+                self._cache[cache_key] = hit
                 res = hit[1]
                 return QueryResult(
                     records=[_copy_record(r) for r in res.records],
@@ -555,7 +600,7 @@ class QueryExecutor:
             has_more=has_more,
             total=total,
         )
-        if cache_key is not None:
+        if cache_key is not None and self.db.resources.level() != "critical":
             if len(self._cache) >= self.CACHE_CAP:
                 self._cache.pop(next(iter(self._cache)))
             self._cache[cache_key] = (
@@ -569,6 +614,25 @@ class QueryExecutor:
                 ),
             )
         return result
+
+    def shrink_under_pressure(self, level: str) -> int:
+        """Memory-pressure eviction (reference cache_manager.dart:226 +
+        resource budget split resource_manager.dart:34-39): `warning` drops
+        the coldest half — lowest-access-weight tables first within LRU
+        order — `critical` clears the cache. Returns evicted count."""
+        if level not in ("warning", "critical") or not self._cache:
+            return 0
+        if level == "critical":
+            n = len(self._cache)
+            self._cache.clear()
+            return n
+        target = len(self._cache) // 2
+        wm = self.db.weights
+        tw = {name: wm.table_weight(name) for name in {k[1] for k in self._cache}}
+        victims = sorted(self._cache, key=lambda k: tw[k[1]])[:target]
+        for k in victims:
+            del self._cache[k]
+        return len(victims)
 
     # --- row-level ordering ---------------------------------------------------
 
