@@ -114,3 +114,100 @@ def test_two_process_sharded_search_and_train(tmp_path):
         got_scores, np.take_along_axis(scores, top, 1), rtol=1e-4, atol=1e-4
     )
     assert (got_idx == top).mean() > 0.95  # ties may reorder
+
+
+_ENGINE_WORKER = r"""
+import json, sys
+import numpy as np
+from tostore_tpu.parallel.mesh import init_distributed
+
+coord, pid, tmp = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+init_distributed(coord, num_processes=2, process_id=pid, local_cpu_devices=2)
+import jax
+assert jax.device_count() == 4 and jax.process_count() == 2
+
+from tostore_tpu import (DataStoreConfig, DataType, FieldSchema, IndexSchema,
+                         TableSchema, ToStoreTPU, VectorFieldConfig)
+from tostore_tpu.models.schema import VectorIndexConfig, VectorIndexType
+
+schema = TableSchema(
+    name="docs",
+    fields=(FieldSchema("emb", DataType.vector,
+                        vector_config=VectorFieldConfig(dimensions=32)),),
+    indexes=(IndexSchema(fields=("emb",), type="vector",
+                         vector_config=VectorIndexConfig(
+                             index_type=VectorIndexType.ivf, num_clusters=8,
+                             nprobe=8, pq_subspaces=8)),),
+)
+cfg = DataStoreConfig(mesh_shape=(1, 4))
+db = ToStoreTPU.open(tmp + f"/db{pid}", config=cfg, schemas=[schema])
+vi = db.engine._table("docs").vector_indexes["emb"]
+vi.min_train_size = 100
+rng = np.random.default_rng(0)  # identical data on both processes
+nat, n = 12, 2000
+centers = rng.standard_normal((nat, 32)).astype(np.float32) * 4
+x = (centers[rng.integers(0, nat, n)]
+     + rng.standard_normal((n, 32)) * 0.5).astype(np.float32)
+db.batch_insert("docs", [{"id": i + 1, "emb": x[i].tolist()}
+                         for i in range(n)])
+q = x[rng.integers(0, n, 8)]
+hits = [[r.primary_key for r in db.vector_search("docs", "emb", q[b], top_k=10)]
+        for b in range(8)]
+assert vi.index_type == "sharded_ivf" and vi.trained and vi.pq is not None
+assert vi.bucket_codes is not None  # the Pallas ADC path, cross-process
+db.close()
+db2 = ToStoreTPU.open(tmp + f"/db{pid}", config=cfg, schemas=[schema])
+hits2 = [[r.primary_key
+          for r in db2.vector_search("docs", "emb", q[b], top_k=10)]
+         for b in range(8)]
+db2.close()
+print("RESULT " + json.dumps({"hits": hits, "hits2": hits2}), flush=True)
+"""
+
+
+def test_two_process_engine_sharded_ivf_pq(tmp_path):
+    """Engine opened with mesh_shape across 2 processes: sharded residual-
+    PQ IVF batch insert, hybrid-path search, checkpoint persist + reopen —
+    recall asserted vs a single-process exact oracle (SURVEY §2.4 DCN row;
+    VERDICT r2 Missing #6)."""
+    port = socket.socket()
+    port.bind(("127.0.0.1", 0))
+    coord = f"127.0.0.1:{port.getsockname()[1]}"
+    port.close()
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _ENGINE_WORKER, coord, str(pid), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd="/root/repo", env=env, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
+        outs.append(out)
+    results = []
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")][0]
+        results.append(json.loads(line[len("RESULT "):]))
+    assert results[0] == results[1]  # SPMD: identical global results
+
+    # single-process exact oracle
+    rng = np.random.default_rng(0)
+    nat, n = 12, 2000
+    centers = rng.standard_normal((nat, 32)).astype(np.float32) * 4
+    x = (centers[rng.integers(0, nat, n)]
+         + rng.standard_normal((n, 32)) * 0.5).astype(np.float32)
+    q = x[rng.integers(0, n, 8)]
+    d2 = np.sum((q[:, None, :] - x[None]) ** 2, axis=-1)
+    ex = np.argsort(d2, axis=1)[:, :10] + 1  # pks are 1-based
+    for key in ("hits", "hits2"):
+        hits = results[0][key]
+        rec = np.mean([
+            len(set(hits[b]) & set(ex[b].tolist())) / 10 for b in range(8)
+        ])
+        assert rec >= 0.8, (key, rec)

@@ -51,6 +51,34 @@ def host_local_to_global(x, mesh: Mesh, spec: P):
     return mhu.host_local_array_to_global_array(x, mesh, spec)
 
 
+def read_to_host(x) -> np.ndarray:
+    """np readback that works across hosts: a sharded global array is not
+    fully addressable in a multi-process job, so np.asarray would throw —
+    process_allgather assembles the global value on every host instead.
+    Single-process meshes take the direct path."""
+    if jax.process_count() > 1 and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils as mhu
+
+        return np.asarray(mhu.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+def replicated_from_host(x: np.ndarray, mesh: Mesh, spec: P):
+    """device_put that works across hosts: placing host data onto
+    non-addressable devices is illegal in a multi-process job, so the
+    host-local value (identical on every process by construction) is
+    declared the global value instead."""
+    import jax.numpy as jnp
+
+    if jax.process_count() > 1:
+        import jax.experimental.multihost_utils as mhu
+
+        return mhu.host_local_array_to_global_array(
+            np.asarray(x), mesh, P(*([None] * np.ndim(x)))
+        )
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+
 def make_mesh(
     n_devices: int | None = None,
     dp: int = 1,

@@ -22,7 +22,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..ops import topk as T
 from ..ops import distance as D
 from ..ops.runtime import NEG_INF, ROW_BLOCK, round_up
-from .mesh import corpus_sharding, replicated, shard_count
+from .mesh import (
+    corpus_sharding, read_to_host, replicated, replicated_from_host,
+    shard_count,
+)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "alpha", "mesh", "mode"))
@@ -279,11 +282,11 @@ class ShardedFlatIndex:
             return
         slots = self.slots_for_pks(live_pks)
         idxs = jnp.asarray(slots, jnp.int32)
-        vecs = np.asarray(self.vectors[idxs], np.float32)
+        vecs = read_to_host(self.vectors[idxs]).astype(np.float32)
         if self.dtype == jnp.int8:
             # dequantize: _prepped rows must be TRUE storage-space values
             # (re-quantization resets the per-vector scales otherwise)
-            vecs = vecs * np.asarray(self.scales[idxs])[:, None]
+            vecs = vecs * read_to_host(self.scales[idxs])[:, None]
         fcols = self.filter_columns.gather_host(slots)
         metric, mesh, dims, prec = self.metric, self.mesh, self.dims, self.precision
         self.__init__(dims, mesh, metric, prec)
@@ -304,9 +307,9 @@ class ShardedFlatIndex:
         slots = self.slots_for_pks(live_pks)
         if live_pks:
             idxs = jnp.asarray(slots, jnp.int32)
-            vecs = np.asarray(self.vectors[idxs], np.float32)
+            vecs = read_to_host(self.vectors[idxs]).astype(np.float32)
             if self.dtype == jnp.int8:  # persist dequantized storage rows
-                vecs = vecs * np.asarray(self.scales[idxs])[:, None]
+                vecs = vecs * read_to_host(self.scales[idxs])[:, None]
         else:
             vecs = np.zeros((0, self.d_pad), np.float32)
         return {
@@ -376,9 +379,7 @@ class ShardedFlatIndex:
         b_pad = round_up(b, dp)
         if b_pad != b:
             qx = np.pad(qx, ((0, b_pad - b), (0, 0)))
-        from .mesh import query_sharding
-
-        qj = jax.device_put(jnp.asarray(qx), query_sharding(self.mesh))
+        qj = replicated_from_host(qx, self.mesh, P("dp", None))
         norms = self.sq_norms if self.metric == "l2" else None
         valid = self.valid
         if slot_mask is not None:
@@ -389,9 +390,12 @@ class ShardedFlatIndex:
             qj, self.vectors, bias, k=k, alpha=alpha, mesh=self.mesh,
             row_scale=self.scales,
         )
-        scores = scores[:b]
-        idx = idx[:b]
-        dists = np.array(D.scores_to_distances(self.metric, scores, qsq), np.float32)
+        scores = read_to_host(scores)[:b]
+        idx = read_to_host(idx)[:b]
+        dists = np.array(
+            D.scores_to_distances(self.metric, jnp.asarray(scores), qsq),
+            np.float32,
+        )
         idx_np = np.asarray(idx, np.int64)
         miss = np.asarray(scores) <= NEG_INF / 2
         dists[miss] = np.inf

@@ -30,7 +30,7 @@ from ..models.results import VectorSearchResult
 from ..ops import distance as D
 from ..ops.runtime import NEG_INF, round_up
 from ..vector.ivf import _ivf_assign_device, _ivf_place_sliced
-from .mesh import query_sharding, shard_count
+from .mesh import query_sharding, read_to_host, replicated_from_host, shard_count
 from .sharded import ShardedFlatIndex, sharded_kmeans_step
 
 
@@ -48,13 +48,17 @@ def _sharded_ivf_assign(vectors, valid, centroids, scales,
             sc.reshape(-1) if has_scales else None,
             chunk=chunk, l2=l2,
         )
-        return choices[:, 0], counts[None, :]
+        # [nsh, C] REPLICATED: the host sizes the slice layout from these,
+        # and a shard-sharded array is not host-readable in a multi-host
+        # job (mesh.read_to_host rationale)
+        cts = jax.lax.all_gather(counts, "shard")
+        return choices[:, 0], cts
 
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P("shard", None), P("shard"), P(), P("shard")),
-        out_specs=(P("shard"), P("shard", None)),
+        out_specs=(P("shard"), P()),
         check_vma=False,
     )
     return fn(vectors, valid, centroids, scales)
@@ -90,14 +94,16 @@ def _sharded_ivf_place(assign, valid, base, vectors, sq_norms, scales,
             else jnp.zeros(buckets.shape, jnp.float32)
         )
         bbias = jnp.where(ok, base_b, NEG_INF)
-        outs = [buckets, scounts[None, :], slot_slice, slot_pos, bbias]
+        # slice counts replicated for the host (multi-host readback)
+        cts = jax.lax.all_gather(scounts, "shard")
+        outs = [buckets, cts, slot_slice, slot_pos, bbias]
         if with_vectors:
             outs.append(vl[safe])
             if has_scales:
                 outs.append(sc.reshape(-1)[safe])
         return tuple(outs)
 
-    out_specs = [P("shard", None), P("shard", None), P("shard"), P("shard"),
+    out_specs = [P("shard", None), P(), P("shard"), P("shard"),
                  P("shard", None)]
     if with_vectors:
         out_specs.append(P("shard", None, None))
@@ -562,7 +568,7 @@ class ShardedIVFIndex(ShardedFlatIndex):
         pk map — see the RCU capture path)."""
         if self.capacity == 0:
             return np.zeros(0, np.int64)
-        return np.flatnonzero(np.asarray(self.valid))
+        return np.flatnonzero(read_to_host(self.valid))
 
     def train(self, force: bool = False):
         n = len(self)
@@ -596,9 +602,9 @@ class ShardedIVFIndex(ShardedFlatIndex):
             from ..vector.pq import train_pq
 
             # residual sample vs each row's PLACEMENT slice centroid
-            sl = np.asarray(self.slot_slice[jnp.asarray(slots, jnp.int32)])
-            cents_np = np.asarray(self.centroids_exp)[:, : self.dims]
-            xs = np.asarray(x)[:, : self.dims] - cents_np[np.maximum(sl, 0)]
+            sl = read_to_host(self.slot_slice[jnp.asarray(slots, jnp.int32)])
+            cents_np = read_to_host(self.centroids_exp)[:, : self.dims]
+            xs = read_to_host(x)[:, : self.dims] - cents_np[np.maximum(sl, 0)]
             self.pq = train_pq(xs, m=self.pq_subspaces, k=self.pq_centroids)
             self._reencode_all()
         return True
@@ -807,7 +813,7 @@ class ShardedIVFIndex(ShardedFlatIndex):
             if self.metric == "l2":
                 cn = jnp.sum(self.centroids * self.centroids, axis=1)
                 s = 2.0 * s - cn[None, :]
-            out[a : a + len(chunk)] = np.asarray(jnp.argmax(s, axis=1), np.int64)
+            out[a : a + len(chunk)] = read_to_host(jnp.argmax(s, axis=1)).astype(np.int64)
         return out
 
     def _bucket_cap(self, n_live: int) -> int:
@@ -870,7 +876,7 @@ class ShardedIVFIndex(ShardedFlatIndex):
             chunk=min(65536, rps), l2=(self.metric == "l2"),
             has_scales=self.scales is not None, mesh=self.mesh,
         )
-        counts_np = np.asarray(counts, np.int64)  # [nsh, C]
+        counts_np = read_to_host(counts).astype(np.int64)  # [nsh, C]
         nsl = np.maximum(1, -(-counts_np.max(axis=0) // cap))
         c_exp = self._install_slices(nsl)
         pq_mode = self.pq is not None or self.pq_subspaces
@@ -885,7 +891,7 @@ class ShardedIVFIndex(ShardedFlatIndex):
         )
         buckets, scounts, slot_slice, slot_pos, bbias = out[:5]
         self.buckets = buckets
-        self._bucket_counts = np.array(scounts, np.int64)
+        self._bucket_counts = read_to_host(scounts).astype(np.int64)
         self.slot_slice = slot_slice
         self.slot_pos = slot_pos
         self.bucket_bias = bbias if (with_vec or pq_mode) else None
@@ -1048,7 +1054,7 @@ class ShardedIVFIndex(ShardedFlatIndex):
         b_pad = round_up(b, dp)
         if b_pad != b:
             qx = np.pad(qx, ((0, b_pad - b), (0, 0)))
-        qj = jax.device_put(jnp.asarray(qx), query_sharding(self.mesh))
+        qj = replicated_from_host(qx, self.mesh, P("dp", None))
         valid = self.valid
         if slot_mask is not None:
             valid = jnp.logical_and(valid, jnp.asarray(slot_mask))
@@ -1110,9 +1116,12 @@ class ShardedIVFIndex(ShardedFlatIndex):
                 nprobe=np_probe, k=k, has_scales=self.scales is not None,
                 mesh=self.mesh,
             )
-        scores = scores[:b]
-        idx = idx[:b]
-        dists = np.array(D.scores_to_distances(self.metric, scores, qsq), np.float32)
+        scores = read_to_host(scores)[:b]
+        idx = read_to_host(idx)[:b]
+        dists = np.array(
+            D.scores_to_distances(self.metric, jnp.asarray(scores), qsq),
+            np.float32,
+        )
         idx_np = np.asarray(idx, np.int64)
         miss = np.asarray(scores) <= NEG_INF / 2
         dists[miss] = np.inf
