@@ -13,8 +13,10 @@ from tostore_tpu.vector.pq import _kmeans_all_subspaces
 from tostore_tpu.ops.runtime import round_up
 
 def sync(x):
+    # scalar-element readback: forces the producer to finish without
+    # astype-copying the array (which both OOMs and recompiles per shape)
     if x is not None:
-        float(jnp.sum(x.astype(jnp.float32).ravel()[:1]))
+        float(jnp.asarray(x[(0,) * x.ndim], jnp.float32))
 
 print("backend:", jax.default_backend(), flush=True)
 n = round_up(1_000_000, 4096)
@@ -41,7 +43,16 @@ warm = time.time()-t0
 print(f"warm build {warm:.2f}s = {n*d*2/warm/1e9:.1f} GB/s", flush=True)
 
 # --- staged warm profile -------------------------------------------------
-for rep in range(2):
+# free the built layout so the staged copies fit in HBM
+idx.bucket_vectors = None
+idx.bucket_bias = None
+idx.bucket_scales = None
+idx.buckets_slots = None
+idx._slot_dev = None
+choices = counts = out = None
+import gc
+for rep in range(3):
+    gc.collect()
     print(f"--- staged rep {rep} ---", flush=True)
     t0 = time.time()
     live = idx._live_slots()

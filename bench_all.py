@@ -371,6 +371,94 @@ def config8_pq():
     }
 
 
+def config9_txn():
+    """#9: buffered-transaction contention — commit throughput + abort
+    rate at 8 threads, disjoint vs hot rows vs predicate reads (reference
+    transaction_manager.dart:30-36 first-committer-wins; VERDICT r2 Weak
+    #6 asked for these numbers). CPU-only (engine path)."""
+    import threading
+
+    from tostore_tpu import (
+        DataStoreConfig, DataType, FieldSchema, TableSchema, ToStoreTPU,
+    )
+
+    schema = TableSchema(
+        name="c", fields=(FieldSchema("val", DataType.integer),)
+    )
+    n_threads, per_thread = 8, 150
+
+    def run(mode: str):
+        db = ToStoreTPU.memory(
+            schemas=[schema],
+            config=DataStoreConfig(isolation_level="serializable"),
+        )
+        try:
+            n_rows = 4 if mode.startswith("hot") else n_threads * 100
+            db.batch_insert("c", [
+                {"id": i + 1, "val": 0} for i in range(n_rows)
+            ])
+            commits = [0] * n_threads
+            aborts = [0] * n_threads
+
+            def worker(tid):
+                import random
+
+                rng = random.Random(tid)
+                for j in range(per_thread):
+                    if mode.startswith("hot"):
+                        pk = rng.randrange(n_rows) + 1
+                    else:
+                        pk = tid * 100 + (j % 100) + 1
+                    for _ in range(200):
+                        def action(tx, pk=pk):
+                            if mode.startswith("predicate"):
+                                # table-granular predicate read: conflicts
+                                # with ANY concurrent write to the table
+                                db.query("c").where("id", "=", pk).fetch()
+                                cur = db.get_by_pk("c", pk)["val"]
+                            else:
+                                cur = db.get_by_pk("c", pk)["val"]
+                            if mode.endswith("slow"):
+                                # widen the read->commit window: GIL-packed
+                                # fast txns almost never overlap, hiding
+                                # the true conflict behavior
+                                time.sleep(0.0002)
+                            db.update_by_pk("c", pk, {"val": cur + 1})
+
+                        r = db.transaction(action)
+                        if r.committed:
+                            commits[tid] += 1
+                            break
+                        aborts[tid] += 1
+
+            t0 = time.time()
+            ths = [
+                threading.Thread(target=worker, args=(t,))
+                for t in range(n_threads)
+            ]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+            el = time.time() - t0
+            total_c, total_a = sum(commits), sum(aborts)
+            return {
+                f"{mode}_commits_per_s": round(total_c / el, 1),
+                f"{mode}_abort_rate": round(
+                    total_a / max(total_c + total_a, 1), 3
+                ),
+                f"{mode}_committed": total_c,
+            }
+        finally:
+            db.close()
+
+    out = {"config": "txn_contention_8thr_serializable"}
+    for mode in ("disjoint", "hot", "predicate",
+                 "disjoint_slow", "hot_slow", "predicate_slow"):
+        out.update(run(mode))
+    return out
+
+
 CONFIGS = {
     "1": config1_flat_100k,
     "2": config2_flat_1m,
@@ -380,6 +468,7 @@ CONFIGS = {
     "6": config6_ingest,
     "7": config7_int8,
     "8": config8_pq,
+    "9": config9_txn,
 }
 
 

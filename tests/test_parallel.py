@@ -294,8 +294,11 @@ class TestShardedContigProbes:
             idx.bucket_vectors, idx.bucket_bias = bv, bb
         for i in range(6):
             assert set(p_c[i]) == set(p_g[i])
+        # the contig path folds norms computed FROM the stored rows
+        # (consistent with the kernel's scores); the gather path uses the
+        # f32 pre-quantization norms — bf16-rounding-level differences
         np.testing.assert_allclose(np.sort(d_c, 1), np.sort(d_g, 1),
-                                   rtol=1e-4, atol=1e-4)
+                                   rtol=1e-3, atol=5e-2)
 
     def test_pq_contig_active_and_matches_gather(self, mesh, rng):
         from tostore_tpu.parallel.sharded_ivf import ShardedIVFIndex

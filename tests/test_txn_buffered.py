@@ -512,3 +512,136 @@ class TestOverlayReads:
         assert observed["outside"] is None  # never visible outside
         assert db.kv.get("k") is None
         assert db.kv.get("pre") == 1
+
+
+class TestNarrowPredicateReads:
+    """Predicate reads validate against the condition + read-time match
+    set, not the whole table (measured 83.8% -> 0% abort rate on
+    disjoint-row workloads, BENCH config #9). Phantom protection must
+    survive the narrowing."""
+
+    def _db(self):
+        return ToStoreTPU.memory(
+            schemas=[TableSchema(
+                name="c", fields=(FieldSchema("val", DataType.integer),),
+            )],
+            config=DataStoreConfig(isolation_level="serializable"),
+        )
+
+    def test_non_matching_concurrent_write_commits(self):
+        db = self._db()
+        try:
+            db.batch_insert("c", [{"id": i + 1, "val": i} for i in range(10)])
+            import threading
+
+            entered = threading.Event()
+            release = threading.Event()
+
+            def action(tx):
+                # predicate read: val > 100 (matches nothing)
+                assert db.query("c").where("val", ">", 100).fetch().records == []
+                entered.set()
+                release.wait(5)
+                db.update_by_pk("c", 1, {"val": 50})
+
+            res = {}
+            th = threading.Thread(
+                target=lambda: res.update(r=db.transaction(action))
+            )
+            th.start()
+            entered.wait(5)
+            # concurrent commit that does NOT satisfy the predicate
+            db.update_by_pk("c", 5, {"val": 60})
+            release.set()
+            th.join(5)
+            assert res["r"].committed  # would have aborted pre-narrowing
+        finally:
+            db.close()
+
+    def test_phantom_insert_still_aborts(self):
+        db = self._db()
+        try:
+            db.batch_insert("c", [{"id": i + 1, "val": i} for i in range(10)])
+            import threading
+
+            entered = threading.Event()
+            release = threading.Event()
+
+            def action(tx):
+                assert db.query("c").where("val", ">", 100).fetch().records == []
+                entered.set()
+                release.wait(5)
+                db.update_by_pk("c", 1, {"val": 50})
+
+            res = {}
+            th = threading.Thread(
+                target=lambda: res.update(r=db.transaction(action))
+            )
+            th.start()
+            entered.wait(5)
+            db.insert("c", {"id": 999, "val": 500})  # phantom!
+            release.set()
+            th.join(5)
+            assert not res["r"].committed
+            assert "conflict" in (res["r"].error or "")
+        finally:
+            db.close()
+
+    def test_matched_row_update_aborts(self):
+        db = self._db()
+        try:
+            db.batch_insert("c", [{"id": i + 1, "val": i * 100} for i in range(5)])
+            import threading
+
+            entered = threading.Event()
+            release = threading.Event()
+
+            def action(tx):
+                rows = db.query("c").where("val", ">=", 300).fetch().records
+                assert len(rows) == 2
+                entered.set()
+                release.wait(5)
+                db.update_by_pk("c", 1, {"val": 1})
+
+            res = {}
+            th = threading.Thread(
+                target=lambda: res.update(r=db.transaction(action))
+            )
+            th.start()
+            entered.wait(5)
+            # update a row IN the match set — even to a non-matching value
+            # (the read result is now stale either way)
+            db.update_by_pk("c", 4, {"val": 0})
+            release.set()
+            th.join(5)
+            assert not res["r"].committed
+        finally:
+            db.close()
+
+    def test_matched_row_delete_aborts(self):
+        db = self._db()
+        try:
+            db.batch_insert("c", [{"id": i + 1, "val": i * 100} for i in range(5)])
+            import threading
+
+            entered = threading.Event()
+            release = threading.Event()
+
+            def action(tx):
+                db.query("c").where("val", ">=", 300).fetch()
+                entered.set()
+                release.wait(5)
+                db.update_by_pk("c", 1, {"val": 1})
+
+            res = {}
+            th = threading.Thread(
+                target=lambda: res.update(r=db.transaction(action))
+            )
+            th.start()
+            entered.wait(5)
+            db.delete_by_pk("c", 4)  # val=300 was in the match set
+            release.set()
+            th.join(5)
+            assert not res["r"].committed
+        finally:
+            db.close()

@@ -413,8 +413,11 @@ class QueryExecutor:
 
         if overlay is not None and not overlay:
             overlay = None
+        buf_txn = self.db._buffering_txn()
         cache_key = None
-        if spec.use_cache and overlay is None:
+        # buffering transactions bypass the cache: the narrow predicate
+        # read-set needs the actual matched rows, which a cache hit skips
+        if spec.use_cache and overlay is None and buf_txn is None:
             cache_key = (space, table_name, spec.fingerprint())
             hit = self._cache.get(cache_key)
             if hit is not None and hit[0] == self._gen_signature(space, table_name, spec):
@@ -444,6 +447,22 @@ class QueryExecutor:
         if spec.condition is not None and not spec.condition.is_empty and len(rows):
             mask = spec.condition.mask(lambda f: store.column_view(f)[rows], len(rows))
             rows = rows[mask]
+
+        if buf_txn is not None:
+            # narrow predicate read: condition + read-time match set
+            # (pre-limit rows — phantom protection covers the predicate,
+            # not just the returned page). Join tables read table-granular.
+            tkey = self.db._tkey(table)
+            for j in spec.joins:
+                jt = self.db._table(j.table, space)
+                buf_txn.read_set.add((self.db._tkey(jt), None))
+            cond = spec.condition
+            self.db._note_pred_read(
+                tkey, cond,
+                [store.pk_col.get(int(r)) for r in rows]
+                if (cond is not None and not cond.is_empty
+                    and len(rows) <= self.db.PRED_READ_MAX_PKS) else None,
+            )
 
         pk_name = table.schema.primary_key.name
         order = spec.order_by or [(pk_name, False)]

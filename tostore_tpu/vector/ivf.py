@@ -14,6 +14,31 @@ static-shape gather + matmul: buckets_slots [C, cap] i32 maps bucket
 positions to DeviceCorpus slots (-1 = empty). Buckets grow by rebuild on
 overflow; the index retrains (like the reference's PQ retrain trigger,
 vector_index_manager.dart:703) when the corpus outgrows the centroids.
+
+Build-time ceiling analysis (v5e, 1M x 768 bf16, C=1024, warm):
+  measured warm train(force=True) 0.19 s = 8.1 GB/s of corpus bytes.
+  Per-stage (each forced to completion; the pipelined build overlaps some):
+    k-means sample gather (65k rows)          ~50 ms
+    10 Lloyd iterations on the sample         ~41 ms
+    assignment argmax over 1M x C             ~53 ms
+    [C] counts readback (tunnel latency)      ~26 ms
+    slice install + expanded centroids        ~30 ms
+    placement + contiguous copy               ~130 ms
+    final sync                                ~25 ms
+  The placement's floor is data movement XLA cannot avoid: the [2M, 768]
+  bucket-row gather alone measures 43 ms (random 1.5 KB rows move at
+  ~113 GB/s effective vs 819 GB/s streaming), plus two 1M sorts (2.5 +
+  3.5 ms), the 1M cell scatter (6 ms) and the fused |x|^2 bias reduce.
+  Three formulations were measured and rejected as slower: scalar-granule
+  gathers for bias/validity (~75 ms per 2M x 4 B gather — replaced by
+  the buckets>=0 invariant + norms-from-copy), the gather-style bucket
+  matrix (`order[starts[s]+pos]`, ~75 ms — replaced by the unique-cell
+  scatter), and sorting vector payloads through lax.sort (log^2 n row
+  moves). Going materially below ~0.15 s would require dropping the
+  contiguous copy (it IS the probe kernel's 6.8x speedup) or incremental
+  cluster-local rebuilds, which trade recall ceilings the sliced layout
+  exists to avoid. BASELINE's "HBM-bandwidth build" reading is therefore
+  bounded by gather bandwidth, not stream bandwidth, on this chip.
 """
 
 from __future__ import annotations
@@ -265,17 +290,31 @@ def _place_and_contig(
 ):
     """Placement + the bucket-contiguous corpus copy + bucket bias in ONE
     dispatch (the tunneled-TPU environment pays ~30 ms latency per
-    dispatch; the round-1 build ran these as 3-4 separate calls)."""
+    dispatch; the round-1 build ran these as 3-4 separate calls).
+
+    Small-granule gathers are deliberately avoided: placement only admits
+    valid rows, so validity is just `buckets >= 0` (no [C_exp*cap] bool
+    gather), and the l2 norms are recomputed from the contiguous copy with
+    a fused square-reduce instead of a [C_exp*cap] f32 gather — the two
+    scalar gathers measured ~150 ms of the 214 ms place step at 1M x 768
+    on v5e (4 B granules gather at ~100x worse effective bandwidth than
+    1.5 KB rows; the 2M ROW gather itself is only ~43 ms)."""
     buckets, slot_slice, slot_pos, slice_counts = _ivf_place_sliced(
         assign, valid, base, cap=cap, c_exp=c_exp
     )
     safe = jnp.maximum(buckets, 0)
-    ok = jnp.logical_and(buckets >= 0, valid[safe])
-    bias_base = (
-        -sq_norms[safe] if bias_l2 else jnp.zeros(buckets.shape, jnp.float32)
-    )
-    bucket_bias = jnp.where(ok, bias_base, NEG_INF)
+    ok = buckets >= 0  # placement excludes invalid rows by construction
     bucket_vectors = vectors[safe] if with_vectors else None
+    if not bias_l2:
+        bias_base = jnp.zeros(buckets.shape, jnp.float32)
+    elif with_vectors and vectors.dtype != jnp.int8:
+        # consistent with the scores the probe kernel computes from the
+        # same stored rows (bf16 rounding included)
+        bv = bucket_vectors.astype(jnp.float32)
+        bias_base = -jnp.sum(bv * bv, axis=-1)
+    else:
+        bias_base = -sq_norms[safe]
+    bucket_bias = jnp.where(ok, bias_base, NEG_INF)
     return buckets, slot_slice, slot_pos, slice_counts, bucket_vectors, bucket_bias
 
 
@@ -337,9 +376,14 @@ def _ivf_assign_device(vectors, valid, centroids, scales=None, *, chunk: int,
         return jnp.stack(outs, axis=1)
 
     tops = jax.lax.map(body, starts)  # [g, chunk, n_choices]
-    rows = (starts[:, None] + jnp.arange(chunk)[None, :]).reshape(-1)
-    choices = jnp.zeros((ncap, n_choices), jnp.int32)
-    choices = choices.at[rows].set(tops.reshape(-1, n_choices))
+    if g * chunk == ncap:
+        # aligned chunking covers every row exactly once in order — the
+        # scatter below is an identity permutation, i.e. a free reshape
+        choices = tops.reshape(ncap, n_choices)
+    else:
+        rows = (starts[:, None] + jnp.arange(chunk)[None, :]).reshape(-1)
+        choices = jnp.zeros((ncap, n_choices), jnp.int32)
+        choices = choices.at[rows].set(tops.reshape(-1, n_choices))
     counts = (
         jnp.zeros(num_c + 1, jnp.int32)
         .at[jnp.where(valid, choices[:, 0], num_c)]
@@ -397,12 +441,19 @@ def _ivf_place_sliced(assign, valid, base, *, cap: int, c_exp: int):
     ).astype(jnp.int32)
     starts = bounds[:-1]
     slice_counts = bounds[1:] - starts
-    f = jnp.arange(c_exp * cap, dtype=jnp.int32)
-    s_f = f // cap
-    pos_f = f % cap
-    p = jnp.minimum(starts[s_f] + pos_f, ncap - 1)
-    valid_f = pos_f < slice_counts[s_f]
-    buckets = jnp.where(valid_f, order[p], -1).reshape(c_exp, cap)
+    # bucket matrix as a UNIQUE-cell scatter of the sorted order (each
+    # valid sorted element owns exactly one (slice, pos) cell; invalid
+    # rows scatter out of bounds and drop). The previous gather
+    # formulation (`order[starts[s_f] + pos_f]`) was a [c_exp*cap]
+    # 4 B-granule gather — measured ~75 ms at 1M x C=1024 on v5e, vs
+    # ~6 ms for this 1M-element permutation scatter.
+    cells = jnp.where(ok, sl * cap + pos, c_exp * cap).astype(jnp.int32)
+    buckets = (
+        jnp.full(c_exp * cap, -1, jnp.int32)
+        .at[cells]
+        .set(order, unique_indices=True, mode="drop")
+        .reshape(c_exp, cap)
+    )
     return buckets, slot_slice, slot_pos, slice_counts
 
 
@@ -469,6 +520,7 @@ class IVFVectorIndex:
         self._slice_count: np.ndarray | None = None  # host [C] n slices
         self.buckets_slots: jax.Array | None = None  # [C_exp, cap] i32
         self._bucket_counts: np.ndarray | None = None  # host [C_exp]
+        self._bucket_counts_dev: jax.Array | None = None  # lazy mirror
         # slot -> (slice, position) as parallel arrays (-1 = unassigned);
         # after a device build they live on device until an incremental
         # path needs them on host (lazy tunnel readback)
@@ -515,6 +567,15 @@ class IVFVectorIndex:
         # the device validity mask mirrors pk-occupancy; a bool readback +
         # flatnonzero beats an object-array != None scan ~20x at 1M slots
         return np.flatnonzero(np.asarray(c.valid[: c._high]))
+
+    def _bucket_counts_host(self) -> np.ndarray:
+        """Slice fill counts, read back lazily: the build keeps them on
+        device (one less mid-pipeline sync through the ~30 ms tunnel);
+        only the incremental append path needs host values."""
+        if self._bucket_counts is None and self._bucket_counts_dev is not None:
+            self._bucket_counts = np.array(self._bucket_counts_dev, np.int64)
+            self._bucket_counts_dev = None
+        return self._bucket_counts
 
     def _ensure_slot_host(self):
         if self._slot_cluster is None:
@@ -639,6 +700,7 @@ class IVFVectorIndex:
     _LAYOUT_ATTRS = (
         "centroids", "centroids_exp", "slice_bias", "_slice_cluster",
         "_slice_base", "_slice_count", "buckets_slots", "_bucket_counts",
+        "_bucket_counts_dev",
         "_slot_dev", "_slot_cluster", "_slot_pos", "bucket_vectors",
         "bucket_bias", "bucket_scales", "pq", "codes", "bucket_codes",
         "_trained_size",
@@ -841,7 +903,8 @@ class IVFVectorIndex:
             self._slot_dev = (ssl, spos)
             self._slot_cluster = None  # lazy host mirror, see
             self._slot_pos = None      # _ensure_slot_host()
-            self._bucket_counts = np.array(scounts, np.int64)
+            self._bucket_counts = None  # lazy, _bucket_counts_host()
+            self._bucket_counts_dev = scounts
             self.bucket_vectors = bvec
             self.bucket_bias = (
                 bbias if (with_vec or pq_mode) else None
@@ -860,6 +923,7 @@ class IVFVectorIndex:
         self._slot_cluster = np.full(c.capacity, -1, np.int32)
         self._slot_pos = np.full(c.capacity, -1, np.int32)
         self._bucket_counts = np.zeros(c_exp, np.int64)
+        self._bucket_counts_dev = None
         self._refresh_bucket_vectors()
         if self.pq is not None:
             self._reencode_all()
@@ -944,7 +1008,7 @@ class IVFVectorIndex:
         rebuild, which re-sizes the slice layout."""
         cap = self.buckets_slots.shape[1]
         slots = np.asarray(slots)
-        counts = self._bucket_counts  # [C_exp], mutated in place
+        counts = self._bucket_counts_host()  # [C_exp], mutated in place
         base, nsl = self._slice_base, self._slice_count
         cl_out = np.full(len(slots), -1, np.int64)  # slice ids
         pos_out = np.full(len(slots), -1, np.int64)
