@@ -356,6 +356,52 @@ def config8_pq():
         )
 
     per4 = timeit(probe4, qj, reps=20)
+
+    # batch scaling (VERDICT r2 item 4): where does ADC amortize vs the
+    # raw-vector probe? Raw is DMA-bound (16x the code bytes); ADC is
+    # one-hot-compute-bound. Measure all three at B=64 on the same corpus.
+    from tostore_tpu.vector.ivf import _ivf_probe_scan_contig
+
+    out_b = {}
+    b64 = 64
+    q64 = np.asarray(vecs[jnp.asarray(rng.integers(0, n, b64))].astype(jnp.float32)) \
+        + rng.standard_normal((b64, d)).astype(np.float32) * 0.1
+    qj64 = jnp.asarray(q64)
+    craw = idx_raw.corpus
+
+    def probe_raw(qq):
+        return _ivf_probe_scan_contig(
+            qq, idx_raw.centroids_exp, idx_raw.slice_bias,
+            idx_raw.buckets_slots, idx_raw.bucket_vectors,
+            idx_raw.bucket_scales, idx_raw.bucket_bias, craw.sq_norms, 2.0,
+            nprobe=16, k=k,
+        )
+
+    # over-HBM-budget regime: without the 2x contiguous raw copy the raw
+    # path degrades to XLA row gathers — the regime where PQ-ADC wins
+    # (its contiguous CODES are 16x smaller and always fit)
+    from tostore_tpu.vector.ivf import _ivf_probe_scan
+
+    def probe_raw_gather(qq):
+        return _ivf_probe_scan(
+            qq, idx_raw.centroids_exp, idx_raw.slice_bias,
+            idx_raw.buckets_slots, craw.vectors, craw.scales, craw.valid,
+            craw.sq_norms, 2.0, nprobe=16, k=k,
+        )
+
+    for name, fn, qq in (
+        ("raw_b8", probe_raw, qj), ("raw_b64", probe_raw, qj64),
+        ("adc8_b64", probe, qj64), ("adc4_b64", probe4, qj64),
+        ("raw_gather_b8", probe_raw_gather, qj),
+        ("raw_gather_b64", probe_raw_gather, qj64),
+    ):
+        p_ = timeit(fn, qq, reps=10)
+        out_b[f"{name}_ms"] = round(p_ * 1e3, 2)
+        out_b[f"{name}_qps"] = round(qq.shape[0] / p_, 1)
+    out_b["pq4bit_wins_over_budget"] = bool(
+        out_b["adc4_b64_ms"] < out_b["raw_gather_b64_ms"]
+    )
+
     return {
         "config": "ivf_pq_500kx768_M96_C1024",
         "adc_probe16_b8_device_ms": round(per * 1e3, 2),
@@ -368,6 +414,92 @@ def config8_pq():
         "pq4bit_M192_qps": round(b / per4, 1),
         "pq4bit_M192_recall_at_10": rec_pq4,
         "pq4bit_code_bytes_per_vector": 96,
+        **out_b,
+    }
+
+
+def config10_mesh_probe():
+    """#10: mesh contig probe A/B — the Pallas bucket-contiguous kernels
+    inside shard_map (1-device mesh, the only physical chip) vs the
+    single-device kernel and vs the XLA row-gather mesh fallback
+    (VERDICT r2 Missing #1 'recorded in BENCH_REPORT')."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tostore_tpu.parallel import make_mesh
+    from tostore_tpu.parallel.mesh import corpus_sharding, query_sharding
+    from tostore_tpu.parallel.sharded_ivf import (
+        ShardedIVFIndex, _sharded_ivf_probe, _sharded_ivf_probe_contig,
+    )
+    from tostore_tpu.vector.ivf import IVFVectorIndex, _ivf_probe_scan_contig
+    from tostore_tpu.ops.runtime import round_up
+
+    n = round_up(500_000, 4096)
+    d, k, b, C, npb = 768, 10, 8, 1024, 16
+    vecs = jax.random.normal(jax.random.PRNGKey(0), (n, 768), jnp.bfloat16)
+
+    sidx = IVFVectorIndex(d, metric="l2", precision="bfloat16",
+                          num_clusters=C, nprobe=npb)
+    c = sidx.corpus
+    c._ensure_capacity(n)
+    c.vectors = vecs
+    c.valid = jnp.ones(n, jnp.bool_)
+    c.sq_norms = jnp.sum(vecs.astype(jnp.float32) ** 2, axis=1)
+    c._slot_pks[:n] = np.arange(n, dtype=object)
+    c._pk_slot = {i: i for i in range(n)}
+    c._high = n
+    sidx.train(force=True)
+
+    mesh = make_mesh(1, dp=1)
+    midx = ShardedIVFIndex(d, mesh, metric="l2", dtype="bfloat16",
+                           num_clusters=C, nprobe=npb)
+    midx._ensure_capacity(n)
+    cap = midx.capacity
+    mv = jnp.zeros((cap, midx.d_pad), jnp.bfloat16).at[:n].set(vecs)
+    midx.vectors = jax.device_put(mv, corpus_sharding(mesh))
+    midx.valid = jax.device_put(jnp.arange(cap) < n,
+                                NamedSharding(mesh, P("shard")))
+    midx.sq_norms = jax.device_put(
+        jnp.pad(c.sq_norms[:n], (0, cap - n)), NamedSharding(mesh, P("shard")))
+    midx._slot_pks = np.empty(cap, dtype=object)
+    midx._slot_pks[:n] = np.arange(n, dtype=object)
+    midx._pk_slot = {i: i for i in range(n)}
+    midx._shard_fill[:] = 0
+    midx._shard_fill[0] = n
+    midx.train(force=True)
+    assert midx.bucket_vectors is not None
+
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, c.d_pad), jnp.float32)
+    qm = jax.device_put(q, query_sharding(mesh))
+
+    def sd_probe(qq):
+        return _ivf_probe_scan_contig(
+            qq, sidx.centroids_exp, sidx.slice_bias, sidx.buckets_slots,
+            sidx.bucket_vectors, sidx.bucket_scales, sidx.bucket_bias,
+            c.sq_norms, 2.0, nprobe=npb, k=k)
+
+    def mesh_probe(qq):
+        return _sharded_ivf_probe_contig(
+            qq, midx.centroids_exp, midx.slice_bias, midx.buckets,
+            midx.bucket_vectors, None, midx.bucket_bias, 2.0,
+            nprobe=npb, k=k, l2=True, has_scales=False,
+            rps=midx._rows_per_shard(), mesh=mesh)
+
+    def mesh_gather(qq):
+        return _sharded_ivf_probe(
+            qq, midx.centroids_exp, midx.slice_bias, midx.buckets,
+            midx.vectors, midx.valid, midx.valid, midx.sq_norms, 2.0,
+            nprobe=npb, k=k, has_scales=False, mesh=mesh)
+
+    per_sd = timeit(sd_probe, q, reps=20)
+    per_m = timeit(mesh_probe, qm, reps=20)
+    per_g = timeit(mesh_gather, qm, reps=10)
+    return {
+        "config": "mesh_contig_probe_500kx768_C1024_1dev",
+        "single_device_ms": round(per_sd * 1e3, 3),
+        "mesh_contig_ms": round(per_m * 1e3, 3),
+        "mesh_gather_fallback_ms": round(per_g * 1e3, 3),
+        "mesh_vs_single_ratio": round(per_m / per_sd, 3),
+        "contig_vs_gather_speedup": round(per_g / per_m, 2),
     }
 
 
@@ -469,6 +601,7 @@ CONFIGS = {
     "7": config7_int8,
     "8": config8_pq,
     "9": config9_txn,
+    "10": config10_mesh_probe,
 }
 
 

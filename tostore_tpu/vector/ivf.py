@@ -469,6 +469,27 @@ class _CountOnly(dict):
 
 
 class IVFVectorIndex:
+    """Probe-path auto-dispatch (measured on v5e, 500k x 768 bf16
+    clustered, C=1024, nprobe=16 — BENCH_REPORT config #8):
+
+      raw contiguous kernel   B=8: 4.2 ms   B=64: 5.0 ms (12.9k QPS)
+      ADC 4-bit (K=16) kernel B=8: 2.0 ms   B=64: 7.6 ms ( 8.4k QPS)
+      ADC 8-bit (K=256)       B=8: 3.8 ms   B=64: 22.5 ms ( 2.8k QPS)
+      raw XLA gather fallback B=8: ~9 ms    (over-CONTIG-budget regime)
+
+    The raw bucket kernel is DMA-bound and amortizes its grid overhead
+    with batch, so it wins at EVERY batch size whenever its 2x-corpus
+    contiguous copy fits CONTIG_MAX_BYTES; the ADC kernels are one-hot
+    compute-bound and scale linearly with B. PQ's value is memory: its
+    contiguous CODES are 16x smaller, so past the HBM budget — where raw
+    degrades to the row-gather fallback — 4-bit ADC is the fastest path
+    (and the 4-bit K=16 variant beats 8-bit K=256 ~3x at equal bytes and
+    equal 0.925 recall@10). Hence the rule, applied by search_arrays'
+    dispatch order and this configuration guidance: configure
+    pq_subspaces when corpus_bytes * (1 + BALANCE_FACTOR) exceeds the
+    HBM budget (prefer pq_centroids=16 with even M), otherwise leave PQ
+    off — raw buckets are strictly faster below it."""
+
     index_type = "ivf"
 
     def __init__(
