@@ -628,3 +628,59 @@ class TestWeightDrivenCache:
         db.query("users").where("age", "=", 1).fetch()  # hit: re-hot
         assert next(iter(ex._cache)) != first_key
         db.close()
+
+
+class TestReferenceApiParity:
+    """Small reference-API surface items (tostore.dart): tableExists,
+    get/setVersion, deleteDatabase, getSpaceInfo, watchValues."""
+
+    def test_table_exists_and_space_info(self):
+        from tests.test_engine import users_schema
+
+        db = ToStoreTPU.memory(schemas=[users_schema()])
+        assert db.table_exists("users") and not db.table_exists("nope")
+        db.insert("users", {"username": "a"})
+        info = db.get_space_info()
+        assert info["tables"]["users"]["records"] == 1
+        db.close()
+
+    def test_user_version_round_trip(self, tmp_path):
+        from tests.test_engine import users_schema
+
+        db = ToStoreTPU.open(str(tmp_path), schemas=[users_schema()])
+        assert db.get_version() == 0
+        db.set_version(7)
+        assert db.get_version() == 7
+        db.close()
+        db2 = ToStoreTPU.open(str(tmp_path), schemas=[users_schema()])
+        assert db2.get_version() == 7  # durable
+        db2.close()
+
+    def test_delete_database(self, tmp_path):
+        import os
+
+        from tests.test_engine import users_schema
+
+        path = str(tmp_path / "dbx")
+        db = ToStoreTPU.open(path, schemas=[users_schema()])
+        db.insert("users", {"username": "a"})
+        dbdir = db.engine.db_dir
+        assert os.path.isdir(dbdir)
+        db.delete_database()
+        assert not os.path.isdir(dbdir)
+
+    def test_watch_values_filters_keys(self):
+        db = ToStoreTPU.memory()
+        got = []
+        db.watch_values(["a", "b"], callback=got.append)
+        db.set_value("a", 1)
+        db.set_value("c", 2)  # filtered out
+        db.set_value("b", 3)
+        assert [e.pk for e in got] == ["a", "b"]
+        # single-key stream also filters without a callback
+        sub = db.watch_value("a")
+        db.set_value("c", 9)
+        db.set_value("a", 10)
+        evs = list(sub.stream(timeout=0.1))
+        assert [e.pk for e in evs] == ["a"]
+        db.close()

@@ -242,6 +242,51 @@ class ToStoreTPU:
     def profile_trace(self, log_dir: str):
         return self._db.profile_trace(log_dir)
 
+    # --- misc reference-API parity ------------------------------------------
+
+    def table_exists(self, table: str) -> bool:
+        """Reference tableExists (tostore.dart:944)."""
+        return self._db.has_table(table)
+
+    _USER_VERSION_KEY = "__user_version__"
+
+    def get_version(self) -> int:
+        """App-managed database version (reference getVersion,
+        tostore.dart:1008) — persisted in the global KV space."""
+        return int(self.kv_global.get(self._USER_VERSION_KEY, 0))
+
+    def set_version(self, version: int) -> None:
+        """Reference setVersion (tostore.dart:1025)."""
+        self.kv_global.set(self._USER_VERSION_KEY, int(version))
+
+    def delete_database(self) -> None:
+        """Close and remove the database files (reference deleteDatabase,
+        tostore.dart:1069). Memory databases just close."""
+        import shutil
+
+        path = None if self._db.config.memory_mode else self._db.db_dir
+        self._db.close()
+        if path is not None:
+            shutil.rmtree(path, ignore_errors=True)
+
+    def get_space_info(self) -> dict:
+        """Current space's tables + record counts (reference getSpaceInfo,
+        tostore.dart:1134 / space_info.dart)."""
+        return self.status.space()
+
+    def watch_value(self, key: str, callback=None, is_global: bool = False):
+        """Stream of changes for one KV key (reference watchValue)."""
+        return (self.kv_global if is_global else self.kv).watch_value(
+            key, callback
+        )
+
+    def watch_values(self, keys, callback=None, is_global: bool = False):
+        """Stream of changes for a set of KV keys (reference watchValues,
+        tostore.dart:784)."""
+        return (self.kv_global if is_global else self.kv).watch_values(
+            keys, callback
+        )
+
     def query_migration_status(self, task_id: int | None = None):
         return self._db.query_migration_status(task_id)
 

@@ -194,14 +194,20 @@ class KvStore:
 
     def watch_value(self, key: str, callback: Callable | None = None):
         """Stream of changes for one key (reference watchValue)."""
+        return self.watch_values((key,), callback)
+
+    def watch_values(self, keys, callback: Callable | None = None):
+        """Stream of changes for a SET of keys (reference watchValues,
+        tostore.dart:784): events for other keys are filtered out before
+        delivery."""
+        keyset = set(keys)
         sub = self._db.watch(KV_TABLE, callback=None)
-        if callback:
-            orig_emit = sub._emit
+        orig_emit = sub._emit
 
-            def emit(ev):
-                if ev.pk == key:
-                    orig_emit(ev)
+        def emit(ev):
+            if ev.pk in keyset:
+                orig_emit(ev)
 
-            sub._emit = emit
-            sub.callback = callback
+        sub._emit = emit
+        sub.callback = callback
         return sub
