@@ -929,3 +929,62 @@ class TestStatus:
         assert st["active_space"] == "default"
         assert st["tables"]["default/users"]["records"] == 1
         assert st["counters"]["inserts"] == 1
+
+
+class TestBuilderSurfaceParity:
+    """QueryBuilder surface items from the reference chain API
+    (query_builder.dart): agg shortcuts, clone, joinWithForeignKey,
+    live watch, clearQueryCache."""
+
+    def test_agg_shortcuts(self, db):
+        db.batch_insert("users", [
+            {"username": f"u{i}", "age": i} for i in range(10)
+        ])
+        q = db.query("users").where("age", ">=", 5)
+        assert q.sum("age") == 5 + 6 + 7 + 8 + 9
+        assert q.avg("age") == 7
+        assert q.min("age") == 5
+        assert q.max("age") == 9
+        # the builder stays usable for normal fetches afterwards
+        assert len(q.fetch().records) == 5
+
+    def test_clone_is_independent(self, db):
+        db.batch_insert("users", [
+            {"username": f"u{i}", "age": i} for i in range(10)
+        ])
+        base = db.query("users").where("age", ">=", 5)
+        narrowed = base.clone().where("age", "<", 7)
+        assert narrowed.count() == 2
+        assert base.count() == 5  # clone didn't mutate the original
+
+    def test_join_with_foreign_key_both_directions(self):
+        db = ToStoreTPU.memory(schemas=[users_schema(), posts_schema()])
+        db.insert("users", {"username": "a"})
+        db.insert("posts", {"user_id": 1, "title": "t1"})
+        # referencing direction (posts -> users)
+        rows = db.query("posts").join_with_foreign_key("users").fetch().records
+        assert rows and rows[0]["users.username"] == "a"
+        # referenced direction (users -> posts)
+        rows = db.query("users").join_with_foreign_key("posts").fetch().records
+        assert rows and rows[0]["posts.title"] == "t1"
+        db.close()
+
+    def test_live_query_watch(self, db):
+        db.insert("users", {"username": "a", "age": 1})
+        snapshots = []
+        sub = db.query("users").where("age", ">=", 2).watch(snapshots.append)
+        db.insert("users", {"username": "b", "age": 5})
+        assert snapshots and [r["username"] for r in snapshots[-1]] == ["b"]
+        db.insert("users", {"username": "c", "age": 1})  # doesn't match
+        assert [r["username"] for r in snapshots[-1]] == ["b"]
+        sub.cancel()
+        db.insert("users", {"username": "d", "age": 9})
+        assert [r["username"] for r in snapshots[-1]] == ["b"]  # no updates
+
+    def test_clear_query_cache(self, db):
+        db.batch_insert("users", [
+            {"username": f"u{i}", "age": i} for i in range(5)
+        ])
+        db.query("users").where("age", "=", 1).fetch()
+        assert db.clear_query_cache() >= 1
+        assert len(db.engine.executor._cache) == 0

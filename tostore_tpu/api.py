@@ -269,6 +269,14 @@ class ToStoreTPU:
         if path is not None:
             shutil.rmtree(path, ignore_errors=True)
 
+    def clear_query_cache(self) -> int:
+        """Drop every cached query result (reference clearQueryCache,
+        query_builder.dart:277). Returns the number of entries dropped."""
+        with self._db._lock:
+            n = len(self._db.executor._cache)
+            self._db.executor._cache.clear()
+        return n
+
     def get_space_info(self) -> dict:
         """Current space's tables + record counts (reference getSpaceInfo,
         tostore.dart:1134 / space_info.dart)."""

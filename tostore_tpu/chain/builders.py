@@ -146,6 +146,15 @@ class QueryBuilder(_ConditionMixin):
                 return self.join(table, left, fk.field)
         raise ValueError(f"{table} has no FK referencing {self._table}")
 
+    def join_with_foreign_key(self, table: str):
+        """Join using whichever FK relationship exists between the two
+        tables, in either direction (reference joinWithForeignKey,
+        query_builder.dart:210)."""
+        try:
+            return self.join_referenced_table(table)
+        except ValueError:
+            return self.join_referencing_table(table)
+
     # aggregates
     def group_by(self, *fields: str):
         self._spec.group_by = list(fields)
@@ -186,6 +195,55 @@ class QueryBuilder(_ConditionMixin):
 
     def exists(self) -> bool:
         return self.first() is not None
+
+    # aggregate shortcuts (reference query_builder.dart:350-362)
+    def _agg_one(self, op: str, field: str):
+        import copy
+
+        spec = copy.deepcopy(self._spec)
+        spec.aggregates = [Agg(op, field, "__v__")]
+        spec.group_by = []
+        spec.limit = None
+        res = self._db.query(self._table, spec)
+        return res.records[0]["__v__"] if res.records else None
+
+    def sum(self, field: str):
+        return self._agg_one("sum", field)
+
+    def avg(self, field: str):
+        return self._agg_one("avg", field)
+
+    def min(self, field: str):
+        return self._agg_one("min", field)
+
+    def max(self, field: str):
+        return self._agg_one("max", field)
+
+    def clone(self) -> "QueryBuilder":
+        """Independent copy of this builder (reference clone,
+        query_builder.dart:375)."""
+        import copy
+
+        qb = QueryBuilder(self._db, self._table)
+        qb._cond = copy.deepcopy(self._cond)
+        qb._spec = copy.deepcopy(self._spec)
+        qb._spec.condition = qb._cond
+        return qb
+
+    def watch(self, callback=None):
+        """Live query: re-runs this query whenever the table changes and
+        delivers the fresh record list (reference QueryBuilder.watch,
+        query_builder.dart:480 — a Stream of result lists). Returns the
+        Subscription; `callback(records)` fires per change batch, and the
+        subscription's stream surfaces yield the underlying change events
+        for callers that want raw deltas."""
+        spec = self._spec
+
+        def on_change(_ev):
+            if callback:
+                callback(self._db.query(self._table, spec).records)
+
+        return self._db.watch(self._table, callback=on_change)
 
     def __iter__(self) -> Iterator[dict]:
         return iter(self.fetch().records)
