@@ -387,3 +387,23 @@ class TestLikePrefixAndNullArms:
         assert len(rows) == 40
         for r in rows:
             assert r["tenant"] == "t2" and r["kind"].startswith("k1")
+
+
+class TestCacheCopySafety:
+    def test_nested_mutable_in_tuple_does_not_alias_cache(self):
+        # VERDICT r2 Weak #10: a list nested inside a tuple-valued JSON
+        # cell aliased the cached record under the old list/dict-only copy
+        from tostore_tpu.models.schema import DataType, FieldSchema, TableSchema
+
+        schema = TableSchema(
+            name="j", fields=(FieldSchema("payload", DataType.json),),
+        )
+        d = ToStoreTPU.memory(schemas=[schema])
+        try:
+            d.insert("j", {"payload": {"inner": [1, 2]}})
+            r1 = d.query("j").fetch().records[0]
+            r1["payload"]["inner"].append(99)  # caller mutates their copy
+            r2 = d.query("j").fetch().records[0]  # cache hit
+            assert r2["payload"]["inner"] == [1, 2]
+        finally:
+            d.close()

@@ -992,6 +992,36 @@ class ShardedIVFIndex(ShardedFlatIndex):
                 ].set(scatter)
         return True
 
+    def _vacate_slots(self, slots: np.ndarray):
+        """Clear overwritten rows' bucket entries on device (the new
+        vector may belong to a different cluster); the caller re-appends
+        them. Fill-count holes are reclaimed by the next rebuild/compact,
+        mirroring the single-device index."""
+        slots = np.asarray(slots)
+        slots = slots[slots >= 0]
+        if not len(slots) or self.slot_slice is None or self.buckets is None:
+            return
+        rps = self._rows_per_shard()
+        c_exp = self._slice_cluster.shape[0]
+        idx = jnp.asarray(slots, jnp.int32)
+        sl = self.slot_slice[idx]  # local slice ids, -1 = unplaced
+        ps = self.slot_pos[idx]
+        sh = (idx // rps).astype(jnp.int32)
+        ok = sl >= 0
+        rows = jnp.where(ok, sh * c_exp + sl, 0)
+        cols = jnp.where(ok, ps, 0)
+        cur = self.buckets[rows, cols]
+        self.buckets = self.buckets.at[rows, cols].set(
+            jnp.where(ok, -1, cur)
+        )
+        if self.bucket_bias is not None:
+            curb = self.bucket_bias[rows, cols]
+            self.bucket_bias = self.bucket_bias.at[rows, cols].set(
+                jnp.where(ok, NEG_INF, curb)
+            )
+        self.slot_slice = self.slot_slice.at[idx].set(jnp.where(ok, -1, sl))
+        self.slot_pos = self.slot_pos.at[idx].set(jnp.where(ok, -1, ps))
+
     def upsert(self, pks, raw, _prepped=None):
         self._mutations += 1
         existing = [pk for pk in pks if pk in self._pk_slot]
@@ -999,13 +1029,16 @@ class ShardedIVFIndex(ShardedFlatIndex):
         slots = super().upsert(pks, raw, _prepped=_prepped)
         rebuilt = self._maybe_retrain()
         if self.trained and not rebuilt:
-            if (
-                existing
-                or self.capacity != cap_before  # re-stripe moved rows
-                or not self._append_to_buckets(np.asarray(slots, np.int64))
-            ):
-                # overwrites may change cluster; overflow needs a new layout
+            if self.capacity != cap_before:  # re-stripe moved rows
                 self._rebuild_buckets()
+            else:
+                if existing:
+                    # vacate overwritten rows' old entries, then place the
+                    # whole batch fresh (a full mesh rebuild on every
+                    # overwrite stalled streaming-update workloads)
+                    self._vacate_slots(self.slots_for_pks(existing))
+                if not self._append_to_buckets(np.asarray(slots, np.int64)):
+                    self._rebuild_buckets()  # slice overflow: new layout
         return slots
 
     def delete(self, pks) -> int:

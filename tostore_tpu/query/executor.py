@@ -172,12 +172,17 @@ def _like_literal_prefix(pattern: str) -> str | None:
     return pattern[:cut] or None
 
 
+_IMMUTABLE_CELLS = (str, int, float, bool, bytes, type(None))
+
+
 def _copy_record(r: dict) -> dict:
-    """Cache-boundary copy: callers own returned records, so list/dict
-    cells must not alias the cached copy (columnstore get() guards the
-    store the same way)."""
+    """Cache-boundary copy: callers own returned records, so mutable cells
+    must not alias the cached copy (columnstore get() guards the store the
+    same way). Anything outside the immutable primitives deep-copies —
+    a list nested inside a tuple or a custom JSON value would otherwise
+    alias the cache (VERDICT r2 Weak #10)."""
     return {
-        k: copy.deepcopy(v) if isinstance(v, (list, dict)) else v
+        k: v if isinstance(v, _IMMUTABLE_CELLS) else copy.deepcopy(v)
         for k, v in r.items()
     }
 
