@@ -423,3 +423,104 @@ class TestKdfSalt:
             with open(tmp_path / name / "default" / "manifest.json") as f:
                 salts.append(_json.load(f)["extras"]["kdf_salt"])
         assert salts[0] != salts[1]
+
+
+class TestRound3ReviewFindings:
+    """Round-3 self-review fixes."""
+
+    def test_like_on_numeric_indexed_column(self):
+        # finding 1: the LIKE-prefix arm must not fire on non-text columns
+        # (the memcomparable text tag never matches int-encoded keys ->
+        # false-empty indexScan)
+        from tostore_tpu import ToStoreTPU, DataType, FieldSchema, IndexSchema, TableSchema
+
+        schema = TableSchema(
+            name="t",
+            fields=(FieldSchema("num", DataType.integer),),
+            indexes=(IndexSchema(fields=("num",), type="btree"),),
+        )
+        db = ToStoreTPU.memory(schemas=[schema])
+        try:
+            db.batch_insert("t", [{"num": 120 + i} for i in range(5)])
+            db.batch_insert("t", [{"num": 900 + i} for i in range(5)])
+            rows = db.query("t").where("num", "like", "12%").fetch().records
+            assert len(rows) == 5
+            assert all(str(r["num"]).startswith("12") for r in rows)
+        finally:
+            db.close()
+
+    def test_sharded_compact_preserves_defer_retrain(self, rng):
+        # finding 3: inline compact() re-runs __init__, which reset the
+        # engine-ownership flag and silently disabled background maintenance
+        from tostore_tpu.parallel import make_mesh
+        from tostore_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        mesh = make_mesh(8, dp=2)
+        idx = ShardedIVFIndex(16, mesh, metric="l2", num_clusters=8,
+                              min_train_size=100)
+        idx.defer_retrain = True
+        x = rng.standard_normal((500, 16)).astype(np.float32)
+        idx.upsert(list(range(500)), x)
+        idx.delete(list(range(100)))
+        idx.compact()
+        assert idx.defer_retrain
+
+    def test_batch_upsert_blocked_under_critical(self):
+        # finding 4: the fast path bypassed the writes_blocked guard
+        import unittest.mock as mock
+
+        from tostore_tpu import ToStoreTPU, DataType, FieldSchema, TableSchema
+
+        schema = TableSchema(name="t", fields=(FieldSchema("v", DataType.integer),))
+        db = ToStoreTPU.memory(schemas=[schema])
+        try:
+            with mock.patch.object(db.engine.resources, "writes_blocked",
+                                   return_value=True):
+                r = db.batch_upsert("t", [{"id": 1, "v": 1}])
+            assert r.is_error and "blocked" in r.message
+            assert db.count("t") == 0
+        finally:
+            db.close()
+
+    def test_aggregate_queries_do_not_pollute_weights(self):
+        # finding 6: agg results carry no pk; (table, None) phantom weights
+        from tostore_tpu import ToStoreTPU, DataType, FieldSchema, TableSchema
+
+        schema = TableSchema(name="t", fields=(FieldSchema("v", DataType.integer),))
+        db = ToStoreTPU.memory(schemas=[schema])
+        try:
+            db.batch_insert("t", [{"v": i} for i in range(10)])
+            db.engine.weights._w.clear()
+            assert db.query("t").sum("v") == 45
+            assert ("t", None) not in db.engine.weights._w
+        finally:
+            db.close()
+
+    def test_live_watch_coalesces_batch_writes(self):
+        # finding 5: one re-query per store generation, not per event
+        import unittest.mock as mock
+
+        from tostore_tpu import ToStoreTPU, DataType, FieldSchema, TableSchema
+
+        schema = TableSchema(name="t", fields=(FieldSchema("v", DataType.integer),))
+        db = ToStoreTPU.memory(schemas=[schema])
+        try:
+            calls = []
+            db.query("t").where("v", ">=", 0).watch(calls.append)
+            db.batch_insert("t", [{"v": i} for i in range(50)])  # one generation
+            assert len(calls) == 1
+            assert len(calls[0]) == 50
+        finally:
+            db.close()
+
+    def test_sharded_search_distance_parity_after_host_conversion(self, rng):
+        # finding 7: host-side scores_to_distances must match the device fn
+        from tostore_tpu.parallel import make_mesh
+        from tostore_tpu.parallel.sharded import ShardedFlatIndex
+
+        mesh = make_mesh(8, dp=2)
+        idx = ShardedFlatIndex(16, mesh, metric="l2")
+        x = rng.standard_normal((300, 16)).astype(np.float32)
+        idx.upsert(list(range(300)), x)
+        d, pks = idx.search_arrays(x[42], k=1)
+        assert pks[0][0] == 42 and abs(float(d[0][0])) < 1e-2

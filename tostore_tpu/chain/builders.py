@@ -233,15 +233,22 @@ class QueryBuilder(_ConditionMixin):
     def watch(self, callback=None):
         """Live query: re-runs this query whenever the table changes and
         delivers the fresh record list (reference QueryBuilder.watch,
-        query_builder.dart:480 — a Stream of result lists). Returns the
-        Subscription; `callback(records)` fires per change batch, and the
-        subscription's stream surfaces yield the underlying change events
-        for callers that want raw deltas."""
+        query_builder.dart:480 — a Stream of result lists). Re-queries are
+        COALESCED per store generation: a columnar batch write bumps the
+        generation once, so its burst of change events triggers one
+        re-execution (the rest hit the generation check), instead of one
+        full query per event inside the writer's critical section."""
         spec = self._spec
+        last_gen = [-1]
 
         def on_change(_ev):
-            if callback:
-                callback(self._db.query(self._table, spec).records)
+            if callback is None:
+                return
+            gen = self._db._table(self._table).store.generation
+            if gen == last_gen[0]:
+                return
+            last_gen[0] = gen
+            callback(self._db.query(self._table, spec).records)
 
         return self._db.watch(self._table, callback=on_change)
 

@@ -1496,6 +1496,11 @@ class Database:
 
     def batch_upsert(self, table: str, records: list[dict]) -> DbResult:
         with self._lock, self._wal_group(), self._timed("batch_upsert"):
+            if self.resources.writes_blocked():
+                return DbResult.error(
+                    ResultType.resourceLimit,
+                    "writes blocked: resource level critical",
+                )
             fast = self._bulk_upsert_fast(table, records)
             if fast is not None:
                 return fast
@@ -1948,7 +1953,9 @@ class Database:
             )
         pk_name = t.schema.primary_key.name
         for r in res.records[: self.WEIGHT_SAMPLE]:
-            self.weights.record_access(table, r.get(pk_name))
+            pk = r.get(pk_name)
+            if pk is not None:  # aggregates/projections carry no pk
+                self.weights.record_access(table, pk)
         return res
 
     def count(self, table: str, condition: QueryCondition | None = None) -> int:

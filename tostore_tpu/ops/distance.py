@@ -86,6 +86,23 @@ def scores_to_distances(metric: str, scores: jax.Array, q_sq_norms: jax.Array) -
     raise ValueError(f"unknown metric {metric!r}")
 
 
+def scores_to_distances_np(metric: str, scores, q_sq_norms) -> "np.ndarray":
+    """Host-side scores_to_distances for results already read back: the
+    jnp version would re-upload them through the tunnel (~30 ms roundtrip)
+    just for elementwise arithmetic."""
+    import numpy as np
+
+    scores = np.asarray(scores, np.float32)
+    if metric == "dot":
+        return -scores
+    if metric == "cosine":
+        return (1.0 - scores).astype(np.float32)
+    if metric == "l2":
+        q = np.asarray(q_sq_norms, np.float32)
+        return np.sqrt(np.maximum(q[:, None] - scores, 0.0)).astype(np.float32)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
 def distances_to_scores(metric: str, distances: jax.Array) -> jax.Array:
     """User-facing relevance score, identical to the reference mapping
     (vector_index_manager.dart:1411-1423)."""

@@ -368,7 +368,7 @@ class ShardedFlatIndex:
         single = qx.ndim == 1
         if single:
             qx = qx[None]
-        qsq = jnp.asarray(np.sum(qx * qx, axis=1))
+        qsq = np.sum(qx * qx, axis=1)
         if self.metric == "cosine":
             qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
         if self.d_pad != qx.shape[1]:
@@ -392,10 +392,7 @@ class ShardedFlatIndex:
         )
         scores = read_to_host(scores)[:b]
         idx = read_to_host(idx)[:b]
-        dists = np.array(
-            D.scores_to_distances(self.metric, jnp.asarray(scores), qsq),
-            np.float32,
-        )
+        dists = D.scores_to_distances_np(self.metric, scores, qsq)
         idx_np = np.asarray(idx, np.int64)
         miss = np.asarray(scores) <= NEG_INF / 2
         dists[miss] = np.inf

@@ -776,9 +776,9 @@ class ShardedIVFIndex(ShardedFlatIndex):
         )
         if len(live):
             idxs = jnp.asarray(live, jnp.int32)
-            vecs = np.asarray(cap["vectors"][idxs], np.float32)
+            vecs = read_to_host(cap["vectors"][idxs]).astype(np.float32)
             if cap["scales"] is not None:
-                vecs = vecs * np.asarray(cap["scales"][idxs])[:, None]
+                vecs = vecs * read_to_host(cap["scales"][idxs])[:, None]
             new_slots = shadow.upsert(
                 list(slot_pks[live]), vecs[:, : self.dims], _prepped=vecs
             )
@@ -1061,6 +1061,7 @@ class ShardedIVFIndex(ShardedFlatIndex):
                self.pq_rerank)
         cents, tsize, pq = self.centroids, self._trained_size, self.pq
         mut = self._mutations  # __init__ would reset the RCU counter
+        defer = self.defer_retrain  # __init__ would reset engine ownership
         self.min_train_size = 1 << 62  # suppress retrain during re-stripe
         try:
             super().compact()
@@ -1072,6 +1073,7 @@ class ShardedIVFIndex(ShardedFlatIndex):
         self._trained_size = tsize
         self.pq = pq
         self._mutations = mut + 1
+        self.defer_retrain = defer
         if self.trained:
             self._rebuild_buckets()
 
@@ -1085,7 +1087,7 @@ class ShardedIVFIndex(ShardedFlatIndex):
         single = qx.ndim == 1
         if single:
             qx = qx[None]
-        qsq = jnp.asarray(np.sum(qx * qx, axis=1))
+        qsq = np.sum(qx * qx, axis=1)
         if self.metric == "cosine":
             qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
         if self.d_pad != qx.shape[1]:
@@ -1159,10 +1161,9 @@ class ShardedIVFIndex(ShardedFlatIndex):
             )
         scores = read_to_host(scores)[:b]
         idx = read_to_host(idx)[:b]
-        dists = np.array(
-            D.scores_to_distances(self.metric, jnp.asarray(scores), qsq),
-            np.float32,
-        )
+        # host-side conversion: re-uploading scores just for elementwise
+        # arithmetic would cost an extra tunnel roundtrip per search
+        dists = D.scores_to_distances_np(self.metric, scores, qsq)
         idx_np = np.asarray(idx, np.int64)
         miss = np.asarray(scores) <= NEG_INF / 2
         dists[miss] = np.inf

@@ -372,11 +372,18 @@ class QueryExecutor:
             # because LIKE is case-sensitive (parity with
             # value_matcher.dart:318); the residual regex re-filters.
             if nxt is not None:
+                from ..models.schema import DataType
+
+                fs_nxt = table.schema.field_map.get(nxt)
                 pat = next(
                     (v for f, op, v in leaves
                      if f == nxt and op == "like" and isinstance(v, str)),
                     None,
-                )
+                ) if fs_nxt is not None and fs_nxt.type == DataType.text else None
+                # text columns only: the memcomparable text tag (0x06)
+                # never matches int/float/bool-encoded keys, so a prefix
+                # arm on a numeric column would return a FALSE-empty slice
+                # while the residual matcher compares str(value)
                 lp = _like_literal_prefix(pat) if pat else None
                 if lp:
                     a, b = sidx.prefix_positions_multi(store, eq, lp)
