@@ -122,6 +122,7 @@ import numpy as np
 from tostore_tpu.parallel.mesh import init_distributed
 
 coord, pid, tmp = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+dp, shard = int(sys.argv[4]), int(sys.argv[5])
 init_distributed(coord, num_processes=2, process_id=pid, local_cpu_devices=2)
 import jax
 assert jax.device_count() == 4 and jax.process_count() == 2
@@ -139,7 +140,7 @@ schema = TableSchema(
                              index_type=VectorIndexType.ivf, num_clusters=8,
                              nprobe=8, pq_subspaces=8)),),
 )
-cfg = DataStoreConfig(mesh_shape=(1, 4))
+cfg = DataStoreConfig(mesh_shape=(dp, shard))
 db = ToStoreTPU.open(tmp + f"/db{pid}", config=cfg, schemas=[schema])
 vi = db.engine._table("docs").vector_indexes["emb"]
 vi.min_train_size = 100
@@ -165,11 +166,13 @@ print("RESULT " + json.dumps({"hits": hits, "hits2": hits2}), flush=True)
 """
 
 
-def test_two_process_engine_sharded_ivf_pq(tmp_path):
+@pytest.mark.parametrize("dp,shard", [(1, 4), (2, 2)])
+def test_two_process_engine_sharded_ivf_pq(tmp_path, dp, shard):
     """Engine opened with mesh_shape across 2 processes: sharded residual-
     PQ IVF batch insert, hybrid-path search, checkpoint persist + reopen —
     recall asserted vs a single-process exact oracle (SURVEY §2.4 DCN row;
-    VERDICT r2 Missing #6)."""
+    VERDICT r2 Missing #6). The (2, 2) case shards QUERIES over dp across
+    processes as well as the corpus."""
     port = socket.socket()
     port.bind(("127.0.0.1", 0))
     coord = f"127.0.0.1:{port.getsockname()[1]}"
@@ -179,7 +182,8 @@ def test_two_process_engine_sharded_ivf_pq(tmp_path):
     env.pop("JAX_PLATFORMS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _ENGINE_WORKER, coord, str(pid), str(tmp_path)],
+            [sys.executable, "-c", _ENGINE_WORKER, coord, str(pid),
+             str(tmp_path), str(dp), str(shard)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             cwd="/root/repo", env=env, text=True,
         )
