@@ -199,6 +199,30 @@ class ShardedFlatIndex:
         self.scales = scl
         self.capacity = new_cap
 
+    @staticmethod
+    def _balanced_take(fills: np.ndarray, k: int) -> np.ndarray:
+        """How many new rows each shard receives so stripes water-fill to
+        an even level (the vectorized equivalent of k argmin round-robin
+        steps — the old per-record np.argmin loop cost ~1 s per 200k-row
+        batch)."""
+        take = np.zeros(len(fills), np.int64)
+        if k <= 0:
+            return take
+        f = fills.astype(np.int64)
+        lo, hi = int(f.min()), int(f.max()) + k
+        while lo < hi:  # smallest level L with sum(max(0, L - f)) >= k
+            mid = (lo + hi) // 2
+            if int(np.maximum(mid - f, 0).sum()) >= k:
+                hi = mid
+            else:
+                lo = mid + 1
+        take = np.maximum(lo - f, 0)
+        excess = int(take.sum()) - k
+        if excess > 0:
+            raised = np.flatnonzero(take > 0)
+            take[raised[-excess:]] -= 1
+        return take
+
     def upsert(self, pks, raw: np.ndarray, _prepped: np.ndarray | None = None):
         if _prepped is not None:  # already normalized + padded storage rows
             x = np.asarray(_prepped, np.float32)
@@ -209,18 +233,31 @@ class ShardedFlatIndex:
             if self.d_pad != x.shape[1]:
                 x = np.pad(x, ((0, 0), (0, self.d_pad - x.shape[1])))
         pks = list(pks)
-        # assign slots: existing pks keep theirs; new ones round-robin
-        new_count = sum(1 for pk in pks if pk not in self._pk_slot)
+        # assign slots: existing pks keep theirs; new ones water-fill the
+        # shard stripes (vectorized; duplicates within the batch reuse the
+        # first occurrence's slot)
+        seen = set(self._pk_slot)
+        new_count = 0
+        for pk in pks:
+            if pk not in seen:
+                new_count += 1
+                seen.add(pk)
         max_fill = int(self._shard_fill.max()) + (new_count // self.nsh + 1)
         self._ensure_capacity(max_fill)
         rps = self._rows_per_shard()
+        take = self._balanced_take(self._shard_fill, new_count)
+        new_slots = iter(
+            np.concatenate([
+                s * rps + self._shard_fill[s] + np.arange(take[s])
+                for s in range(self.nsh)
+            ]).tolist() if new_count else ()
+        )
+        self._shard_fill += take
         slots = np.empty(len(pks), np.int64)
         for j, pk in enumerate(pks):
             slot = self._pk_slot.get(pk)
             if slot is None:
-                s = int(np.argmin(self._shard_fill))
-                slot = s * rps + int(self._shard_fill[s])
-                self._shard_fill[s] += 1
+                slot = next(new_slots)
                 self._pk_slot[pk] = slot
                 self._slot_pks[slot] = pk
             slots[j] = slot
