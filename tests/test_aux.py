@@ -684,3 +684,32 @@ class TestReferenceApiParity:
         evs = list(sub.stream(timeout=0.1))
         assert [e.pk for e in evs] == ["a"]
         db.close()
+
+
+class TestPrewarmOnOpen:
+    def test_background_prewarm_runs(self):
+        import time as _t
+
+        from tests.test_engine import users_schema
+        from tostore_tpu import DataStoreConfig
+
+        from tostore_tpu.models.schema import (
+            DataType, FieldSchema, IndexSchema, TableSchema, VectorFieldConfig,
+        )
+        import numpy as np
+
+        vs = TableSchema(
+            name="docs",
+            fields=(FieldSchema("emb", DataType.vector,
+                                vector_config=VectorFieldConfig(dimensions=8)),),
+            indexes=(IndexSchema(fields=("emb",), type="vector"),),
+        )
+        cfg = DataStoreConfig(prewarm_on_open=True)
+        db = ToStoreTPU.memory(schemas=[vs], config=cfg)
+        try:
+            th = getattr(db.engine, "_prewarm_thread", None)
+            assert th is not None
+            th.join(timeout=10)
+            assert not th.is_alive()
+        finally:
+            db.close()

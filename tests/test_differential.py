@@ -123,10 +123,46 @@ def test_differential_random_ops(seed):
             updates = {f: random_value(rng, f)}
             db.update("t", updates).condition(cond).execute()
             model.update(cond, updates)
-        elif roll < 0.8:
+        elif roll < 0.72:
             cond = random_condition(rng)
             db.delete("t").condition(cond).execute()
             model.delete(cond)
+        elif roll < 0.78 and model.rows:
+            # batch_update by pk: exercises the columnar fast path (and
+            # its general fallback when field sets are non-uniform)
+            pks = list(model.rows)
+            chosen = [
+                pks[i] for i in rng.choice(
+                    len(pks), min(len(pks), int(rng.integers(1, 6))),
+                    replace=False,
+                )
+            ]
+            f = rng.choice(["a", "b", "flag"]).item()
+            recs = []
+            for pk in chosen:
+                v = random_value(rng, f)
+                recs.append({"id": pk, f: v})
+                model.rows[pk][f] = v
+            r = db.batch_update("t", recs)
+            assert r.is_success, r.message
+        elif roll < 0.82:
+            # batch_upsert: mixes existing-pk updates with new inserts
+            # through the split fast path
+            n_new = int(rng.integers(1, 4))
+            recs = []
+            for _ in range(n_new):
+                rec = {f: random_value(rng, f) for f in fields}
+                pk = model.next_pk  # upsert consumes sequential ids
+                recs.append({"id": pk, **rec})
+                model.insert(rec)
+            if model.rows and rng.random() < 0.5:
+                pks = list(model.rows)
+                pk = pks[int(rng.integers(0, len(pks)))]
+                v = random_value(rng, "a")
+                recs.append({"id": pk, "a": v})
+                model.rows[pk]["a"] = v
+            r = db.batch_upsert("t", recs)
+            assert r.is_success, r.message
         else:
             cond = random_condition(rng)
             got = db.query("t").condition(cond).limit(10_000).fetch().records

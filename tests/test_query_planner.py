@@ -407,3 +407,27 @@ class TestCacheCopySafety:
             assert r2["payload"]["inner"] == [1, 2]
         finally:
             d.close()
+
+
+class TestStaleBoundFlags:
+    def test_open_flag_not_inherited_across_leaves(self, db):
+        # found by the differential fuzz: `age > -18 AND age between
+        # (1, 13)` left lo_open=True from the first leaf on the closed
+        # between bound, so the index arm excluded age == 1
+        cond = (QueryCondition()
+                .where("age", ">", -18)
+                .where("age", "between", (1, 13)))
+        rows = db.query("t").condition(cond).limit(1000).fetch().records
+        allr = db.query("t").limit(1000).fetch().records
+        want = {r["id"] for r in allr if 1 <= r["age"] <= 13}
+        assert {r["id"] for r in rows} == want
+        assert any(r["age"] == 1 for r in rows)
+
+    def test_between_then_gt(self, db):
+        cond = (QueryCondition()
+                .where("age", "between", (5, 13))
+                .where("age", ">", 1))
+        rows = db.query("t").condition(cond).limit(1000).fetch().records
+        allr = db.query("t").limit(1000).fetch().records
+        want = {r["id"] for r in allr if 5 <= r["age"] <= 13}
+        assert {r["id"] for r in rows} == want

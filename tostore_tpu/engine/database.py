@@ -287,6 +287,20 @@ class Database:
         self._ensure_kv_table()
         self._mark_interrupted_migrations()
         self._start_crontab()
+        if self.config.prewarm_on_open:
+            # reference loadDataToCache at open (dsi:908): warm search
+            # executables off the open path; hottest tables first
+            self._prewarm_thread = threading.Thread(
+                target=self._prewarm_guarded, daemon=True,
+                name="tostore-prewarm",
+            )
+            self._prewarm_thread.start()
+
+    def _prewarm_guarded(self):
+        try:
+            self.prewarm()
+        except Exception as exc:  # startup warming must never kill opens
+            log.warning(f"prewarm_on_open failed: {exc}")
 
     # --- per-thread transaction context ------------------------------------
 

@@ -90,6 +90,12 @@ class DataStoreConfig:
     maintenance_defer_s: float = 0.25
     tombstone_compact_ratio: float = 0.10  # reference vim:897 10% threshold
 
+    # startup prewarm (reference loadDataToCache at open, dsi:908): warm
+    # the vector-search executables on a background thread after open,
+    # hottest tables first. Opt-in: first-compile on a cold cache can take
+    # tens of seconds and should not surprise short-lived processes.
+    prewarm_on_open: bool = False
+
     # TPU-native
     device_put_vectors: bool = True  # keep vector corpora device-resident
     default_vector_dtype: str = "float32"  # scoring dtype for new indexes

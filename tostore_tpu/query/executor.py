@@ -138,18 +138,26 @@ def _extract_bounds(leaves: list, field: str, fs):
             else tuple(_coerce_index_value(x, fs) for x in v)
         )
         found = True
+        # every assignment sets its open flag: a later leaf on the same
+        # field must not inherit a stale flag from an earlier one (found
+        # by the differential fuzz: `a > -18 AND a between (1, 13)` left
+        # lo_open=True on the closed between-bound, excluding a=1 from a
+        # claimed-superset arm). Mixing lo/hi from different leaves stays
+        # superset-safe — each is one leaf's own constraint.
         if op == "=":
             lo = hi = v
+            lo_open = hi_open = False
         elif op == ">":
             lo, lo_open = v, True
         elif op == ">=":
-            lo = v
+            lo, lo_open = v, False
         elif op == "<":
             hi, hi_open = v, True
         elif op == "<=":
-            hi = v
+            hi, hi_open = v, False
         elif op == "between":
             lo, hi = v
+            lo_open = hi_open = False
     if not found:
         return None
     if fs is not None and fs.type in (DataType.integer, DataType.bigInt, DataType.datetime):
