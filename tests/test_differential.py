@@ -263,3 +263,78 @@ class _Neg:
 
     def __eq__(self, o):
         return o.k == self.k
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33, 34])
+def test_differential_crash_recovery(tmp_path, seed):
+    """Random ops (incl. the columnar batch paths and transactions), then
+    a crash WITHOUT checkpoint; WAL replay at reopen must reconstruct
+    exactly the model's state."""
+    rng = np.random.default_rng(seed)
+    db = ToStoreTPU.open(str(tmp_path / f"d{seed}"), schemas=[schema()])
+    model = NaiveModel()
+    fields = ["a", "b", "s", "flag"]
+    for step in range(120):
+        roll = rng.random()
+        if roll < 0.4 or not model.rows:
+            rec = {f: random_value(rng, f) for f in fields}
+            r = db.insert("t", rec)
+            assert r.is_success
+            model.insert(rec)
+        elif roll < 0.55:
+            cond = random_condition(rng)
+            f = rng.choice(fields).item()
+            updates = {f: random_value(rng, f)}
+            db.update("t", updates).condition(cond).execute()
+            model.update(cond, updates)
+        elif roll < 0.65:
+            cond = random_condition(rng)
+            db.delete("t").condition(cond).execute()
+            model.delete(cond)
+        elif roll < 0.75 and model.rows:
+            pks = list(model.rows)
+            chosen = [
+                pks[i] for i in rng.choice(
+                    len(pks), min(len(pks), int(rng.integers(1, 6))),
+                    replace=False)
+            ]
+            f = rng.choice(["a", "b", "flag"]).item()
+            recs = []
+            for pk in chosen:
+                v = random_value(rng, f)
+                recs.append({"id": pk, f: v})
+                model.rows[pk][f] = v
+            assert db.batch_update("t", recs).is_success
+        elif roll < 0.85:
+            # committed transaction: two updates on random existing rows
+            pks = list(model.rows)
+            pk = pks[int(rng.integers(0, len(pks)))]
+            v = random_value(rng, "a")
+
+            def action(tx, pk=pk, v=v):
+                db.update_by_pk("t", pk, {"a": v})
+
+            r = db.transaction(action)
+            if r.committed:
+                model.rows[pk]["a"] = v
+        else:
+            rec = {f: random_value(rng, f) for f in fields}
+            pk = model.next_pk
+            assert db.batch_upsert("t", [{"id": pk, **rec}]).is_success
+            model.insert(rec)
+    db.engine._wal.close()  # crash: no final checkpoint
+    db2 = ToStoreTPU.open(str(tmp_path / f"d{seed}"), schemas=[schema()])
+    try:
+        got = db2.query("t").limit(10_000).fetch().records
+        want = model.query(None)
+        assert [g["id"] for g in got] == [w["id"] for w in want]
+        for g, w in zip(got, want):
+            for f in fields:
+                gv, wv = g.get(f), w.get(f)
+                if isinstance(wv, float) and gv is not None:
+                    assert abs(gv - wv) < 1e-9
+                else:
+                    assert gv == wv, (g["id"], f, gv, wv)
+        assert db2.check_integrity()["ok"]
+    finally:
+        db2.close()
