@@ -16,7 +16,10 @@ overflow; the index retrains (like the reference's PQ retrain trigger,
 vector_index_manager.dart:703) when the corpus outgrows the centroids.
 
 Build-time ceiling analysis (v5e, 1M x 768 bf16, C=1024, warm):
-  measured warm train(force=True) 0.19 s = 8.1 GB/s of corpus bytes.
+  measured warm train(force=True) 0.18 s = 8.5 GB/s of corpus bytes
+  (sample gather + Lloyd fused into one dispatch; centroid expansion
+  fused into the place dispatch — the async pipeline already overlapped
+  most dispatch boundaries, so fusing bought only ~10 ms).
   Per-stage (each forced to completion; the pipelined build overlaps some):
     k-means sample gather (65k rows)          ~50 ms
     10 Lloyd iterations on the sample         ~41 ms
@@ -272,6 +275,21 @@ def _ivf_probe_scan_contig(
     return ts, jnp.take_along_axis(slots, ti, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "iters", "has_scales"))
+def _kmeans_sampled(vectors, scales, slots, init, *, k: int, iters: int,
+                    has_scales: bool):
+    """Coarse k-means with the sample gather FUSED into the same dispatch
+    (the staged profile showed the standalone 65k-row gather costing
+    ~50 ms of mostly dispatch latency through the tunnel; fused it rides
+    the same program as the Lloyd loop)."""
+    x = vectors[slots].astype(jnp.float32)
+    if has_scales:
+        x = x * scales[slots][:, None]
+    return _kmeans_all_subspaces(
+        x[None], init[None], k=k, iters=iters, compute_dtype=jnp.bfloat16
+    )[0]
+
+
 @jax.jit
 def _expand_centroids(centroids, slice_cluster):
     """(centroids_exp, slice_bias) in one dispatch (slice_cluster -1 =
@@ -285,7 +303,7 @@ def _expand_centroids(centroids, slice_cluster):
     jax.jit, static_argnames=("cap", "c_exp", "with_vectors", "bias_l2")
 )
 def _place_and_contig(
-    assign, valid, base, vectors, sq_norms,
+    assign, valid, base, vectors, sq_norms, centroids, slice_cluster,
     *, cap: int, c_exp: int, with_vectors: bool, bias_l2: bool
 ):
     """Placement + the bucket-contiguous corpus copy + bucket bias in ONE
@@ -315,7 +333,11 @@ def _place_and_contig(
     else:
         bias_base = -sq_norms[safe]
     bucket_bias = jnp.where(ok, bias_base, NEG_INF)
-    return buckets, slot_slice, slot_pos, slice_counts, bucket_vectors, bucket_bias
+    # expanded centroids + probe bias fold into the same dispatch (the
+    # standalone _expand_centroids call cost ~25 ms of tunnel latency)
+    cents_exp, slice_bias = _expand_centroids(centroids, slice_cluster)
+    return (buckets, slot_slice, slot_pos, slice_counts, bucket_vectors,
+            bucket_bias, cents_exp, slice_bias)
 
 
 @jax.jit
@@ -636,12 +658,12 @@ class IVFVectorIndex:
         num_c = min(num_c, max(8, len(live)))
         rng = np.random.default_rng(42)
         sample = live if len(live) <= 65536 else rng.choice(live, 65536, replace=False)
-        x = self._stored_matrix_f32(sample)  # [S, Dp]
         init = rng.choice(len(sample), min(num_c, len(sample)), replace=False)
-        cents = _kmeans_all_subspaces(
-            x[None, :, :], jnp.asarray(init[None, :], jnp.int32), k=len(init),
-            iters=10, compute_dtype=jnp.bfloat16,  # coarse centroids only
-        )[0]
+        cents = _kmeans_sampled(
+            c.vectors, c.scales if c.scales is not None else c.valid,
+            jnp.asarray(sample, jnp.int32), jnp.asarray(init, jnp.int32),
+            k=len(init), iters=10, has_scales=c.scales is not None,
+        )
         if len(init) < num_c:
             reps = -(-num_c // len(init))
             cents = jnp.tile(cents, (reps, 1))[:num_c]
@@ -656,6 +678,7 @@ class IVFVectorIndex:
         self._rebuild_buckets()
 
         if self.pq_subspaces:
+            x = self._stored_matrix_f32(sample)  # PQ-mode only re-gather
             xs = np.asarray(x)[:, : c.dims]
             if self.pq_residual:
                 sl = np.asarray(
@@ -873,10 +896,12 @@ class IVFVectorIndex:
         avg = max(1, n_live // max(1, num_c))
         return int(max(64, round_up(int(self.BALANCE_FACTOR * avg) + 1, 64)))
 
-    def _install_slices(self, nsl: np.ndarray):
+    def _install_slices(self, nsl: np.ndarray, expand: bool = True):
         """Derive the slice maps + expanded centroid array from per-cluster
         slice counts (C_exp padded to a multiple of 8; padding slices get a
-        NEG_INF probe bias so top_k never selects them)."""
+        NEG_INF probe bias so top_k never selects them). `expand=False`
+        skips the device expansion when the caller's fused place dispatch
+        produces centroids_exp/slice_bias itself."""
         num_c = self.centroids.shape[0]
         total = int(nsl.sum())
         c_exp = int(round_up(max(total, 8), 8))
@@ -887,9 +912,10 @@ class IVFVectorIndex:
         self._slice_cluster = sl_cl
         self._slice_base = base
         self._slice_count = nsl.astype(np.int64)
-        self.centroids_exp, self.slice_bias = _expand_centroids(
-            self.centroids, jnp.asarray(sl_cl, jnp.int32)
-        )
+        if expand:
+            self.centroids_exp, self.slice_bias = _expand_centroids(
+                self.centroids, jnp.asarray(sl_cl, jnp.int32)
+            )
         return c_exp
 
     def _rebuild_buckets(self):
@@ -909,14 +935,16 @@ class IVFVectorIndex:
             )
             counts_np = np.asarray(counts, np.int64)
             nsl = np.maximum(1, -(-counts_np // cap))
-            c_exp = self._install_slices(nsl)
+            c_exp = self._install_slices(nsl, expand=False)
             pq_mode = self.pq is not None or self.pq_subspaces
             nbytes = c_exp * cap * c.vectors.shape[1] * c.vectors.dtype.itemsize
             with_vec = not pq_mode and nbytes <= self.CONTIG_MAX_BYTES
-            buckets, ssl, spos, scounts, bvec, bbias = _place_and_contig(
+            (buckets, ssl, spos, scounts, bvec, bbias,
+             self.centroids_exp, self.slice_bias) = _place_and_contig(
                 choices[:, 0], c.valid,
                 jnp.asarray(self._slice_base, jnp.int32),
-                c.vectors, c.sq_norms,
+                c.vectors, c.sq_norms, self.centroids,
+                jnp.asarray(self._slice_cluster, jnp.int32),
                 cap=cap, c_exp=c_exp, with_vectors=with_vec,
                 bias_l2=(not pq_mode and self.metric == "l2"),
             )
