@@ -12,6 +12,7 @@ step — exactly the BASELINE.json config #5 plan.
 from .mesh import make_mesh, corpus_sharding, replicated
 from .sharded import (
     sharded_flat_topk,
+    sharded_kmeans,
     sharded_kmeans_step,
     ShardedFlatIndex,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "corpus_sharding",
     "replicated",
     "sharded_flat_topk",
+    "sharded_kmeans",
     "sharded_kmeans_step",
     "ShardedFlatIndex",
 ]

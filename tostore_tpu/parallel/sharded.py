@@ -69,30 +69,40 @@ def sharded_flat_topk(q, corpus, bias, *, k: int, alpha: float = 1.0, mesh,
     return fn(q, corpus, bias, sc_arg)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh",))
-def sharded_kmeans_step(x, centroids, valid, scales=None, *, mesh):
-    """One data-parallel Lloyd iteration: x [N, D] sharded over
-    (dp, shard) jointly; centroids [K, D] replicated; valid [N] bool;
-    scales: optional [N] per-row dequant factors (int8 corpora).
-    Returns new centroids (replicated)."""
+@functools.partial(jax.jit, static_argnames=("mesh", "iters"))
+def sharded_kmeans(x, centroids, valid, scales=None, *, mesh, iters: int = 1):
+    """`iters` data-parallel Lloyd iterations in ONE dispatch (a scan over
+    the psum step — one program instead of `iters` sequential shard_map
+    dispatches): x [N, D] sharded over (dp, shard) jointly; centroids
+    [K, D] replicated; valid [N] bool; scales: optional [N] per-row
+    dequant factors (int8 corpora). Returns new centroids (replicated)."""
     k = centroids.shape[0]
 
-    def local(xl, c, vl, sc):
+    def local(xl, c0, vl, sc):
         vl = vl.reshape(-1)
         if scales is not None:  # dequantize int8 rows into true space
             xl = xl * sc.reshape(-1)[:, None]
-        d2 = (
-            jnp.sum(xl * xl, axis=1, keepdims=True)
-            - 2.0 * jnp.dot(xl, c.T, preferred_element_type=jnp.float32)
-            + jnp.sum(c * c, axis=1)[None, :]
-        )
-        assign = jnp.argmin(d2, axis=1)
-        onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32) * vl[:, None]
-        counts = jnp.sum(onehot, axis=0)
-        sums = jnp.dot(onehot.T, xl, preferred_element_type=jnp.float32)
-        counts = jax.lax.psum(counts, ("dp", "shard"))
-        sums = jax.lax.psum(sums, ("dp", "shard"))
-        return jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], c)
+
+        def step(c, _):
+            d2 = (
+                jnp.sum(xl * xl, axis=1, keepdims=True)
+                - 2.0 * jnp.dot(xl, c.T, preferred_element_type=jnp.float32)
+                + jnp.sum(c * c, axis=1)[None, :]
+            )
+            assign = jnp.argmin(d2, axis=1)
+            onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32) * vl[:, None]
+            counts = jnp.sum(onehot, axis=0)
+            sums = jnp.dot(onehot.T, xl, preferred_element_type=jnp.float32)
+            counts = jax.lax.psum(counts, ("dp", "shard"))
+            sums = jax.lax.psum(sums, ("dp", "shard"))
+            new_c = jnp.where(
+                counts[:, None] > 0,
+                sums / jnp.maximum(counts, 1.0)[:, None], c,
+            )
+            return new_c, None
+
+        c_out, _ = jax.lax.scan(step, c0, None, length=iters)
+        return c_out
 
     fn = shard_map(
         local,
@@ -106,6 +116,11 @@ def sharded_kmeans_step(x, centroids, valid, scales=None, *, mesh):
     )
     sc_arg = scales if scales is not None else valid  # unused placeholder
     return fn(x.astype(jnp.float32), centroids, valid, sc_arg)
+
+
+def sharded_kmeans_step(x, centroids, valid, scales=None, *, mesh):
+    """One Lloyd iteration (callers that drive their own loop)."""
+    return sharded_kmeans(x, centroids, valid, scales, mesh=mesh, iters=1)
 
 
 class ShardedFlatIndex:

@@ -31,7 +31,7 @@ from ..ops import distance as D
 from ..ops.runtime import NEG_INF, round_up
 from ..vector.ivf import _ivf_assign_device, _ivf_place_sliced
 from .mesh import query_sharding, read_to_host, replicated_from_host, shard_count
-from .sharded import ShardedFlatIndex, sharded_kmeans_step
+from .sharded import ShardedFlatIndex, sharded_kmeans
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "l2", "has_scales", "mesh"))
@@ -597,11 +597,12 @@ class ShardedIVFIndex(ShardedFlatIndex):
         num_c = min(num_c, len(slots))
         init = rng.choice(len(slots), num_c, replace=False)
         cents = x[jnp.asarray(init, jnp.int32)]
-        # data-parallel Lloyd over the FULL sharded corpus
-        for _ in range(10):
-            cents = sharded_kmeans_step(
-                self.vectors, cents, self.valid, self.scales, mesh=self.mesh
-            )
+        # data-parallel Lloyd over the FULL sharded corpus, all 10
+        # iterations scanned into one dispatch
+        cents = sharded_kmeans(
+            self.vectors, cents, self.valid, self.scales, mesh=self.mesh,
+            iters=10,
+        )
         self.centroids = jax.device_put(cents, NamedSharding(self.mesh, P()))
         self._trained_size = n
         self.pq = None  # stale codebooks must not encode the new layout
