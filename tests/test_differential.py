@@ -338,3 +338,68 @@ def test_differential_crash_recovery(tmp_path, seed):
         assert db2.check_integrity()["ok"]
     finally:
         db2.close()
+
+
+@pytest.mark.parametrize("seed", [41, 42, 43])
+def test_differential_hybrid_vector_search(seed):
+    """Random hybrid predicates through the device-mask path vs a
+    post-filtered exact oracle (flat index -> results must match the
+    oracle exactly, north-star path SURVEY §2.1)."""
+    from tostore_tpu.models.schema import (
+        FieldSchema as FS, IndexSchema as IS, TableSchema as TS,
+        VectorFieldConfig,
+    )
+
+    rng = np.random.default_rng(seed)
+    d, n, k = 16, 400, 5
+    schema_v = TS(
+        name="docs",
+        fields=(
+            FS("views", DataType.integer),
+            FS("score", DataType.double),
+            FS("live", DataType.boolean),
+            FS("emb", DataType.vector,
+               vector_config=VectorFieldConfig(dimensions=d)),
+        ),
+        indexes=(IS(fields=("emb",), type="vector"),),
+    )
+    db = ToStoreTPU.memory(schemas=[schema_v])
+    try:
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        rows = [
+            {"id": i + 1, "views": int(rng.integers(0, 50)),
+             "score": float(np.round(rng.normal(), 3)),
+             "live": bool(rng.random() < 0.5), "emb": x[i].tolist()}
+            for i in range(n)
+        ]
+        db.batch_insert("docs", rows)
+        for _ in range(15):
+            # random device-compilable predicate
+            cond = QueryCondition()
+            for _ in range(int(rng.integers(1, 3))):
+                f = rng.choice(["views", "score", "live"]).item()
+                if f == "views":
+                    cond.where(f, rng.choice(["<", ">=", "="]).item(),
+                               int(rng.integers(0, 50)))
+                elif f == "score":
+                    cond.where(f, rng.choice(["<", ">"]).item(),
+                               float(rng.normal()))
+                else:
+                    cond.where(f, "=", bool(rng.random() < 0.5))
+            q = rng.standard_normal(d).astype(np.float32)
+            hits = db.vector_search("docs", "emb", q, top_k=k,
+                                    condition=cond)
+            # oracle: post-filtered exact cosine
+            match = [r for r in rows if cond.matches(r)]
+            if not match:
+                assert hits == []
+                continue
+            xs = np.stack([x[r["id"] - 1] for r in match])
+            xs = xs / np.linalg.norm(xs, axis=1, keepdims=True)
+            qn = q / max(np.linalg.norm(q), 1e-12)
+            order = np.argsort(-(xs @ qn))[:k]
+            want = [match[i]["id"] for i in order]
+            got = [h.primary_key for h in hits]
+            assert got == want, (got, want, cond)
+    finally:
+        db.close()
