@@ -1551,15 +1551,7 @@ class Database:
         ok = (r_upd.success_keys or []) + (r_new.success_keys or [])
         failed = (r_upd.failed_keys or []) + (r_new.failed_keys or [])
         errors = {**(r_upd.errors or {}), **(r_new.errors or {})}
-        if failed and ok:
-            return DbResult.partial(ok, failed, errors)
-        if failed:
-            return DbResult.error(
-                ResultType.validationFailed,
-                next(iter(errors.values()), "batch upsert failures"),
-                failed, errors,
-            )
-        return DbResult.success(ok)
+        return self._batch_result(ok, failed, errors)
 
     def _batch_upsert_inner(self, table, records, ok, failed, errors) -> DbResult:
         for rec in records:
@@ -1573,6 +1565,19 @@ class Database:
             return DbResult.partial(ok, failed, errors)
         if failed:
             return DbResult.error(ResultType.validationFailed, "batch upsert failures", failed, errors)
+        return DbResult.success(ok)
+
+    @staticmethod
+    def _batch_result(ok, failed, errors) -> DbResult:
+        """Shared success/partial/error assembly of the batch paths."""
+        if failed and ok:
+            return DbResult.partial(ok, failed, errors)
+        if failed:
+            return DbResult.error(
+                ResultType.validationFailed,
+                next(iter(errors.values()), "batch failures"),
+                failed, errors,
+            )
         return DbResult.success(ok)
 
     def batch_update(self, table: str, records: list[dict]) -> DbResult:
@@ -1659,14 +1664,7 @@ class Database:
                     self._notify(ChangeEvent(
                         "update", space, t.schema.name, pk, t.store.get(pk)
                     ))
-        if failed and ok:
-            return DbResult.partial(ok, failed, errors)
-        if failed:
-            return DbResult.error(
-                ResultType.validationFailed, next(iter(errors.values())),
-                failed, errors,
-            )
-        return DbResult.success(ok)
+        return self._batch_result(ok, failed, errors)
 
     def _batch_update_general(self, t: Table, records: list[dict]) -> DbResult:
         pk_name = t.schema.primary_key.name
@@ -1687,14 +1685,7 @@ class Database:
             else:
                 failed.append(pk)
                 errors[pk] = r.message or "record not found"
-        if failed and ok:
-            return DbResult.partial(ok, failed, errors)
-        if failed:
-            return DbResult.error(
-                ResultType.validationFailed, next(iter(errors.values())),
-                failed, errors,
-            )
-        return DbResult.success(ok)
+        return self._batch_result(ok, failed, errors)
 
     def _update_pk(self, t: Table, space: str, pk, updates: dict) -> dict | None:
         tkey = (space, t.schema.name)

@@ -174,6 +174,18 @@ def _sharded_bucket_codes(codes, buckets, *, mesh):
     return fn(codes, buckets)
 
 
+def _probe_select(qb, cents, sbias, l2: bool, nprobe: int):
+    """Per-shard probe selection over the replicated expanded centroids
+    (the shard_map-local form of ivf._slice_scores + top_k)."""
+    cs = jnp.dot(qb, cents.T, preferred_element_type=jnp.float32)
+    if l2:
+        cn = jnp.sum(cents * cents, axis=1)
+        cs = 2.0 * cs - cn[None, :]
+    cs = cs + sbias[None, :]
+    _, probe = jax.lax.top_k(cs, nprobe)
+    return probe.astype(jnp.int32)
+
+
 def _merge_local_topk(ts, gl, k, nsh):
     """all_gather the per-shard [Bl, k] winners and redundantly reduce to
     the global top-k on every shard (identical communication shape to the
@@ -206,13 +218,7 @@ def _sharded_ivf_probe_contig(
     cap = buckets.shape[1]
 
     def local(qb, cents, sbias, bk, bv, bs, bb):
-        cs = jnp.dot(qb, cents.T, preferred_element_type=jnp.float32)
-        if l2:
-            cn = jnp.sum(cents * cents, axis=1)
-            cs = 2.0 * cs - cn[None, :]
-        cs = cs + sbias[None, :]
-        _, probe = jax.lax.top_k(cs, nprobe)  # [Bl, nprobe]
-        probe = probe.astype(jnp.int32)
+        probe = _probe_select(qb, cents, sbias, l2, nprobe)  # [Bl, nprobe]
         qdt = (
             jnp.bfloat16 if bv.dtype in (jnp.bfloat16, jnp.int8) else qb.dtype
         )
@@ -272,13 +278,7 @@ def _sharded_ivf_probe_pq_contig(
     def local(qb, cents, sbias, bk, bc, bb, cbs, vl, sc, nrm):
         nrm_f = nrm.reshape(-1)
         scl = sc.reshape(-1) if has_scales else None
-        cs = jnp.dot(qb, cents.T, preferred_element_type=jnp.float32)
-        if l2:
-            cn = jnp.sum(cents * cents, axis=1)
-            cs = 2.0 * cs - cn[None, :]
-        cs = cs + sbias[None, :]
-        _, probe = jax.lax.top_k(cs, nprobe)
-        probe = probe.astype(jnp.int32)
+        probe = _probe_select(qb, cents, sbias, l2, nprobe)
         tabs, offs = adc_tables_probed(
             cbs, qb[:, :dims], cents[:, :dims], probe, metric=adc_metric
         )
@@ -352,12 +352,7 @@ def _sharded_ivf_probe(
         va = va.reshape(-1)
         nrm = nrm.reshape(-1)
         scl = sc.reshape(-1) if has_scales else None
-        cs = jnp.dot(qb, cents.T, preferred_element_type=jnp.float32)
-        if sq_norms is not None:
-            cn = jnp.sum(cents * cents, axis=1)
-            cs = 2.0 * cs - cn[None, :]
-        cs = cs + sbias[None, :]
-        _, probe = jax.lax.top_k(cs, nprobe)  # [Bl, nprobe]
+        probe = _probe_select(qb, cents, sbias, sq_norms is not None, nprobe)
 
         def per_query(qv, probes):
             slots = bk[probes].reshape(nprobe * cap)  # local positions
@@ -383,13 +378,7 @@ def _sharded_ivf_probe(
             return ts, gl
 
         ts, ti = jax.vmap(per_query)(qb, probe)  # [Bl, k] local winners
-        s_all = jax.lax.all_gather(ts, "shard")  # [nsh, Bl, k]
-        i_all = jax.lax.all_gather(ti, "shard")
-        bl = ts.shape[0]
-        s_flat = s_all.transpose(1, 0, 2).reshape(bl, nsh * k)
-        i_flat = i_all.transpose(1, 0, 2).reshape(bl, nsh * k)
-        fs, pos = jax.lax.top_k(s_flat, k)
-        return fs, jnp.take_along_axis(i_flat, pos, axis=1)
+        return _merge_local_topk(ts, ti, k, nsh)
 
     fn = shard_map(
         local,
@@ -435,12 +424,7 @@ def _sharded_ivf_probe_pq(
         va = va.reshape(-1)
         nrm = nrm.reshape(-1)
         scl = sc.reshape(-1) if has_scales else None
-        cs = jnp.dot(qb, cents.T, preferred_element_type=jnp.float32)
-        if sq_norms is not None:
-            cn = jnp.sum(cents * cents, axis=1)
-            cs = 2.0 * cs - cn[None, :]
-        cs = cs + sbias[None, :]
-        _, probe = jax.lax.top_k(cs, nprobe)  # [Bl, nprobe]
+        probe = _probe_select(qb, cents, sbias, sq_norms is not None, nprobe)
         tabs, offs = adc_tables_probed(
             cbs, qb[:, :dims], cents[:, :dims], probe, metric=adc_metric
         )
@@ -483,13 +467,7 @@ def _sharded_ivf_probe_pq(
             return ts, gl
 
         ts, ti = jax.vmap(per_query)(qb, probe, tabs, offs)
-        s_all = jax.lax.all_gather(ts, "shard")
-        i_all = jax.lax.all_gather(ti, "shard")
-        bl = ts.shape[0]
-        s_flat = s_all.transpose(1, 0, 2).reshape(bl, nsh * k)
-        i_flat = i_all.transpose(1, 0, 2).reshape(bl, nsh * k)
-        fs, pos = jax.lax.top_k(s_flat, k)
-        return fs, jnp.take_along_axis(i_flat, pos, axis=1)
+        return _merge_local_topk(ts, ti, k, nsh)
 
     fn = shard_map(
         local,

@@ -338,6 +338,8 @@ class QueryExecutor:
         on the next field bounds the slice (reference
         query_optimizer.dart's composite-index selection; round-1 only ever
         used fields[0])."""
+        from ..models.schema import DataType
+
         best: list[tuple] | None = None
         best_est = None
         best_eq = None
@@ -380,8 +382,6 @@ class QueryExecutor:
             # because LIKE is case-sensitive (parity with
             # value_matcher.dart:318); the residual regex re-filters.
             if nxt is not None:
-                from ..models.schema import DataType
-
                 fs_nxt = table.schema.field_map.get(nxt)
                 pat = next(
                     (v for f, op, v in leaves
