@@ -335,6 +335,11 @@ class TestShardedContigProbes:
         assert idx.pq is not None and idx._pack_nibbles
         assert idx.bucket_codes is not None
         assert idx.bucket_codes.shape[1] == 8  # M/2 packed rows
+        # incremental append re-packs fresh codes into the contiguous
+        # stripes (the at[rows, :, cols] scatter shape is easy to break)
+        xq = x[3] + rng.standard_normal(d).astype(np.float32) * 0.01
+        idx.upsert([70_000], xq[None])
+        assert idx.search(xq, top_k=1, nprobe=6)[0].primary_key == 70_000
         q = x[rng.integers(0, n, 6)]
         d2 = np.sum((q[:, None, :] - x[None]) ** 2, axis=-1)
         ex = np.argsort(d2, axis=1)[:, :10]
