@@ -207,3 +207,130 @@ class TestReadAtomicity:
 
         with pytest.raises(ValueError):
             ToStoreTPU.memory(config=DataStoreConfig(isolation_level="chaotic"))
+
+
+class TestMixedWorkloadSoak:
+    def test_soak_with_background_maintenance(self):
+        """Sustained mixed workload (4 writer/reader/txn/vector threads)
+        with crontab-class maintenance (TTL, compaction, RCU vector
+        maintenance, cache pressure) forced to run concurrently — no
+        exceptions, integrity clean, and the vector index serves
+        throughout (the production-deployment stability claim)."""
+        import threading
+        import time as _t
+
+        import numpy as np
+
+        from tostore_tpu import (
+            DataStoreConfig, DataType, FieldSchema, IndexSchema,
+            TableSchema, ToStoreTPU,
+        )
+        from tostore_tpu.models.schema import VectorFieldConfig
+
+        schema = TableSchema(
+            name="docs",
+            fields=(
+                FieldSchema("views", DataType.integer, default_value=0),
+                FieldSchema("emb", DataType.vector,
+                            vector_config=VectorFieldConfig(dimensions=16)),
+            ),
+            indexes=(
+                IndexSchema(fields=("views",), type="btree"),
+                IndexSchema(fields=("emb",), type="vector"),
+            ),
+        )
+        db = ToStoreTPU.memory(
+            schemas=[schema],
+            config=DataStoreConfig(isolation_level="serializable"),
+        )
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((4000, 16)).astype(np.float32)
+        db.batch_insert("docs", [
+            {"id": i + 1, "views": i % 50, "emb": x[i].tolist()}
+            for i in range(800)
+        ])
+        db.vector_search("docs", "emb", x[0], top_k=1)  # flush + train
+        vi = db.engine._table("docs").vector_indexes["emb"]
+        vi.min_train_size = 64
+
+        stop = _t.monotonic() + 8.0
+        errors = []
+        next_pk = [801]
+        pk_lock = threading.Lock()
+
+        def writer(tid):
+            r = np.random.default_rng(tid)
+            try:
+                while _t.monotonic() < stop:
+                    with pk_lock:
+                        pk = next_pk[0]
+                        next_pk[0] += 1
+                    if pk - 801 < 3200:
+                        db.insert("docs", {
+                            "id": pk, "views": int(r.integers(0, 50)),
+                            "emb": x[(pk - 1) % 4000].tolist(),
+                        })
+                    old = int(r.integers(1, 800))
+                    db.delete_by_pk("docs", old) if r.random() < 0.2 else \
+                        db.update_by_pk("docs", old,
+                                        {"views": int(r.integers(0, 50))})
+            except Exception as e:  # noqa: BLE001
+                errors.append(("writer", repr(e)))
+
+        def searcher(tid):
+            r = np.random.default_rng(100 + tid)
+            try:
+                while _t.monotonic() < stop:
+                    q = x[int(r.integers(0, 4000))]
+                    db.vector_search("docs", "emb", q, top_k=5)
+                    db.query("docs").where(
+                        "views", ">=", int(r.integers(0, 50))
+                    ).limit(5).fetch()
+            except Exception as e:  # noqa: BLE001
+                errors.append(("searcher", repr(e)))
+
+        def txn_worker(tid):
+            r = np.random.default_rng(200 + tid)
+            try:
+                while _t.monotonic() < stop:
+                    pk = int(r.integers(1, 800))
+
+                    def action(tx, pk=pk):
+                        rec = db.get_by_pk("docs", pk)
+                        if rec is not None:
+                            db.update_by_pk("docs", pk,
+                                            {"views": rec["views"] + 1})
+
+                    db.transaction(action)  # conflicts abort cleanly
+            except Exception as e:  # noqa: BLE001
+                errors.append(("txn", repr(e)))
+
+        def maintenance():
+            try:
+                while _t.monotonic() < stop:
+                    db.engine.run_vector_maintenance()
+                    db.engine.run_compaction()
+                    db.engine.run_ttl_cleanup()
+                    db.engine.run_cache_maintenance()
+                    _t.sleep(0.05)
+            except Exception as e:  # noqa: BLE001
+                errors.append(("maintenance", repr(e)))
+
+        threads = (
+            [threading.Thread(target=writer, args=(t,)) for t in range(2)]
+            + [threading.Thread(target=searcher, args=(t,)) for t in range(1)]
+            + [threading.Thread(target=txn_worker, args=(t,)) for t in range(1)]
+            + [threading.Thread(target=maintenance)]
+        )
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors, errors[:5]
+        assert db.check_integrity()["ok"]
+        # the index still serves correct results after the storm
+        alive = db.query("docs").where("id", "=", 900).count()
+        if alive:
+            hit = db.vector_search("docs", "emb", x[899], top_k=1)[0]
+            assert hit.primary_key == 900
+        db.close()
