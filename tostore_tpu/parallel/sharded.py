@@ -359,9 +359,14 @@ class ShardedFlatIndex:
         slots = self.slots_for_pks(live_pks)
         if live_pks:
             idxs = jnp.asarray(slots, jnp.int32)
-            vecs = read_to_host(self.vectors[idxs]).astype(np.float32)
+            vecs = read_to_host(self.vectors[idxs])
             if self.dtype == jnp.int8:  # persist dequantized storage rows
-                vecs = vecs * read_to_host(self.scales[idxs])[:, None]
+                vecs = vecs.astype(np.float32) * read_to_host(
+                    self.scales[idxs]
+                )[:, None]
+            # bf16 persists in storage dtype (raw 2 B/dim through the
+            # snapshot codec's native-dtype ndarray framing — an f32
+            # upcast doubled mesh snapshot bytes for zero precision)
         else:
             vecs = np.zeros((0, self.d_pad), np.float32)
         return {
