@@ -846,7 +846,9 @@ def _index_from_state(vs: dict, mesh=None):
         return sh
     if vtype in ("sharded_flat", "sharded_ivf"):
         # sharded snapshot -> single device (IVF keeps its config/centroids)
-        vecs = np.asarray(vs["vectors"], np.float32)
+        from ..parallel.sharded import state_vectors_f32
+
+        vecs = state_vectors_f32(vs)
         if vtype == "sharded_ivf":
             ivf = IVFVectorIndex(
                 vs["dims"], metric=vs["metric"], precision=vs["precision"],

@@ -123,6 +123,19 @@ def sharded_kmeans_step(x, centroids, valid, scales=None, *, mesh):
     return sharded_kmeans(x, centroids, valid, scales, mesh=mesh, iters=1)
 
 
+def state_vectors_f32(d: dict) -> np.ndarray:
+    """Storage-space f32 rows from a sharded index state dict: int8
+    states carry raw codes + per-row scales (dequantized here — the
+    upsert path re-quantizes to the identical codes/scales), bf16/f32
+    states upcast directly."""
+    vecs = np.asarray(d["vectors"])
+    if vecs.dtype == np.int8:
+        return vecs.astype(np.float32) * np.asarray(
+            d["scales"], np.float32
+        )[:, None]
+    return np.asarray(vecs, np.float32)
+
+
 class ShardedFlatIndex:
     """Flat exact kNN over a mesh-sharded corpus.
 
@@ -357,16 +370,16 @@ class ShardedFlatIndex:
     def state_dict(self) -> dict:
         live_pks = list(self._pk_slot)
         slots = self.slots_for_pks(live_pks)
+        scales_out = None
         if live_pks:
             idxs = jnp.asarray(slots, jnp.int32)
+            # vectors persist in STORAGE dtype (raw bytes through the
+            # snapshot codec's native-dtype ndarray framing): bf16 at
+            # 2 B/dim, int8 at 1 B/dim with its per-row scales beside it —
+            # the old dequant-to-f32 form cost 2-4x the snapshot bytes
             vecs = read_to_host(self.vectors[idxs])
-            if self.dtype == jnp.int8:  # persist dequantized storage rows
-                vecs = vecs.astype(np.float32) * read_to_host(
-                    self.scales[idxs]
-                )[:, None]
-            # bf16 persists in storage dtype (raw 2 B/dim through the
-            # snapshot codec's native-dtype ndarray framing — an f32
-            # upcast doubled mesh snapshot bytes for zero precision)
+            if self.dtype == jnp.int8:
+                scales_out = read_to_host(self.scales[idxs])
         else:
             vecs = np.zeros((0, self.d_pad), np.float32)
         return {
@@ -375,6 +388,7 @@ class ShardedFlatIndex:
             "dims": self.dims,
             "precision": self.precision,
             "vectors": vecs,
+            "scales": scales_out,
             "pks": live_pks,
             "filter_columns": self.filter_columns.gather_host(slots)
             if live_pks
@@ -385,7 +399,7 @@ class ShardedFlatIndex:
     def from_state_dict(d: dict, mesh) -> "ShardedFlatIndex":
         idx = ShardedFlatIndex(d["dims"], mesh, d["metric"], d["precision"])
         if d["pks"]:
-            vecs = np.asarray(d["vectors"], np.float32)
+            vecs = state_vectors_f32(d)
             slots = idx.upsert(d["pks"], vecs[:, : d["dims"]], _prepped=vecs)
             idx.filter_columns.scatter(d.get("filter_columns", {}), slots, idx.capacity)
         return idx

@@ -1187,7 +1187,9 @@ class ShardedIVFIndex(ShardedFlatIndex):
         # installed — a retrain during the restore upsert would be thrown away
         try:
             if d["pks"]:
-                vecs = np.asarray(d["vectors"], np.float32)
+                from .sharded import state_vectors_f32
+
+                vecs = state_vectors_f32(d)
                 slots = idx.upsert(d["pks"], vecs[:, : d["dims"]], _prepped=vecs)
                 idx.filter_columns.scatter(
                     d.get("filter_columns", {}), slots, idx.capacity
