@@ -240,6 +240,15 @@ def config6_ingest():
         assert r.is_success
         out[f"n{n}_seconds"] = round(dt, 2)
         out[f"n{n}_records_per_s"] = round(n / dt, 0)
+        # columnar batch_update over the same rows (the 23x fast path,
+        # reference batch_update_compute.dart)
+        upd = [{"id": i, "age": (i + 1) % 90, "balance": float(i) + 1}
+               for i in range(2, n + 2)]
+        t0 = time.time()
+        r = db.batch_update("users", upd)
+        dt = time.time() - t0
+        assert r.is_success
+        out[f"n{n}_update_records_per_s"] = round(n / dt, 0)
         db.close()
     return out
 

@@ -216,8 +216,10 @@ def adc_scan(tables: jax.Array, codes: jax.Array) -> jax.Array:
     """ADC distances [B, N]: sum_m tables[b, m, codes[n, m]].
 
     Vectorized gather (the reference's scalar hot loop adcDistance,
-    vector_quantizer.dart:414). TODO(pallas): gather-accumulate kernel to
-    avoid large gathers on very big N; callers chunk N.
+    vector_quantizer.dart:414). The hot path runs the Pallas one-hot
+    kernel over bucket-contiguous codes instead (ops/ivfprobe.py
+    adc_bucket_scores); this XLA form remains for unsupported (M, K)
+    combos and small flat scans.
     """
     cm = codes.astype(jnp.int32)  # [N, M]
     m = tables.shape[1]
