@@ -713,3 +713,24 @@ class TestPrewarmOnOpen:
             assert not th.is_alive()
         finally:
             db.close()
+
+
+class TestTableStatistics:
+    def test_field_stats(self):
+        from tests.test_engine import users_schema
+
+        db = ToStoreTPU.memory(schemas=[users_schema()])
+        db.batch_insert("users", [
+            {"username": f"u{i}", "age": (None if i % 4 == 0 else i % 10)}
+            for i in range(20)
+        ])
+        st = db.status.table_statistics("users")
+        assert st["total_rows"] == 20
+        ages = st["field_stats"]["age"]
+        assert ages["null_percentage"] == 25.0
+        assert ages["distinct_values"] == 10  # 0..9 survive the null rows
+        assert ages["min_value"] == 0 and ages["max_value"] == 9
+        names = st["field_stats"]["username"]
+        assert names["distinct_values"] == 20
+        assert "emb" not in st["field_stats"] or True
+        db.close()

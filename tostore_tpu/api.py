@@ -358,6 +358,42 @@ class DbStatus:
             },
         }
 
+    def table_statistics(self, name: str) -> dict:
+        """Per-field distinct/min/max/null statistics (reference
+        TableStatistics, model/table_statistics.dart — there it feeds the
+        cost estimator; here the planner uses EXACT bisect selectivity,
+        so this is a user-facing inspection surface). One vectorized pass
+        per column."""
+        import numpy as np
+
+        t = self._db._table(name)
+        store = t.store
+        valid = store.valid_view()
+        total = int(valid.sum())
+        field_stats = {}
+        for f in t.schema.fields:
+            if f.type.value in ("vector", "blob", "json", "array"):
+                continue  # unbounded cells: no scalar stats
+            col = store.column_view(f.name)[valid]
+            nulls = np.asarray([v is None for v in col])
+            present = col[~nulls]
+            stats = {
+                "distinct_values": int(len(set(present.tolist()))),
+                "null_percentage": (
+                    round(float(nulls.mean()) * 100, 2) if total else 0.0
+                ),
+                "min_value": None,
+                "max_value": None,
+            }
+            if len(present):
+                try:
+                    stats["min_value"] = min(present.tolist())
+                    stats["max_value"] = max(present.tolist())
+                except TypeError:
+                    pass  # mixed-type column: no total order
+            field_stats[f.name] = stats
+        return {"total_rows": total, "field_stats": field_stats}
+
     def migration(self, task_id: int | None = None):
         return self._db.query_migration_status(task_id)
 
