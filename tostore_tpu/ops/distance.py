@@ -103,6 +103,22 @@ def scores_to_distances_np(metric: str, scores, q_sq_norms) -> "np.ndarray":
     raise ValueError(f"unknown metric {metric!r}")
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def finalize_results(metric: str, scores, slots, q_sq_norms):
+    """Fold miss-masking + distance conversion into ONE device program so
+    the host needs only two readbacks (dists, slots) per search — each
+    np.asarray is a ~30 ms roundtrip on the tunneled TPU; the old tail
+    read scores a third time just to compute the miss mask on host."""
+    miss = scores <= NEG_INF / 2
+    d = scores_to_distances(metric, scores, q_sq_norms)
+    d = jnp.where(miss, jnp.inf, d)
+    s = jnp.where(miss, -1, slots)
+    return d, s
+
+
 def distances_to_scores(metric: str, distances: jax.Array) -> jax.Array:
     """User-facing relevance score, identical to the reference mapping
     (vector_index_manager.dart:1411-1423)."""

@@ -122,14 +122,9 @@ class FlatVectorIndex:
         scores, idx = T.flat_search(
             qj, c.vectors, bias, k=k, alpha=alpha, mode=mode, row_scale=row_scale
         )
-        dists = D.scores_to_distances(self.metric, scores, qsq)
-
-        scores_np = np.asarray(scores)
-        dist_np = np.array(dists, np.float32)
-        idx_np = np.array(idx, np.int64)
-        miss = scores_np <= NEG_INF / 2  # padded / filtered-out
-        idx_np[miss] = -1
-        dist_np[miss] = np.inf
+        d_dev, s_dev = D.finalize_results(self.metric, scores, idx, qsq)
+        dist_np = np.array(d_dev, np.float32)
+        idx_np = np.array(s_dev, np.int64)
         pks = c.pks_for_slots(idx_np)
         return dist_np, idx_np, pks
 

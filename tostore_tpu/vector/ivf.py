@@ -1354,12 +1354,9 @@ class IVFVectorIndex:
                 nprobe=np_probe,
                 k=k,
             )
-        dists = D.scores_to_distances(self.metric, scores, qsq)
-        dist_np = np.array(dists, np.float32)
-        slot_np = np.array(slots, np.int64)
-        miss = np.asarray(scores) <= NEG_INF / 2
-        slot_np[miss] = -1
-        dist_np[miss] = np.inf
+        d_dev, s_dev = D.finalize_results(self.metric, scores, slots, qsq)
+        dist_np = np.array(d_dev, np.float32)
+        slot_np = np.array(s_dev, np.int64)
         pks = c.pks_for_slots(slot_np)
         return dist_np, slot_np, pks
 
