@@ -161,6 +161,12 @@ class Subscription:
             subs.remove(self)
 
 
+class SnapshotCorruption(RuntimeError):
+    """A table snapshot failed its CRC / decode at open (bit corruption,
+    truncation, or AEAD failure). The WAL alone cannot reconstruct the
+    table, so the open fails loudly instead of silently losing rows."""
+
+
 _TOMBSTONE = None  # overlay value marking an in-transaction delete
 
 
@@ -508,6 +514,29 @@ class Database:
             return None
         return os.path.join(self.config.db_path, self.config.db_name)
 
+    def _read_snapshot_file(self, path: str) -> dict:
+        """CRC-verified snapshot read (reference page CRC headers): new
+        snapshots carry one CRC frame inside the (possibly encrypted)
+        payload; legacy unframed files (top-level dict tag, never the
+        0xA7 frame magic) decode directly. Any corruption — bit flips,
+        truncation, AEAD failures — surfaces as SnapshotCorruption naming
+        the file instead of a garbage decode deep in the codec."""
+        with open(path, "rb") as f:
+            data = f.read()
+        try:
+            raw = self._unwrap_bytes(data)
+            if raw[:1] == bytes([codec.FRAME_MAGIC]):
+                payloads = list(codec.iter_frames(raw))
+                if len(payloads) != 1:
+                    raise ValueError("frame CRC mismatch or torn frame")
+                return codec.loads(payloads[0])
+            return codec.loads(raw)
+        except Exception as exc:
+            raise SnapshotCorruption(
+                f"corrupted snapshot {path!r}: {exc} — restore this table "
+                "from a backup or delete the file to rebuild from WAL"
+            ) from exc
+
     def _open_files(self):
         d = self.db_dir
         os.makedirs(d, exist_ok=True)
@@ -551,16 +580,14 @@ class Database:
         legacy_wal = os.path.join(d, "wal.log")
         legacy = os.path.exists(legacy_snap) or os.path.exists(legacy_wal)
         if os.path.exists(legacy_snap):
-            with open(legacy_snap, "rb") as f:
-                self._load_snapshot(codec.loads(self._unwrap_bytes(f.read())))
+            self._load_snapshot(self._read_snapshot_file(legacy_snap))
         catalog = self.global_config.extras.get("catalog", {})
         for space, tbls in catalog.items():
             for name, rel in tbls.items():
                 p = os.path.join(d, rel)
                 if not os.path.exists(p):
                     continue  # checkpointed before the table's first write
-                with open(p, "rb") as f:
-                    td = codec.loads(self._unwrap_bytes(f.read()))
+                td = self._read_snapshot_file(p)
                 t = Table.from_state_dict(
                     _unpack_ndarrays(td), self.config.distributed.node_id, self._mesh
                 )
@@ -2270,7 +2297,9 @@ class Database:
                     gen = t.store.generation
                     atomic_write(
                         os.path.join(self.db_dir, rel),
-                        self._wrap_bytes(codec.dumps(self._pack_table(t))),
+                        self._wrap_bytes(
+                            codec.frame(codec.dumps(self._pack_table(t)))
+                        ),
                     )
                     self._ckpt_gens[(space, name)] = gen
                     written += 1
