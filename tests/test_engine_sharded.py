@@ -267,3 +267,45 @@ class TestShardedEngineMaintenance:
             assert hit.primary_key == 501
         finally:
             db.close()
+
+
+class TestShardedBackupRestore:
+    def test_mesh_backup_restore_and_topology_migration(self, rng, tmp_path):
+        """Backup a mesh-sharded engine, restore into another mesh engine
+        AND into a single-device engine (cross-topology via backup)."""
+        from tostore_tpu.models.schema import (
+            VectorIndexConfig, VectorIndexType,
+        )
+        import dataclasses
+
+        schema = dataclasses.replace(
+            docs_schema(16),
+            indexes=(IndexSchema(fields=("emb",), type="vector",
+                                 vector_config=VectorIndexConfig(
+                                     index_type=VectorIndexType.ivf,
+                                     num_clusters=8, nprobe=8,
+                                     pq_subspaces=8)),),
+        )
+        x = rng.standard_normal((600, 16)).astype(np.float32)
+        cfg = DataStoreConfig(mesh_shape=(2, 4))
+        db = ToStoreTPU.open(str(tmp_path / "db"), schemas=[schema], config=cfg)
+        vi = db.engine._table("docs").vector_indexes["emb"]
+        vi.min_train_size = 100
+        db.batch_insert("docs", [
+            {"id": i + 1, "title": f"d{i}", "emb": x[i].tolist()}
+            for i in range(600)
+        ])
+        db.vector_search("docs", "emb", x[0], top_k=1)
+        path = db.backup(str(tmp_path / "b.zip"))
+        db.close()
+
+        db2 = ToStoreTPU.open(str(tmp_path / "db2"), schemas=[schema], config=cfg)
+        db2.restore(path)
+        assert db2.vector_search("docs", "emb", x[42], top_k=1)[0].primary_key == 43
+        assert db2.engine._table("docs").vector_indexes["emb"].index_type == "sharded_ivf"
+        db2.close()
+
+        db3 = ToStoreTPU.open(str(tmp_path / "db3"), schemas=[schema])
+        db3.restore(path)
+        assert db3.vector_search("docs", "emb", x[42], top_k=1)[0].primary_key == 43
+        db3.close()
