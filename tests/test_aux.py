@@ -734,3 +734,26 @@ class TestTableStatistics:
         assert names["distinct_values"] == 20
         assert "emb" not in st["field_stats"] or True
         db.close()
+
+
+class TestLogConfigWiring:
+    def test_on_log_and_level_from_config(self):
+        from tests.test_engine import users_schema
+        from tostore_tpu import DataStoreConfig, LogConfig
+
+        got = []
+        cfg = DataStoreConfig(log_level="info",
+                              on_log=lambda lv, tag, msg: got.append((lv, tag)))
+        db = ToStoreTPU.memory(schemas=[users_schema()], config=cfg)
+        try:
+            assert LogConfig.level == "info"
+            from tostore_tpu.utils.logging import Logger
+
+            Logger("test").info("hello")
+            Logger("test").debug("filtered")
+            assert ("info", "test") in got
+            assert all(lv != "debug" for lv, _ in got)
+        finally:
+            db.close()
+            LogConfig.level = "warning"
+            LogConfig.on_log = None

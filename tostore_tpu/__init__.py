@@ -43,12 +43,14 @@ from .models.results import (
     TransactionResult,
 )
 from .models.expr import Expr
+from .utils.logging import LogConfig
 from .query.condition import QueryCondition
 from .api import ToStoreTPU
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "LogConfig",
     "ToStoreTPU",
     "TableSchema",
     "FieldSchema",

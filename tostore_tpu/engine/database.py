@@ -227,6 +227,11 @@ class Transaction:
 class Database:
     def __init__(self, config: DataStoreConfig | None = None):
         self.config = config or DataStoreConfig()
+        from ..utils.logging import LogConfig
+
+        LogConfig.set_config(
+            level=self.config.log_level, on_log=self.config.on_log
+        )
         if self.config.isolation_level not in (
             IsolationLevel.readCommitted,
             IsolationLevel.serializable,

@@ -111,8 +111,10 @@ class DataStoreConfig:
     max_io_concurrency: int = 8
     max_open_files: int = 128
 
-    # logging
+    # logging (reference LogConfig + onLogHandler, README.md:1415-1435):
+    # applied process-wide at engine open
     log_level: str = "warning"
+    on_log: "object | None" = None  # callable(level, tag, msg)
 
     def copy_with(self, **kw) -> "DataStoreConfig":
         return dataclasses.replace(self, **kw)
