@@ -403,3 +403,54 @@ def test_differential_hybrid_vector_search(seed):
             assert got == want, (got, want, cond)
     finally:
         db.close()
+
+
+@pytest.mark.parametrize("seed", [51, 52, 53])
+def test_differential_multi_space(seed):
+    """Random ops interleaved across two spaces plus a GLOBAL table:
+    space-local state must stay isolated, global state shared."""
+    from tostore_tpu.models.schema import FieldSchema as FS, TableSchema as TS
+
+    rng = np.random.default_rng(seed)
+    local_schema = TS(name="t", fields=(FS("v", DataType.integer),))
+    global_schema = TS(name="g", fields=(FS("v", DataType.integer),),
+                       is_global=True)
+    db = ToStoreTPU.memory(schemas=[local_schema, global_schema])
+    models = {"default": {}, "alpha": {}}
+    gmodel = {}
+    next_pk = {"default": 1, "alpha": 1}
+    gnext = [1]
+    try:
+        for _ in range(300):
+            space = rng.choice(["default", "alpha"]).item()
+            db.switch_space(space)
+            roll = rng.random()
+            if roll < 0.5:
+                v = int(rng.integers(0, 100))
+                r = db.insert("t", {"v": v})
+                assert r.is_success
+                models[space][next_pk[space]] = v
+                assert r.success_keys[0] == next_pk[space]
+                next_pk[space] += 1
+            elif roll < 0.65:
+                v = int(rng.integers(0, 100))
+                r = db.insert("g", {"v": v})
+                assert r.is_success
+                gmodel[gnext[0]] = v
+                assert r.success_keys[0] == gnext[0]
+                gnext[0] += 1
+            elif roll < 0.8 and models[space]:
+                pk = list(models[space])[int(rng.integers(0, len(models[space])))]
+                db.delete_by_pk("t", pk)
+                del models[space][pk]
+            else:
+                got = {r["id"]: r["v"] for r in db.query("t").limit(10_000).fetch()}
+                assert got == models[space], (space, len(got), len(models[space]))
+                gg = {r["id"]: r["v"] for r in db.query("g").limit(10_000).fetch()}
+                assert gg == gmodel
+        for space in ("default", "alpha"):
+            db.switch_space(space)
+            got = {r["id"]: r["v"] for r in db.query("t").limit(10_000).fetch()}
+            assert got == models[space]
+    finally:
+        db.close()

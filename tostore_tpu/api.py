@@ -32,7 +32,7 @@ class ToStoreTPU:
         self.kv = KvStore(self._db, is_global=False)
         self.kv_global = KvStore(self._db, is_global=True)
         if schemas:
-            self._db.create_tables(schemas)
+            self._db.declare_schemas(schemas)
 
     # --- constructors (reference ToStore.open / ToStore.memory) -------------
 

@@ -724,11 +724,23 @@ class Database:
     def current_space(self) -> str:
         return self.global_config.active_space
 
+    def declare_schemas(self, schemas) -> None:
+        """Schemas declared at construction: created now in the active
+        space and RE-CREATED in any space switched into later (the
+        reference re-runs initialize -> setup on switchSpace,
+        data_store_impl.dart switchSpace -> initialize)."""
+        self._declared_schemas = list(schemas)
+        self.create_tables(self._declared_schemas)
+
     def switch_space(self, name: str):
         with self._lock:
             self.global_config.active_space = name
             self._ensure_space_config(name)
             self._ensure_kv_table()
+            # declared schemas materialize in the new space (reference
+            # switchSpace re-initializes; global tables already exist)
+            for s in getattr(self, "_declared_schemas", ()):
+                self.create_table(s)
             self._persist_manifest()
 
     def _ensure_space_config(self, name: str):
