@@ -454,3 +454,108 @@ def test_differential_multi_space(seed):
             assert got == models[space]
     finally:
         db.close()
+
+
+@pytest.mark.parametrize("seed", [61, 62])
+def test_differential_kv(seed):
+    """Random KV ops (set/remove/increment/set_many/prefix ops, space vs
+    global namespaces) vs a dict model."""
+    rng = np.random.default_rng(seed)
+    db = ToStoreTPU.memory()
+    model = {"local": {}, "global": {}}
+    try:
+        for _ in range(400):
+            ns = rng.choice(["local", "global"]).item()
+            kv = db.kv_global if ns == "global" else db.kv
+            m = model[ns]
+            roll = rng.random()
+            key = f"k{rng.integers(0, 40)}"
+            if roll < 0.4:
+                choices = [
+                    int(rng.integers(-100, 100)), "s" + str(rng.integers(0, 9)),
+                    bool(rng.random() < 0.5), float(np.round(rng.normal(), 3)),
+                    [1, 2], {"a": 1},
+                ]
+                v = choices[int(rng.choice(6, p=[0.3, 0.3, 0.1, 0.1, 0.1, 0.1]))]
+                kv.set(key, v)
+                m[key] = v
+            elif roll < 0.5:
+                kv.remove(key)
+                m.pop(key, None)
+            elif roll < 0.6:
+                base = m.get(key)
+                if isinstance(base, int) and not isinstance(base, bool):
+                    kv.set_increment(key, 5)
+                    m[key] = base + 5
+                elif base is None:
+                    kv.set_increment(key, 5)
+                    m[key] = 5
+            elif roll < 0.7:
+                pairs = {f"m{rng.integers(0, 10)}": int(rng.integers(0, 50))
+                         for _ in range(3)}
+                kv.set_many(pairs)
+                m.update(pairs)
+            else:
+                assert kv.get(key, None) == m.get(key), (ns, key)
+                assert kv.exists(key) == (key in m)
+                pre = f"k{rng.integers(0, 4)}"
+                got = kv.count_prefix(pre) if hasattr(kv, "count_prefix") else None
+                if got is not None:
+                    want = sum(1 for k in m if k.startswith(pre))
+                    assert got == want, (pre, got, want)
+        for ns, m in model.items():
+            kv = db.kv_global if ns == "global" else db.kv
+            for k, v in m.items():
+                assert kv.get(k) == v, (ns, k)
+    finally:
+        db.close()
+
+
+@pytest.mark.parametrize("seed", [71, 72])
+def test_differential_schema_migration(seed):
+    """Random add/remove/rename field cycles through update_schema, data
+    integrity tracked against a field model."""
+    from tostore_tpu.models.schema import FieldSchema as FS
+
+    rng = np.random.default_rng(seed)
+    db = ToStoreTPU.memory(schemas=[TableSchema(
+        name="t", fields=(FS("f0", DataType.integer),),
+    )])
+    try:
+        db.batch_insert("t", [{"f0": i} for i in range(50)])
+        # model: field -> expected value for row id 1..50 (None = added later)
+        fields = {"f0": lambda i: i - 1}
+        counter = [0]
+        for step in range(25):
+            roll = rng.random()
+            names = list(fields)
+            if roll < 0.4 or len(names) <= 1:
+                counter[0] += 1
+                nm = f"g{counter[0]}"
+                r = db.update_schema("t").add_field(
+                    FS(nm, DataType.integer, default_value=7)
+                ).execute()
+                assert r.is_success, r.message
+                fields[nm] = lambda i: 7  # default backfills
+            elif roll < 0.6:
+                victim = names[int(rng.integers(1, len(names)))]  # keep f0
+                r = db.update_schema("t").remove_field(victim).execute()
+                assert r.is_success, r.message
+                del fields[victim]
+            else:
+                old = names[int(rng.integers(0, len(names)))]
+                counter[0] += 1
+                nm = f"r{counter[0]}"
+                r = db.update_schema("t").rename_field(old, nm).execute()
+                assert r.is_success, r.message
+                fields[nm] = fields.pop(old)
+            # spot-check a random row after every DDL
+            rid = int(rng.integers(1, 51))
+            rec = db.get_by_pk("t", rid)
+            want = {f: fn(rid) for f, fn in fields.items()}
+            got = {f: rec.get(f) for f in fields}
+            assert got == want, (step, rid, got, want)
+        assert db.count("t") == 50
+        assert db.check_integrity()["ok"]
+    finally:
+        db.close()
