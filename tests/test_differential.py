@@ -559,3 +559,80 @@ def test_differential_schema_migration(seed):
         assert db.check_integrity()["ok"]
     finally:
         db.close()
+
+
+@pytest.mark.parametrize("seed", [81, 82])
+def test_differential_mesh_vs_single_device_engine(seed):
+    """The SAME random vector workload (inserts, overwrites, deletes,
+    hybrid searches) applied to a mesh-sharded engine and a single-device
+    engine: flat indexes are exact on both, so results must agree."""
+    from tostore_tpu.models.schema import (
+        FieldSchema as FS, IndexSchema as IS, TableSchema as TS,
+        VectorFieldConfig,
+    )
+
+    rng = np.random.default_rng(seed)
+    d = 16
+
+    def mk(mesh):
+        schema = TS(
+            name="docs",
+            fields=(FS("views", DataType.integer),
+                    FS("emb", DataType.vector,
+                       vector_config=VectorFieldConfig(dimensions=d))),
+            indexes=(IS(fields=("emb",), type="vector"),),
+        )
+        cfg = DataStoreConfig(mesh_shape=(2, 4)) if mesh else DataStoreConfig()
+        return ToStoreTPU.memory(schemas=[schema], config=cfg)
+
+    from tostore_tpu import DataStoreConfig
+
+    dbs = [mk(False), mk(True)]
+    try:
+        next_pk = 1
+        live = set()
+        x = rng.standard_normal((3000, d)).astype(np.float32)
+        for step in range(60):
+            roll = rng.random()
+            if roll < 0.5 or not live:
+                n = int(rng.integers(1, 40))
+                recs = [
+                    {"id": next_pk + j, "views": int(rng.integers(0, 50)),
+                     "emb": x[(next_pk + j) % 3000].tolist()}
+                    for j in range(n)
+                ]
+                for db in dbs:
+                    assert db.batch_insert("docs", recs).is_success
+                live.update(r["id"] for r in recs)
+                next_pk += n
+            elif roll < 0.65:
+                pk = list(live)[int(rng.integers(0, len(live)))]
+                for db in dbs:
+                    db.delete_by_pk("docs", pk)
+                live.discard(pk)
+            elif roll < 0.75:
+                # overwrite an existing row's vector
+                pk = list(live)[int(rng.integers(0, len(live)))]
+                newv = x[int(rng.integers(0, 3000))].tolist()
+                for db in dbs:
+                    db.update_by_pk("docs", pk, {"emb": newv})
+            else:
+                q = x[int(rng.integers(0, 3000))]
+                cond = None
+                if rng.random() < 0.5:
+                    cond = QueryCondition().where(
+                        "views", ">=", int(rng.integers(0, 40)))
+                res = [
+                    [(h.primary_key, round(h.distance, 3))
+                     for h in db.vector_search("docs", "emb", q, top_k=5,
+                                               condition=cond)]
+                    for db in dbs
+                ]
+                pks0 = [p for p, _ in res[0]]
+                pks1 = [p for p, _ in res[1]]
+                assert pks0 == pks1, (step, res)
+        for db in dbs:
+            assert db.count("docs") == len(live)
+    finally:
+        for db in dbs:
+            db.close()
