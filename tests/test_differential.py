@@ -636,3 +636,80 @@ def test_differential_mesh_vs_single_device_engine(seed):
     finally:
         for db in dbs:
             db.close()
+
+
+@pytest.mark.parametrize("seed", [91, 92])
+def test_differential_fk_cascade_chain(seed):
+    """users <- posts (cascade) <- comments (cascade), plus a setNull FK:
+    random inserts/deletes vs a model that applies the cascade rules."""
+    from tostore_tpu.models.schema import (
+        FieldSchema as FS, ForeignKeyAction, ForeignKeySchema, TableSchema as TS,
+    )
+
+    rng = np.random.default_rng(seed)
+    users = TS(name="u", fields=(FS("n", DataType.integer),))
+    posts = TS(name="p", fields=(FS("uid", DataType.integer),),
+               foreign_keys=(ForeignKeySchema("uid", "u",
+                                              on_delete=ForeignKeyAction.cascade),))
+    comments = TS(name="c", fields=(FS("pid", DataType.integer),
+                                    FS("uid", DataType.integer, nullable=True)),
+                  foreign_keys=(
+                      ForeignKeySchema("pid", "p",
+                                       on_delete=ForeignKeyAction.cascade),
+                      ForeignKeySchema("uid", "u",
+                                       on_delete=ForeignKeyAction.setNull),
+                  ))
+    db = ToStoreTPU.memory(schemas=[users, posts, comments])
+    mu, mp, mc = {}, {}, {}  # pk -> record
+    nid = {"u": 1, "p": 1, "c": 1}
+    try:
+        for _ in range(250):
+            roll = rng.random()
+            if roll < 0.3 or not mu:
+                r = db.insert("u", {"n": int(rng.integers(0, 9))})
+                assert r.is_success
+                mu[nid["u"]] = True
+                nid["u"] += 1
+            elif roll < 0.5:
+                uid = list(mu)[int(rng.integers(0, len(mu)))]
+                r = db.insert("p", {"uid": uid})
+                assert r.is_success
+                mp[nid["p"]] = uid
+                nid["p"] += 1
+            elif roll < 0.7 and mp:
+                pid = list(mp)[int(rng.integers(0, len(mp)))]
+                uid = list(mu)[int(rng.integers(0, len(mu)))]
+                r = db.insert("c", {"pid": pid, "uid": uid})
+                assert r.is_success
+                mc[nid["c"]] = {"pid": pid, "uid": uid}
+                nid["c"] += 1
+            elif roll < 0.85 and mu:
+                uid = list(mu)[int(rng.integers(0, len(mu)))]
+                db.delete_by_pk("u", uid)
+                del mu[uid]
+                dead_posts = [p for p, u2 in mp.items() if u2 == uid]
+                for p in dead_posts:
+                    del mp[p]
+                    for cpk in [c for c, r2 in mc.items() if r2["pid"] == p]:
+                        del mc[cpk]
+                for r2 in mc.values():
+                    if r2["uid"] == uid:
+                        r2["uid"] = None
+            elif mp:
+                pid = list(mp)[int(rng.integers(0, len(mp)))]
+                db.delete_by_pk("p", pid)
+                del mp[pid]
+                for cpk in [c for c, r2 in mc.items() if r2["pid"] == pid]:
+                    del mc[cpk]
+            # periodic full-state compare
+            if rng.random() < 0.2:
+                assert {r["id"] for r in db.query("u").limit(9999).fetch()} == set(mu)
+                got_p = {r["id"]: r["uid"] for r in db.query("p").limit(9999).fetch()}
+                assert got_p == mp
+                got_c = {r["id"]: (r["pid"], r["uid"])
+                         for r in db.query("c").limit(9999).fetch()}
+                want_c = {c: (r2["pid"], r2["uid"]) for c, r2 in mc.items()}
+                assert got_c == want_c
+        assert db.check_integrity()["ok"]
+    finally:
+        db.close()
