@@ -176,8 +176,17 @@ class ToStoreTPU:
 
     # --- transactions -----------------------------------------------------------------------
 
-    def transaction(self, action: Callable | None = None):
-        return self._db.transaction(action)
+    def transaction(
+        self,
+        action: Callable | None = None,
+        *,
+        retries: int = 0,
+        backoff: float = 0.002,
+        max_backoff: float = 0.25,
+    ):
+        return self._db.transaction(
+            action, retries=retries, backoff=backoff, max_backoff=max_backoff
+        )
 
     # --- spaces ------------------------------------------------------------------------------
 

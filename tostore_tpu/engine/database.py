@@ -57,6 +57,7 @@ from ..query.condition import QueryCondition
 from ..query.executor import QueryExecutor, QuerySpec
 from ..utils import codec
 from ..utils.logging import Logger
+from ..utils.rwlock import rw
 from .table import Table, ValidationError, INGEST_TS_FIELD
 from .wal import (
     SegmentedWalWriter,
@@ -1960,11 +1961,14 @@ class Database:
             )
         tables.sort(key=lambda t: -self.weights.table_weight(t.schema.name))
         for t in tables:
-            t.flush_vectors()
-            for field, vi in t.vector_indexes.items():
+            with self._lock:  # flush mutates pending dicts shared with CRUD
+                t.flush_vectors()
+                indexes = list(t.vector_indexes.values())
+            for vi in indexes:
                 if len(vi):
-                    for kk in self.PREWARM_KS:
-                        vi.search(np.zeros(vi.dims, np.float32), top_k=kk)
+                    with rw(vi).read():  # warm off-lock, like real searches
+                        for kk in self.PREWARM_KS:
+                            vi.search(np.zeros(vi.dims, np.float32), top_k=kk)
 
     def run_cache_maintenance(self) -> int:
         """Periodic weight decay + memory-pressure cache eviction
@@ -2047,65 +2051,77 @@ class Database:
         vector_index_manager.dart:475). Hybrid filtering turns the structured
         predicate into a slot bitmask folded into the scan kernel."""
         self._counters["vector_searches"] += 1
-        with self._lock, self._timed("vector_search"):
-            self._note_read(self._tkey(self._table(table)))  # predicate read
-            hits = self._vector_search_locked(
-                table, field, query, top_k, threshold, condition, nprobe,
-                include_records,
-            )
-        for h in hits[: self.WEIGHT_SAMPLE]:
-            self.weights.record_access(table, h.primary_key)
-        return hits
-
-    def _vector_search_locked(
-        self, table, field, query, top_k, threshold, condition, nprobe,
-        include_records,
-    ) -> list[VectorSearchResult]:
-        t = self._table(table)
-        t.flush_vectors(field)
-        idx = t.vector_index_for(field)
-        slot_mask = None
-        if condition is not None and not condition.is_empty:
-            from ..vector import filters
-
-            import jax.numpy as jnp
-
-            fc = idx.corpus.filter_columns
-            device_ok = filters.compilable(
-                condition, set(t.filter_fields) & fc.names()
-            )
-            if device_ok and idx.corpus.capacity:
-                for name in condition.referenced_fields():
-                    fc.ensure(name, idx.corpus.capacity)
-                slot_mask = filters.device_mask(condition, fc, idx.corpus.capacity)
-            else:
-                # host fallback: LIKE/text predicates, unindexed fields
-                mask = condition.mask(lambda f: t.store.column_view(f), t.store.high)
-                rows = t.store.rows_for_mask(mask)
-                allowed = [t.store.pk_col.get(r) for r in rows]
-                slot_mask = jnp.asarray(t.slot_mask_from_pks(field, allowed))
-        kwargs = {}
-        if nprobe is not None and idx.index_type in ("ivf", "sharded_ivf"):
-            kwargs["nprobe"] = nprobe
-        results = idx.search(
-            np.asarray(query, np.float32), top_k=top_k, threshold=threshold,
-            slot_mask=slot_mask, **kwargs
-        )
-        ov = self._overlay_for(self._tkey(t))
-        if ov:
+        with self._timed("vector_search"):
+            # CAPTURE under the engine lock (flush pending writes, resolve
+            # the index, build the predicate slot mask, pin the index in
+            # SHARED mode), then run the multi-millisecond device dispatch
+            # with the engine lock RELEASED so concurrent searches pipeline
+            # on the device and CRUD proceeds — the reference's shared
+            # query locks (lock_manager.dart:38-44) + concurrent leases
+            # (workload_scheduler.dart:48-53), done RCU-style: the shared
+            # index lock, acquired before the engine lock drops, guarantees
+            # corpus layout and slot mask stay mutually consistent.
+            with self._lock:
+                t = self._table(table)
+                self._note_read(self._tkey(t))  # predicate read
+                t.flush_vectors(field)
+                idx = t.vector_index_for(field)
+                if getattr(idx, "trained", True) is False and len(idx):
+                    with rw(idx).write():
+                        idx.train()  # pre-train here: search() must not mutate
+                slot_mask = self._vector_slot_mask(t, idx, field, condition)
+                kwargs = {}
+                if nprobe is not None and idx.index_type in ("ivf", "sharded_ivf"):
+                    kwargs["nprobe"] = nprobe
+                ov = self._overlay_for(self._tkey(t))
+                ov_keys = set(ov) if ov else None
+                lock = rw(idx)
+                lock.acquire_read()
+            try:
+                hits = idx.search(
+                    np.asarray(query, np.float32), top_k=top_k,
+                    threshold=threshold, slot_mask=slot_mask, **kwargs
+                )
+            finally:
+                lock.release_read()
+        if ov_keys:
             # own-transaction overlay: a row deleted or rewritten in the
             # open txn must not surface from the committed index (buffered
             # INSERTS become searchable at commit + flush, matching the
             # reference's flush-deferred vector index updates)
-            results = [r for r in results if r.primary_key not in ov]
+            hits = [r for r in hits if r.primary_key not in ov_keys]
         if include_records:
-            results = [
+            hits = [
                 VectorSearchResult(
                     r.primary_key, r.distance, r.score, self.get_by_pk(table, r.primary_key)
                 )
-                for r in results
+                for r in hits
             ]
-        return results
+        for h in hits[: self.WEIGHT_SAMPLE]:
+            self.weights.record_access(table, h.primary_key)
+        return hits
+
+    def _vector_slot_mask(self, t, idx, field, condition):
+        """Hybrid-filter slot mask, computed under the engine lock."""
+        if condition is None or condition.is_empty:
+            return None
+        from ..vector import filters
+
+        import jax.numpy as jnp
+
+        fc = idx.corpus.filter_columns
+        device_ok = filters.compilable(
+            condition, set(t.filter_fields) & fc.names()
+        )
+        if device_ok and idx.corpus.capacity:
+            for name in condition.referenced_fields():
+                fc.ensure(name, idx.corpus.capacity)
+            return filters.device_mask(condition, fc, idx.corpus.capacity)
+        # host fallback: LIKE/text predicates, unindexed fields
+        mask = condition.mask(lambda f: t.store.column_view(f), t.store.high)
+        rows = t.store.rows_for_mask(mask)
+        allowed = [t.store.pk_col.get(r) for r in rows]
+        return jnp.asarray(t.slot_mask_from_pks(field, allowed))
 
     # ------------------------------------------------------------- transactions
 
@@ -2128,18 +2144,49 @@ class Database:
         else:
             self._commit_buffered(txn)
 
-    def transaction(self, action: Callable | None = None):
-        """Context-manager or callback form (reference tostore.dart:860)."""
+    def transaction(
+        self,
+        action: Callable | None = None,
+        *,
+        retries: int = 0,
+        backoff: float = 0.002,
+        max_backoff: float = 0.25,
+    ):
+        """Context-manager or callback form (reference tostore.dart:860).
+
+        With `retries=N` the callback form re-runs `action` in a fresh
+        transaction after a first-committer-wins `txn_conflict` abort,
+        sleeping an exponentially growing, jittered delay between attempts
+        (the retry loop every hot-row caller would otherwise hand-roll —
+        reference transaction_manager.dart:30-36 surfaces the same conflict
+        to the caller). The action must therefore be idempotent side-effect
+        free outside the transaction. Business/validation failures never
+        retry: only optimistic-concurrency conflicts do.
+        """
         if action is None:
             return self._transaction_cm()
-        try:
-            with self._transaction_cm() as tx:
-                result = action(tx)
-            return TransactionResult(True, result, tx_id=tx.tx_id)
-        except BusinessError as e:
-            return TransactionResult(False, None, str(e))
-        except (UniqueViolation, ValidationError) as e:
-            return TransactionResult(False, None, str(e))
+        attempt = 0
+        while True:
+            try:
+                with self._transaction_cm() as tx:
+                    result = action(tx)
+                return TransactionResult(
+                    True, result, tx_id=tx.tx_id, retries=attempt
+                )
+            except BusinessError as e:
+                if getattr(e, "code", None) == "txn_conflict" and attempt < retries:
+                    attempt += 1
+                    self._counters["txn_retries"] = (
+                        self._counters.get("txn_retries", 0) + 1
+                    )
+                    import random
+
+                    delay = min(backoff * (2 ** (attempt - 1)), max_backoff)
+                    time.sleep(delay * (0.5 + random.random()))
+                    continue
+                return TransactionResult(False, None, str(e), retries=attempt)
+            except (UniqueViolation, ValidationError) as e:
+                return TransactionResult(False, None, str(e), retries=attempt)
 
     def _release_txn(self, txn: _Txn):
         for key in txn.reservations:
@@ -2509,7 +2556,8 @@ class Database:
                 for vi in t.vector_indexes.values():
                     if getattr(vi, "defer_retrain", False) and vi.trained:
                         continue  # run_vector_maintenance compacts off-lock
-                    vi.maybe_compact(self.config.tombstone_compact_ratio)
+                    with rw(vi).write():
+                        vi.maybe_compact(self.config.tombstone_compact_ratio)
 
     def run_vector_maintenance(self) -> int:
         """Background IVF retrains without stalling the engine: capture the
@@ -2533,7 +2581,7 @@ class Database:
         for kind, vi, cap in jobs:
             if kind == "retrain":
                 shadow = vi.build_retrained(cap)  # off-lock: queries proceed
-                with self._lock:
+                with self._lock, rw(vi).write():
                     if vi.install_retrained(cap, shadow):
                         done += 1
                         self._counters["background_retrains"] = (
@@ -2541,7 +2589,7 @@ class Database:
                         )
             else:
                 shadow = vi.build_compacted(cap)  # off-lock
-                with self._lock:
+                with self._lock, rw(vi).write():
                     if vi.install_compacted(cap, shadow):
                         done += 1
                         self._counters["background_compactions"] = (

@@ -26,6 +26,7 @@ from ..models.schema import (
     TableSchema,
 )
 from ..utils.idgen import SequentialIdGenerator, TimeBasedIdGenerator
+from ..utils.rwlock import rw
 from ..vector.flat import FlatVectorIndex
 from ..vector.ivf import IVFVectorIndex
 from .columnstore import ColumnStore
@@ -656,42 +657,50 @@ class Table:
         fields = [field] if field else list(self.vector_indexes)
         for f in fields:
             pend = self._vec_pending.get(f)
+            fpend_peek = self._filter_pending.get(f)
+            if not pend and not fpend_peek:
+                continue  # nothing buffered: skip the write lock entirely
             idx = self.vector_indexes[f]
-            if pend:
-                dels = [pk for pk, v in pend.items() if v is None]
-                ups = [(pk, v) for pk, v in pend.items() if v is not None]
-                if dels:
-                    idx.delete(dels)
-                if ups:
-                    idx.upsert([pk for pk, _ in ups], np.stack([v for _, v in ups]))
-                pend.clear()
-            fpend = self._filter_pending.get(f)
-            if fpend:
-                c = idx.corpus
-                fc = c.filter_columns
-                pks = list(fpend)
-                slots = c.slots_for_pks(pks)
-                by_field: dict[str, tuple[list, list]] = {}
-                for pk, slot in zip(pks, slots):
-                    if slot < 0:
-                        continue  # no vector for this pk (null vector field)
-                    for fname, val in fpend[pk].items():
-                        s, v = by_field.setdefault(fname, ([], []))
-                        s.append(slot)
-                        v.append(val)
-                int_kinds = (DataType.integer, DataType.bigInt, DataType.datetime)
-                for fname, (s, v) in by_field.items():
-                    kind = (
-                        "int"
-                        if self.schema.field_map[fname].type in int_kinds
-                        else "float"
-                    )
-                    fc.update(fname, np.asarray(s, np.int64), v, c.capacity, kind=kind)
-                if by_field and hasattr(idx, "_mutations"):
-                    # filter columns are part of the corpus an off-lock
-                    # rebuild captures: invalidate in-flight RCU builds
-                    idx._mutations += 1
-                fpend.clear()
+            with rw(idx).write():  # wait out in-flight off-lock searches
+                self._flush_one(f, idx)
+
+    def _flush_one(self, f: str, idx):
+        pend = self._vec_pending.get(f)
+        if pend:
+            dels = [pk for pk, v in pend.items() if v is None]
+            ups = [(pk, v) for pk, v in pend.items() if v is not None]
+            if dels:
+                idx.delete(dels)
+            if ups:
+                idx.upsert([pk for pk, _ in ups], np.stack([v for _, v in ups]))
+            pend.clear()
+        fpend = self._filter_pending.get(f)
+        if fpend:
+            c = idx.corpus
+            fc = c.filter_columns
+            pks = list(fpend)
+            slots = c.slots_for_pks(pks)
+            by_field: dict[str, tuple[list, list]] = {}
+            for pk, slot in zip(pks, slots):
+                if slot < 0:
+                    continue  # no vector for this pk (null vector field)
+                for fname, val in fpend[pk].items():
+                    s, v = by_field.setdefault(fname, ([], []))
+                    s.append(slot)
+                    v.append(val)
+            int_kinds = (DataType.integer, DataType.bigInt, DataType.datetime)
+            for fname, (s, v) in by_field.items():
+                kind = (
+                    "int"
+                    if self.schema.field_map[fname].type in int_kinds
+                    else "float"
+                )
+                fc.update(fname, np.asarray(s, np.int64), v, c.capacity, kind=kind)
+            if by_field and hasattr(idx, "_mutations"):
+                # filter columns are part of the corpus an off-lock
+                # rebuild captures: invalidate in-flight RCU builds
+                idx._mutations += 1
+            fpend.clear()
 
     def vector_index_for(self, field: str):
         idx = self.vector_indexes.get(field)

@@ -128,6 +128,7 @@ class TransactionResult:
     result: Any = None
     error: str | None = None
     tx_id: str | None = None
+    retries: int = 0  # conflict retries consumed (transaction(retries=N))
 
 
 class UniqueViolation(Exception):
