@@ -1,0 +1,172 @@
+"""Round-4 surface items: search_mode exact|auto (VERDICT r3 #7),
+auto 4-bit PQ default (#8), per-query cache expiry (#9)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from tostore_tpu import ToStoreTPU
+from tostore_tpu.models.schema import (
+    DataType,
+    FieldSchema,
+    IndexSchema,
+    TableSchema,
+    VectorFieldConfig,
+    VectorIndexConfig,
+)
+
+
+def _schema(dims=16, index_type="flat", search_mode="auto", **vcfg):
+    return TableSchema(
+        name="docs",
+        fields=(
+            FieldSchema("n", DataType.integer),
+            FieldSchema("emb", DataType.vector,
+                        vector_config=VectorFieldConfig(dimensions=dims)),
+        ),
+        indexes=(
+            IndexSchema(fields=("emb",), type="vector",
+                        vector_config=VectorIndexConfig(
+                            index_type=index_type, metric="l2",
+                            search_mode=search_mode, **vcfg)),
+        ),
+    )
+
+
+class TestSearchMode:
+    def test_config_validates(self):
+        with pytest.raises(ValueError):
+            VectorIndexConfig(search_mode="fuzzy")
+        cfg = VectorIndexConfig(search_mode="exact")
+        assert VectorIndexConfig.from_json(cfg.to_json()).search_mode == "exact"
+
+    def _spy_modes(self, monkeypatch):
+        from tostore_tpu.ops import topk as T
+        seen = []
+        real = T.flat_search
+
+        def spy(*a, **kw):
+            seen.append(kw.get("mode", "auto"))
+            return real(*a, **kw)
+
+        import tostore_tpu.vector.flat as flat_mod
+        monkeypatch.setattr(flat_mod.T, "flat_search", spy)
+        return seen
+
+    def test_schema_mode_exact_reaches_kernel(self, monkeypatch):
+        seen = self._spy_modes(monkeypatch)
+        db = ToStoreTPU.memory(schemas=[_schema(search_mode="exact")])
+        try:
+            rng = np.random.default_rng(0)
+            db.batch_insert("docs", [
+                {"id": i, "n": i, "emb": rng.standard_normal(16).tolist()}
+                for i in range(32)
+            ])
+            db.vector_search("docs", "emb", np.zeros(16, np.float32), top_k=3)
+            assert seen and seen[-1] == "exact"
+            # per-call override back to auto
+            db.vector_search("docs", "emb", np.zeros(16, np.float32),
+                             top_k=3, mode="auto")
+            assert seen[-1] == "auto"
+        finally:
+            db.close()
+
+    def test_call_mode_exact_overrides_auto_default(self, monkeypatch):
+        seen = self._spy_modes(monkeypatch)
+        db = ToStoreTPU.memory(schemas=[_schema(search_mode="auto")])
+        try:
+            rng = np.random.default_rng(0)
+            db.batch_insert("docs", [
+                {"id": i, "n": i, "emb": rng.standard_normal(16).tolist()}
+                for i in range(32)
+            ])
+            db.vector_search("docs", "emb", np.zeros(16, np.float32),
+                             top_k=3, mode="exact")
+            assert seen[-1] == "exact"
+        finally:
+            db.close()
+
+    def test_ivf_exact_bypasses_probe(self):
+        """mode='exact' on an IVF index returns brute-force-identical
+        results (probe bypassed entirely)."""
+        from tostore_tpu.vector.ivf import IVFVectorIndex
+
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((600, 32)).astype(np.float32)
+        idx = IVFVectorIndex(32, metric="l2", num_clusters=16, nprobe=1,
+                             min_train_size=64)
+        idx.upsert(list(range(600)), x)
+        q = x[17] + 0.001
+        d_ex, s_ex, pk_ex = idx.search_arrays(q, 10, mode="exact")
+        # brute force oracle
+        d2 = np.sum((x - q) ** 2, axis=1)
+        oracle = np.argsort(d2, kind="stable")[:10]
+        assert list(pk_ex[0]) == list(oracle)
+        # nprobe=1 auto mode may MISS neighbors on clustered boundaries —
+        # exact must not depend on nprobe at all
+        d_auto, _, pk_auto = idx.search_arrays(q, 10)
+        assert pk_ex[0][0] == 17
+
+
+class TestAutoPQDefault:
+    def test_default_resolves_to_4bit_k16(self):
+        from tostore_tpu.vector.ivf import IVFVectorIndex
+
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((700, 32)).astype(np.float32)
+        idx = IVFVectorIndex(32, metric="l2", num_clusters=8,
+                             pq_subspaces=16, min_train_size=64)
+        assert idx.pq_centroids == 0  # config stays 'auto'
+        idx.upsert(list(range(700)), x)
+        assert idx.pq is not None and idx.pq.k == 16
+        assert idx._pack_nibbles  # 4-bit nibble-packed contiguous codes
+
+    def test_explicit_k_respected_and_odd_m_falls_back(self):
+        from tostore_tpu.vector.ivf import IVFVectorIndex
+
+        idx = IVFVectorIndex(32, pq_subspaces=16, pq_centroids=256)
+        assert idx._resolve_pq_k() == 256
+        idx2 = IVFVectorIndex(32, pq_subspaces=8)  # 8 % 16 != 0
+        assert idx2._resolve_pq_k() == 256
+
+    def test_state_roundtrip_preserves_auto(self):
+        from tostore_tpu.vector.ivf import IVFVectorIndex
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((400, 32)).astype(np.float32)
+        idx = IVFVectorIndex(32, metric="l2", num_clusters=8,
+                             pq_subspaces=16, min_train_size=64)
+        idx.upsert(list(range(400)), x)
+        idx2 = IVFVectorIndex.from_state_dict(idx.state_dict())
+        assert idx2.pq.k == 16 and idx2.pq_centroids == 0
+        q = x[5]
+        a = idx.search_arrays(q, 5)[2][0]
+        b = idx2.search_arrays(q, 5)[2][0]
+        assert list(a) == list(b)
+
+
+class TestCacheExpiry:
+    def test_expiry_forces_reexecution(self):
+        db = ToStoreTPU.memory(schemas=[TableSchema(
+            name="t", fields=(FieldSchema("v", DataType.integer),))])
+        try:
+            db.batch_insert("t", [{"id": i, "v": i} for i in range(10)])
+            ex = db.engine.executor
+
+            db.query("t").where("v", ">", 3).use_cache(expiry_s=0.05).fetch()
+            key = next(iter(ex._cache))
+            ts1 = ex._cache[key][2]
+            # fresh hit: entry survives, timestamp unchanged
+            db.query("t").where("v", ">", 3).use_cache(expiry_s=0.05).fetch()
+            assert ex._cache[key][2] == ts1
+            time.sleep(0.08)
+            db.query("t").where("v", ">", 3).use_cache(expiry_s=0.05).fetch()
+            assert ex._cache[key][2] > ts1  # re-executed + restored
+            # no expiry: generation-keyed entry keeps serving
+            ts2 = ex._cache[key][2]
+            time.sleep(0.06)
+            db.query("t").where("v", ">", 3).fetch()
+            assert ex._cache[key][2] == ts2
+        finally:
+            db.close()

@@ -27,8 +27,13 @@ from .chain.builders import (
 class ToStoreTPU:
     """The embedded engine handle. Construct via `open()` or `memory()`."""
 
-    def __init__(self, config: DataStoreConfig, schemas: list[TableSchema] | None = None):
-        self._db = Database(config)
+    def __init__(
+        self,
+        config: DataStoreConfig,
+        schemas: list[TableSchema] | None = None,
+        storage=None,
+    ):
+        self._db = Database(config, storage=storage)
         self.kv = KvStore(self._db, is_global=False)
         self.kv_global = KvStore(self._db, is_global=True)
         if schemas:
@@ -42,10 +47,14 @@ class ToStoreTPU:
         db_name: str = "default",
         schemas: list[TableSchema] | None = None,
         config: DataStoreConfig | None = None,
+        storage=None,
         **kw,
     ) -> "ToStoreTPU":
+        """`storage`: optional engine.storage.Storage backend (the
+        StorageInterface seam) — file by default; pass MemoryStorage or an
+        ObjectStorage to persist somewhere other than the local FS."""
         cfg = (config or DataStoreConfig()).copy_with(db_path=path, db_name=db_name, **kw)
-        return ToStoreTPU(cfg, schemas)
+        return ToStoreTPU(cfg, schemas, storage=storage)
 
     @staticmethod
     def memory(
@@ -153,11 +162,13 @@ class ToStoreTPU:
         condition=None,
         nprobe: int | None = None,
         include_records: bool = False,
+        mode: str | None = None,
     ):
         """Direct form (reference tostore.dart:493). For hybrid chaining use
-        `vector_query()`."""
+        `vector_query()`. mode: None = index default, 'auto' | 'exact'."""
         return self._db.vector_search(
-            table, field, query, top_k, threshold, condition, nprobe, include_records
+            table, field, query, top_k, threshold, condition, nprobe,
+            include_records, mode=mode,
         )
 
     def vector_query(self, table: str, field: str, query) -> VectorQueryBuilder:
@@ -271,11 +282,15 @@ class ToStoreTPU:
     def delete_database(self) -> None:
         """Close and remove the database files (reference deleteDatabase,
         tostore.dart:1069). Memory databases just close."""
-        import shutil
-
         path = None if self._db.config.memory_mode else self._db.db_dir
+        storage = self._db._storage
         self._db.close()
         if path is not None:
+            for rel in storage.walk(path):
+                storage.delete(f"{path}/{rel}")
+            # FileStorage leaves empty dirs behind; sweep them if real
+            import shutil
+
             shutil.rmtree(path, ignore_errors=True)
 
     def clear_query_cache(self) -> int:

@@ -111,8 +111,13 @@ class QueryBuilder(_ConditionMixin):
         self._spec.use_cache = False
         return self
 
-    def use_cache(self, enabled: bool = True):
+    def use_cache(self, enabled: bool = True, expiry_s: float | None = None):
+        """Enable the result cache, optionally bounding staleness to
+        `expiry_s` seconds (reference useQueryCache([expiry]),
+        query_builder.dart:256-260). Generation invalidation still applies
+        — expiry only ADDS a time bound."""
         self._spec.use_cache = enabled
+        self._spec.cache_expiry_s = expiry_s
         return self
 
     # joins (reference join/joinReferencedTable/joinReferencingTable)
@@ -314,9 +319,15 @@ class VectorQueryBuilder(_ConditionMixin):
         self._threshold = None
         self._nprobe = None
         self._include_records = False
+        self._mode = None
 
     def top_k(self, k: int):
         self._top_k = k
+        return self
+
+    def mode(self, m: str):
+        """'auto' | 'exact' (overrides VectorIndexConfig.search_mode)."""
+        self._mode = m
         return self
 
     def threshold(self, d: float):
@@ -342,6 +353,7 @@ class VectorQueryBuilder(_ConditionMixin):
             condition=cond,
             nprobe=self._nprobe,
             include_records=self._include_records,
+            mode=self._mode,
         )
 
 

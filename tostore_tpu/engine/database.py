@@ -30,7 +30,6 @@ schema updates) is non-transactional and applies immediately.
 from __future__ import annotations
 
 import contextlib
-import glob
 import queue as _queue
 import json
 import os
@@ -226,8 +225,18 @@ class Transaction:
 
 
 class Database:
-    def __init__(self, config: DataStoreConfig | None = None):
+    def __init__(self, config: DataStoreConfig | None = None, storage=None):
         self.config = config or DataStoreConfig()
+        # storage seam (reference StorageInterface, storage_interface.dart:
+        # 22-159): all persistence bytes flow through this backend. Default
+        # file mode = FileStorage; memory mode = MemoryStorage (state dies
+        # with the object unless the same instance is reused); inject an
+        # ObjectStorage to checkpoint into a bucket.
+        from .storage import FileStorage, MemoryStorage
+
+        self._storage = storage or (
+            MemoryStorage() if self.config.memory_mode else FileStorage()
+        )
         from ..utils.logging import LogConfig
 
         LogConfig.set_config(
@@ -463,9 +472,10 @@ class Database:
 
         if not self.config.memory_mode:
             manifest_path = os.path.join(self.db_dir, "manifest.json")
-            if os.path.exists(manifest_path):
-                with open(manifest_path) as f:
-                    extras = json.load(f).get("extras", {})
+            if self._storage.exists(manifest_path):
+                extras = json.loads(self._storage.read(manifest_path)).get(
+                    "extras", {}
+                )
                 if "kdf_salt" in extras:
                     return bytes.fromhex(extras["kdf_salt"]), int(
                         extras.get("kdf_iters", DEFAULT_KDF_ITERS)
@@ -527,8 +537,7 @@ class Database:
         0xA7 frame magic) decode directly. Any corruption — bit flips,
         truncation, AEAD failures — surfaces as SnapshotCorruption naming
         the file instead of a garbage decode deep in the codec."""
-        with open(path, "rb") as f:
-            data = f.read()
+        data = self._storage.read(path)
         try:
             raw = self._unwrap_bytes(data)
             if raw[:1] == bytes([codec.FRAME_MAGIC]):
@@ -545,11 +554,12 @@ class Database:
 
     def _open_files(self):
         d = self.db_dir
-        os.makedirs(d, exist_ok=True)
+        self._storage.makedirs(d)
         manifest_path = os.path.join(d, "manifest.json")
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as f:
-                self.global_config = GlobalConfig.from_json(json.load(f))
+        if self._storage.exists(manifest_path):
+            self.global_config = GlobalConfig.from_json(
+                json.loads(self._storage.read(manifest_path))
+            )
         else:
             self._persist_manifest()  # pin fresh-database state (KDF salt)
         if self.global_config.version < ENGINE_VERSION:
@@ -584,14 +594,14 @@ class Database:
         # legacy round-1 monolithic current.snap loads once and migrates
         legacy_snap = os.path.join(d, "current.snap")
         legacy_wal = os.path.join(d, "wal.log")
-        legacy = os.path.exists(legacy_snap) or os.path.exists(legacy_wal)
-        if os.path.exists(legacy_snap):
+        legacy = self._storage.exists(legacy_snap) or self._storage.exists(legacy_wal)
+        if self._storage.exists(legacy_snap):
             self._load_snapshot(self._read_snapshot_file(legacy_snap))
         catalog = self.global_config.extras.get("catalog", {})
         for space, tbls in catalog.items():
             for name, rel in tbls.items():
                 p = os.path.join(d, rel)
-                if not os.path.exists(p):
+                if not self._storage.exists(p):
                     continue  # checkpointed before the table's first write
                 td = self._read_snapshot_file(p)
                 t = Table.from_state_dict(
@@ -607,9 +617,11 @@ class Database:
         # pointer, plus any legacy single-file log
         wal_dir = os.path.join(d, "wal")
         start_seq = int(self.global_config.extras.get("wal_start_seq", 1))
-        legacy_read = read_wal(legacy_wal, unwrap=self._unwrap_bytes)
+        legacy_read = read_wal(
+            legacy_wal, unwrap=self._unwrap_bytes, storage=self._storage
+        )
         entries, decode_errors = read_wal_segments(
-            wal_dir, start_seq, unwrap=self._unwrap_bytes
+            wal_dir, start_seq, unwrap=self._unwrap_bytes, storage=self._storage
         )
         entries = legacy_read.entries + entries
         for e in entries:
@@ -617,11 +629,12 @@ class Database:
         self._fk_rev_cache = None
         self._counters["recovered_wal_entries"] = len(entries)
         self._counters["recovery_decode_errors"] = legacy_read.errors + decode_errors
-        segs = list_segments(wal_dir)
+        segs = list_segments(wal_dir, self._storage)
         next_seq = max(start_seq, segs[-1][0] + 1 if segs else start_seq)
         self._wal = SegmentedWalWriter(
             wal_dir,
             next_seq,
+            storage=self._storage,
             sync_policy=(
                 "commit"
                 if self.config.persist_recovery_on_commit
@@ -640,8 +653,7 @@ class Database:
         if entries or legacy:
             self.flush()  # fold replayed tail into a fresh checkpoint
             for p in (legacy_snap, legacy_wal):
-                if os.path.exists(p):
-                    os.remove(p)
+                self._storage.delete(p)
         if resume_rotation:
             self._finish_pending_rotation()
 
@@ -786,7 +798,7 @@ class Database:
     def _persist_manifest(self):
         if self.config.memory_mode:
             return
-        atomic_write(
+        self._storage.write_atomic(
             os.path.join(self.db_dir, "manifest.json"),
             json.dumps(self.global_config.to_json()).encode(),
         )
@@ -2046,10 +2058,16 @@ class Database:
         condition: QueryCondition | None = None,
         nprobe: int | None = None,
         include_records: bool = False,
+        mode: str | None = None,
     ) -> list[VectorSearchResult]:
         """The north-star read path (reference tostore.dart:493 ->
         vector_index_manager.dart:475). Hybrid filtering turns the structured
-        predicate into a slot bitmask folded into the scan kernel."""
+        predicate into a slot bitmask folded into the scan kernel.
+
+        mode: None (index default from VectorIndexConfig.search_mode) |
+        'auto' (flat scans may use per-lane candidate selection, miss
+        ~1e-5..1e-8/query) | 'exact' (zero-miss full scan; on IVF this
+        bypasses the probe — reference exact semantics)."""
         self._counters["vector_searches"] += 1
         with self._timed("vector_search"):
             # CAPTURE under the engine lock (flush pending writes, resolve
@@ -2073,6 +2091,9 @@ class Database:
                 kwargs = {}
                 if nprobe is not None and idx.index_type in ("ivf", "sharded_ivf"):
                     kwargs["nprobe"] = nprobe
+                eff_mode = mode or getattr(idx, "search_mode", "auto")
+                if eff_mode != "auto":
+                    kwargs["mode"] = eff_mode
                 ov = self._overlay_for(self._tkey(t))
                 ov_keys = set(ov) if ov else None
                 lock = rw(idx)
@@ -2351,7 +2372,7 @@ class Database:
             from urllib.parse import quote
 
             tdir = os.path.join(self.db_dir, "tables")
-            os.makedirs(tdir, exist_ok=True)
+            self._storage.makedirs(tdir)
             catalog: dict[str, dict[str, str]] = {}
             written = 0
             for (space, name), t in self._tables.items():
@@ -2359,7 +2380,7 @@ class Database:
                 catalog.setdefault(space, {})[name] = rel
                 if force_all or self._table_dirty((space, name), t):
                     gen = t.store.generation
-                    atomic_write(
+                    self._storage.write_atomic(
                         os.path.join(self.db_dir, rel),
                         self._wrap_bytes(
                             codec.frame(codec.dumps(self._pack_table(t)))
@@ -2369,13 +2390,13 @@ class Database:
                     written += 1
             # stale snap files: dropped/renamed tables
             live = {
-                os.path.normpath(os.path.join(self.db_dir, rel))
+                os.path.basename(rel)
                 for tbls in catalog.values()
                 for rel in tbls.values()
             }
-            for p in glob.glob(os.path.join(tdir, "*.snap")):
-                if os.path.normpath(p) not in live:
-                    os.remove(p)
+            for name in self._storage.list(tdir):
+                if name.endswith(".snap") and name not in live:
+                    self._storage.delete(os.path.join(tdir, name))
             self._ckpt_gens = {
                 k: v for k, v in self._ckpt_gens.items() if k in self._tables
             }
@@ -2474,9 +2495,14 @@ class Database:
                     z.writestr("memory.snap", data)
                 return dest_path
             with zipfile.ZipFile(dest_path, "w") as z:
-                for f in glob.glob(os.path.join(self.db_dir, "**"), recursive=True):
-                    if os.path.isfile(f) and not f.endswith(".tmp"):
-                        z.write(f, os.path.relpath(f, self.db_dir))
+                # enumerate through the storage seam: object/memory-backed
+                # databases back up the same way as file-backed ones
+                for rel in self._storage.walk(self.db_dir):
+                    if not rel.endswith(".tmp"):
+                        z.writestr(
+                            rel.replace(os.sep, "/"),
+                            self._storage.read(os.path.join(self.db_dir, rel)),
+                        )
             return dest_path
 
     def restore(self, src_path: str) -> DbResult:
@@ -2504,12 +2530,14 @@ class Database:
                 if self._wal:
                     self._wal.close()
                     self._wal = None
-                for f in glob.glob(
-                    os.path.join(self.db_dir, "**"), recursive=True
-                ):
-                    if os.path.isfile(f):
-                        os.remove(f)
-                z.extractall(self.db_dir)
+                for rel in self._storage.walk(self.db_dir):
+                    self._storage.delete(os.path.join(self.db_dir, rel))
+                for name in z.namelist():
+                    if name.endswith("/"):
+                        continue
+                    dest = os.path.join(self.db_dir, name)
+                    self._storage.makedirs(os.path.dirname(dest))
+                    self._storage.write_atomic(dest, z.read(name))
             self._tables.clear()
             self._schemas.clear()
             self._ckpt_gens.clear()

@@ -205,6 +205,12 @@ class SortedIndex:
 def _make_vector_index(dims: int, precision: str, idx: IndexSchema, mesh=None):
     cfg = idx.vector_config
     metric = cfg.metric.kernel_name
+    vi = _make_vector_index_inner(dims, precision, idx, mesh, cfg, metric)
+    vi.search_mode = cfg.search_mode  # 'auto' | 'exact' default per index
+    return vi
+
+
+def _make_vector_index_inner(dims, precision, idx, mesh, cfg, metric):
     if mesh is not None and len(mesh.devices.flat) > 1:
         # mesh-sharded corpus (BASELINE config #5)
         dtype = precision if precision in ("bfloat16", "int8") else "float32"
@@ -775,7 +781,11 @@ class Table:
         vstates = d.get("vector_indexes", {})
         for f, vs in vstates.items():
             if f in t.vector_indexes:
+                mode = getattr(t.vector_indexes[f], "search_mode", "auto")
                 t.vector_indexes[f] = _index_from_state(vs, mesh)
+                # search_mode is schema config, not index state: carry the
+                # schema-built default over the restored object
+                t.vector_indexes[f].search_mode = mode
         return t
 
 

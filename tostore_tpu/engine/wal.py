@@ -17,17 +17,21 @@ Fsync policy (reference data_store_config.dart:125 recoveryFlushPolicy):
 "commit" fsyncs every append (persistRecoveryOnCommit), "interval" fsyncs
 at most once per `interval_ms` piggybacked on appends (default, bounds the
 power-loss window to ~1s), "os" never fsyncs explicitly (page cache only).
+
+All byte I/O flows through the `Storage` seam (storage.py — the
+reference's StorageInterface, storage_interface.dart:22-159); the module
+default is FileStorage.
 """
 
 from __future__ import annotations
 
-import glob as _glob
 import os
 import re
 import threading
 import time
 
 from ..utils import codec
+from .storage import FILE, Storage
 
 _SEG_RE = re.compile(r"wal-(\d{8})\.log$")
 
@@ -36,12 +40,12 @@ def _segment_path(wal_dir: str, seq: int) -> str:
     return os.path.join(wal_dir, f"wal-{seq:08d}.log")
 
 
-def list_segments(wal_dir: str) -> list[tuple[int, str]]:
+def list_segments(wal_dir: str, storage: Storage = FILE) -> list[tuple[int, str]]:
     out = []
-    for p in _glob.glob(os.path.join(wal_dir, "wal-*.log")):
-        m = _SEG_RE.search(p)
+    for name in storage.list(wal_dir):
+        m = _SEG_RE.search(name)
         if m:
-            out.append((int(m.group(1)), p))
+            out.append((int(m.group(1)), os.path.join(wal_dir, name)))
     return sorted(out)
 
 
@@ -60,10 +64,12 @@ class SegmentedWalWriter:
         interval_ms: int = 1000,
         wrap=None,
         segment_max_bytes: int = 64 << 20,
+        storage: Storage = FILE,
     ):
         if sync_policy not in ("commit", "interval", "os"):
             raise ValueError(f"unknown recovery flush policy {sync_policy!r}")
-        os.makedirs(wal_dir, exist_ok=True)
+        self.storage = storage
+        storage.makedirs(wal_dir)
         self.wal_dir = wal_dir
         self.seq = start_seq
         self.sync_policy = sync_policy
@@ -73,7 +79,7 @@ class SegmentedWalWriter:
         self._lock = threading.Lock()
         self._last_sync = 0.0
         self._bytes = 0
-        self._f = open(_segment_path(wal_dir, start_seq), "ab")
+        self._f = storage.appender(_segment_path(wal_dir, start_seq))
         self.entries_since_checkpoint = 0
 
     @property
@@ -85,11 +91,11 @@ class SegmentedWalWriter:
             self._f.write(data)
             self._f.flush()
             if self.sync_policy == "commit":
-                os.fsync(self._f.fileno())
+                self._f.fsync()
             elif self.sync_policy == "interval":
                 now = time.monotonic()
                 if (now - self._last_sync) * 1000.0 >= self.interval_ms:
-                    os.fsync(self._f.fileno())
+                    self._f.fsync()
                     self._last_sync = now
             self.entries_since_checkpoint += n_entries
             self._bytes += len(data)
@@ -109,11 +115,11 @@ class SegmentedWalWriter:
 
     def _roll_locked(self):
         self._f.flush()
-        os.fsync(self._f.fileno())
+        self._f.fsync()
         self._f.close()
         self.seq += 1
         self._bytes = 0
-        self._f = open(_segment_path(self.wal_dir, self.seq), "ab")
+        self._f = self.storage.appender(_segment_path(self.wal_dir, self.seq))
 
     def checkpoint_rotate(self) -> int:
         """Start a fresh segment; returns its seq (the new checkpoint
@@ -125,10 +131,10 @@ class SegmentedWalWriter:
 
     def prune_before(self, seq: int):
         """Delete segments older than the persisted checkpoint pointer."""
-        for s, p in list_segments(self.wal_dir):
+        for s, p in list_segments(self.wal_dir, self.storage):
             if s < seq:
                 try:
-                    os.remove(p)
+                    self.storage.delete(p)
                 except OSError:
                     pass
 
@@ -136,24 +142,24 @@ class SegmentedWalWriter:
         with self._lock:
             try:
                 self._f.flush()
-                os.fsync(self._f.fileno())
+                self._f.fsync()
             except (ValueError, OSError):
                 pass
             self._f.close()
 
 
 def read_wal_segments(
-    wal_dir: str, start_seq: int, unwrap=None
+    wal_dir: str, start_seq: int, unwrap=None, storage: Storage = FILE
 ) -> tuple[list[dict], int]:
     """Replay entries from every segment >= start_seq, in order. Returns
     (entries, decode_errors): per segment the intact frame prefix is used
     and a torn/undecryptable tail is dropped (counted as one error)."""
     entries: list[dict] = []
     errors = 0
-    for seq, path in list_segments(wal_dir):
+    for seq, path in list_segments(wal_dir, storage):
         if seq < start_seq:
             continue
-        got = read_wal(path, unwrap=unwrap)
+        got = read_wal(path, unwrap=unwrap, storage=storage)
         entries.extend(got.entries)
         errors += got.errors
     return entries, errors
@@ -167,14 +173,13 @@ class WalReadResult:
         self.errors = errors
 
 
-def read_wal(path: str, unwrap=None) -> "WalReadResult":
+def read_wal(path: str, unwrap=None, storage: Storage = FILE) -> "WalReadResult":
     """Replay one log file: the intact entry prefix; a torn/corrupt tail is
     dropped and counted so recovery can surface it in status()."""
-    if not os.path.exists(path):
+    if not storage.exists(path):
         return WalReadResult([], 0)
     unwrap = unwrap or (lambda b: b)
-    with open(path, "rb") as f:
-        data = f.read()
+    data = storage.read(path)
     out = []
     errors = 0
     consumed = 0
@@ -188,12 +193,7 @@ def read_wal(path: str, unwrap=None) -> "WalReadResult":
     return WalReadResult(out, errors)
 
 
-def atomic_write(path: str, data: bytes):
+def atomic_write(path: str, data: bytes, storage: Storage = FILE):
     """Write + fsync + rename (the snapshot commit point; reference
     replaceFileAtomic, storage_interface.dart:94)."""
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(data)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    storage.write_atomic(path, data)

@@ -81,8 +81,12 @@ class VectorPrecision(str, enum.Enum):
 class VectorIndexType(str, enum.Enum):
     """ANN index families. The reference has only `ngh` (Vamana graph,
     table_schema.dart:2502); TPU-native replaces the graph with `flat`
-    (exact MXU scan) and `ivf` (coarse quantizer + nprobe scan), and keeps
-    `ngh` as an accepted alias mapped to ivf."""
+    (full MXU scan; the default search_mode='auto' uses a per-lane
+    candidate selection with a tiny documented miss probability
+    (~1e-5..1e-8 per query, ops/topk.py:26-35) — set search_mode='exact'
+    for the reference's zero-miss exact-scan semantics) and `ivf` (coarse
+    quantizer + nprobe scan), and keeps `ngh` as an accepted alias mapped
+    to ivf."""
 
     flat = "flat"
     ivf = "ivf"
@@ -113,7 +117,10 @@ class VectorIndexConfig:
     # PQ (0 subspaces = no PQ; auto rule mirrors ngh_index_meta.dart:237:
     # clamp(D/8, 8, 128))
     pq_subspaces: int = 0
-    pq_centroids: int = 256
+    # 0 = auto: K=16 (4-bit nibble-packed codes) when pq_subspaces is
+    # even — measured ~3x faster than K=256 at equal bytes and equal
+    # recall@10 (vector/ivf.py dispatch table); K=256 stays opt-in
+    pq_centroids: int = 0
     # exact re-rank pool multiplier (reference rerank pool max(2k, 20),
     # ngh_graph_engine.dart:115)
     rerank_factor: int = 2
@@ -122,11 +129,21 @@ class VectorIndexConfig:
     pq_residual: bool = True
     # PQ exact-re-rank pool size; 0 = auto max(rerank_factor*k, 16k, 64)
     pq_rerank: int = 0
+    # 'auto' (default): flat scans may use the per-lane candidate
+    # selection (miss ~1e-5..1e-8, ops/topk.py:26-35); 'exact' forces the
+    # exact scan everywhere — on ivf indexes it bypasses the probe and
+    # scans the whole corpus (reference exact semantics,
+    # vector_index_manager.dart:475)
+    search_mode: str = "auto"
 
     def __post_init__(self):
         # accept plain strings for ergonomic construction
         object.__setattr__(self, "index_type", VectorIndexType(self.index_type))
         object.__setattr__(self, "metric", VectorDistanceMetric(self.metric))
+        if self.search_mode not in ("auto", "exact"):
+            raise ValueError(
+                f"search_mode must be 'auto' or 'exact', got {self.search_mode!r}"
+            )
 
     def to_json(self):
         d = asdict(self)
@@ -142,10 +159,11 @@ class VectorIndexConfig:
             num_clusters=d.get("num_clusters", 0),
             nprobe=d.get("nprobe", 8),
             pq_subspaces=d.get("pq_subspaces", 0),
-            pq_centroids=d.get("pq_centroids", 256),
+            pq_centroids=d.get("pq_centroids", 0),
             rerank_factor=d.get("rerank_factor", 2),
             pq_residual=d.get("pq_residual", True),
             pq_rerank=d.get("pq_rerank", 0),
+            search_mode=d.get("search_mode", "auto"),
         )
 
 

@@ -272,6 +272,150 @@ def _lane_topk_block_kernel(alpha, blk_n, has_scale, q_ref, c_ref, b_ref,
     out_i_ref[...] = jnp.concatenate([g1 + n_base, g2 + n_base], axis=1)
 
 
+def _lane_topk_group_kernel(alpha, blk_n, gsz, has_scale, q_ref, c_ref,
+                            b_ref, *rest):
+    if has_scale:
+        sc_ref, out_s_ref, out_i_ref, acc_s_ref, acc_i_ref = rest
+    else:
+        out_s_ref, out_i_ref, acc_s_ref, acc_i_ref = rest
+        sc_ref = None
+    """Grouped candidate emission: fold each block's per-lane top-2 into a
+    running per-lane top-2 over a GROUP of `gsz` blocks (acc in VMEM),
+    emitting one [blk_b, 256] tile per group. vs the per-block emit
+    kernel this cuts candidate HBM traffic and the stage-2 TopK width by
+    gsz x; vs the top-T accumulator it replaces the bubble-insert RMW
+    (which dominates at large B) with a constant 4-way sorted merge
+    (~10 VPU ops per block). Exactness bucket count = n_groups * 128 —
+    the dispatch keeps n_groups >= 16 (>= 2048 buckets), the same floor
+    the XLA lane path enforces (module docstring)."""
+    ni = pl.program_id(1)
+    n_blocks = pl.num_programs(1)
+
+    @pl.when(ni % gsz == 0)
+    def _():
+        acc_s_ref[...] = jnp.full(acc_s_ref.shape, NEG_INF, jnp.float32)
+        acc_i_ref[...] = jnp.zeros(acc_i_ref.shape, jnp.int32)
+
+    c = c_ref[...]
+    if c.dtype == jnp.int8:
+        c = c.astype(jnp.bfloat16)
+    s = jax.lax.dot_general(
+        q_ref[...],
+        c,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(c.dtype),
+    )
+    if sc_ref is not None:
+        s = s * sc_ref[...]
+    s = alpha * s + b_ref[...]
+    n_base = ni * blk_n
+    m1, g1, m2, g2 = _block_lane_top2(s, blk_n)
+    g1 = g1 + n_base
+    g2 = g2 + n_base
+
+    # sorted 4-way merge: running (r1 >= r2) x block (m1 >= m2) -> top-2.
+    # second-best of the union = max(loser of the two firsts, the
+    # winner's own second) — the loser's second can never rank 2nd.
+    r1, r2 = acc_s_ref[0, :, :], acc_s_ref[1, :, :]
+    i1, i2 = acc_i_ref[0, :, :], acc_i_ref[1, :, :]
+    w = r1 >= m1
+    t1 = jnp.where(w, r1, m1)
+    j1 = jnp.where(w, i1, g1)
+    c2a = jnp.where(w, m1, r1)
+    j2a = jnp.where(w, g1, i1)
+    c2b = jnp.where(w, r2, m2)
+    j2b = jnp.where(w, i2, g2)
+    w2 = c2a >= c2b
+    t2 = jnp.where(w2, c2a, c2b)
+    j2 = jnp.where(w2, j2a, j2b)
+    acc_s_ref[0, :, :] = t1
+    acc_s_ref[1, :, :] = t2
+    acc_i_ref[0, :, :] = j1
+    acc_i_ref[1, :, :] = j2
+
+    @pl.when(((ni + 1) % gsz == 0) | (ni == n_blocks - 1))
+    def _():
+        out_s_ref[...] = jnp.concatenate([t1, t2], axis=1)
+        out_i_ref[...] = jnp.concatenate([j1, j2], axis=1)
+
+
+def _fused_group_emit(q, corpus, bias, *, k, alpha, blk_n, gsz=None,
+                      row_scale=None):
+    """Stage 1 = grouped-emission kernel, stage 2 = XLA TopK over
+    [B, n_groups*256] candidates."""
+    b, d = q.shape
+    n = corpus.shape[0]
+    blk_b = min(MAX_BLK_B, round_up(b, 8))
+    b_pad = round_up(b, blk_b)
+    if b_pad != b:
+        q = jnp.pad(q, ((0, b_pad - b), (0, 0)))
+    q_dtype = jnp.bfloat16 if corpus.dtype == jnp.int8 else corpus.dtype
+    q = q.astype(q_dtype)
+
+    n_blocks = n // blk_n
+    if gsz is None:
+        # largest group keeping >= 16 groups (>= 2048 exactness buckets)
+        gsz = max(1, n_blocks // 16)
+    n_groups = -(-n_blocks // gsz)
+    b_blocks = b_pad // blk_b
+    bias2d = bias.reshape(1, n).astype(jnp.float32)
+    cw = CANDS_PER_LANE * LANE
+
+    kernel = functools.partial(
+        _lane_topk_group_kernel, alpha, blk_n, gsz, row_scale is not None
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((b_pad, n_groups * cw), jnp.float32),
+        jax.ShapeDtypeStruct((b_pad, n_groups * cw), jnp.int32),
+    )
+    in_specs = [
+        pl.BlockSpec((blk_b, d), lambda bi, ni: (bi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk_n, d), lambda bi, ni: (ni, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_n), lambda bi, ni: (0, ni), memory_space=pltpu.VMEM),
+    ]
+    operands = [q, corpus, bias2d]
+    if row_scale is not None:
+        in_specs.append(
+            pl.BlockSpec((1, blk_n), lambda bi, ni: (0, ni), memory_space=pltpu.VMEM)
+        )
+        operands.append(row_scale.reshape(1, n).astype(jnp.float32))
+    flat_s, flat_i = pl.pallas_call(
+        kernel,
+        grid=(b_blocks, n_blocks),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(
+                (blk_b, cw), lambda bi, ni: (bi, ni // gsz),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (blk_b, cw), lambda bi, ni: (bi, ni // gsz),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((CANDS_PER_LANE, blk_b, LANE), jnp.float32),
+            pltpu.VMEM((CANDS_PER_LANE, blk_b, LANE), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n * d,
+            bytes_accessed=corpus.size * corpus.dtype.itemsize + b_pad * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(*operands)
+
+    top_s, pos = jax.lax.top_k(flat_s, min(k, flat_s.shape[1]))
+    top_i = jnp.take_along_axis(flat_i, pos, axis=1)
+    if top_s.shape[1] < k:
+        pad = k - top_s.shape[1]
+        top_s = jnp.pad(top_s, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        top_i = jnp.pad(top_i, ((0, 0), (0, pad)))
+    return top_s[:b], top_i[:b]
+
+
 # accumulator path pays off while the bubble-insert RMW stays small
 ACC_MAX_BLK_B = 32
 

@@ -428,7 +428,7 @@ class ShardedFlatIndex:
             )
         return out
 
-    def search_arrays(self, q, k: int, slot_mask=None):
+    def search_arrays(self, q, k: int, slot_mask=None, mode: str = "auto"):
         if self.capacity == 0 or len(self) == 0:
             b = 1 if np.asarray(q).ndim == 1 else np.asarray(q).shape[0]
             return (
@@ -459,7 +459,7 @@ class ShardedFlatIndex:
         alpha = D.metric_alpha(self.metric)
         scores, idx = sharded_flat_topk(
             qj, self.vectors, bias, k=k, alpha=alpha, mesh=self.mesh,
-            row_scale=self.scales,
+            mode=mode, row_scale=self.scales,
         )
         scores = read_to_host(scores)[:b]
         idx = read_to_host(idx)[:b]

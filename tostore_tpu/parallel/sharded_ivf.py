@@ -500,7 +500,7 @@ class ShardedIVFIndex(ShardedFlatIndex):
     def __init__(self, dims, mesh, metric="cosine", dtype="float32",
                  num_clusters: int = 0, nprobe: int = 8,
                  min_train_size: int = 4096, pq_subspaces: int = 0,
-                 pq_centroids: int = 256, rerank_factor: int = 2,
+                 pq_centroids: int = 0, rerank_factor: int = 2,
                  pq_rerank: int = 0):
         super().__init__(dims, mesh, metric, dtype)
         self.num_clusters_cfg = num_clusters
@@ -592,7 +592,7 @@ class ShardedIVFIndex(ShardedFlatIndex):
             sl = read_to_host(self.slot_slice[jnp.asarray(slots, jnp.int32)])
             cents_np = read_to_host(self.centroids_exp)[:, : self.dims]
             xs = read_to_host(x)[:, : self.dims] - cents_np[np.maximum(sl, 0)]
-            self.pq = train_pq(xs, m=self.pq_subspaces, k=self.pq_centroids)
+            self.pq = train_pq(xs, m=self.pq_subspaces, k=self._resolve_pq_k())
             self._reencode_all()
         return True
 
@@ -612,6 +612,13 @@ class ShardedIVFIndex(ShardedFlatIndex):
         v = v - self.centroids_exp[jnp.maximum(self.slot_slice, 0), : self.dims]
         self.codes = pq_encode(self.pq.codebooks, v)
         self._refresh_bucket_codes()
+
+    def _resolve_pq_k(self) -> int:
+        """Same auto rule as the single-device index (ivf.py): K=16
+        nibble-packed when M%16==0 (lane-aligned packing), else K=256."""
+        if self.pq_centroids:
+            return self.pq_centroids
+        return 16 if self.pq_subspaces % 16 == 0 else 256
 
     @property
     def _pack_nibbles(self) -> bool:
@@ -1058,10 +1065,13 @@ class ShardedIVFIndex(ShardedFlatIndex):
 
     # --- search -----------------------------------------------------------------
 
-    def search_arrays(self, q, k: int, slot_mask=None, nprobe: int | None = None):
-        if not self.trained or self.capacity == 0 or len(self) == 0:
-            # incl. trained-but-emptied indexes restored from snapshots
-            return super().search_arrays(q, k, slot_mask=slot_mask)
+    def search_arrays(self, q, k: int, slot_mask=None, nprobe: int | None = None,
+                      mode: str = "auto"):
+        if (not self.trained or self.capacity == 0 or len(self) == 0
+                or mode == "exact"):
+            # incl. trained-but-emptied indexes restored from snapshots;
+            # mode='exact' bypasses the probe for the full sharded scan
+            return super().search_arrays(q, k, slot_mask=slot_mask, mode=mode)
         qx = np.asarray(q, np.float32)
         single = qx.ndim == 1
         if single:
@@ -1178,7 +1188,7 @@ class ShardedIVFIndex(ShardedFlatIndex):
             d["dims"], mesh, d["metric"], d["precision"],
             num_clusters=d.get("num_clusters_cfg", 0), nprobe=d.get("nprobe", 8),
             pq_subspaces=d.get("pq_subspaces", 0),
-            pq_centroids=d.get("pq_centroids", 256),
+            pq_centroids=d.get("pq_centroids", 0),
             rerank_factor=d.get("rerank_factor", 2),
             pq_rerank=d.get("pq_rerank", 0),
         )

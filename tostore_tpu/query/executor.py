@@ -14,6 +14,7 @@ from __future__ import annotations
 import copy
 import base64
 import json
+import time
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -46,6 +47,11 @@ class QuerySpec:
     having: QueryCondition | None = None
     distinct: bool = False
     use_cache: bool = True  # reference query-cache controls (:258-266)
+    # time-based staleness bound on top of generation invalidation
+    # (reference useQueryCache([expiry]), query_builder.dart:256-260);
+    # None = generation-only (strictly fresher). Not part of the
+    # fingerprint: expiry is a read policy, not a query identity.
+    cache_expiry_s: float | None = None
 
     def fingerprint(self) -> str:
         return json.dumps(
@@ -440,6 +446,13 @@ class QueryExecutor:
         if spec.use_cache and overlay is None and buf_txn is None:
             cache_key = (space, table_name, spec.fingerprint())
             hit = self._cache.get(cache_key)
+            if (
+                hit is not None
+                and spec.cache_expiry_s is not None
+                and time.time() - hit[2] > spec.cache_expiry_s
+            ):
+                self._cache.pop(cache_key)
+                hit = None
             if hit is not None and hit[0] == self._gen_signature(space, table_name, spec):
                 # LRU: re-insert at the hot end so capacity- and
                 # pressure-eviction take the coldest entries first
@@ -651,6 +664,7 @@ class QueryExecutor:
                     has_more=has_more,
                     total=total,
                 ),
+                time.time(),  # stored-at, for cache_expiry_s staleness
             )
         return result
 

@@ -34,9 +34,14 @@ _METRIC_ALIASES = {
 
 
 class FlatVectorIndex:
-    """Exact flat index: metric in {'cosine','l2','dot'/'innerProduct'}."""
+    """Flat full-scan index: metric in {'cosine','l2','dot'/'innerProduct'}.
+
+    mode='auto' (default) may use the per-lane candidate selection (miss
+    probability ~1e-5..1e-8 per query, ops/topk.py:26-35); mode='exact'
+    forces the exact chunked scan (reference exact semantics)."""
 
     index_type = "flat"
+    search_mode = "auto"  # schema VectorIndexConfig.search_mode overrides
 
     def __init__(self, dims: int, metric: str = "cosine", precision: str = "float32"):
         metric = _METRIC_ALIASES.get(metric)

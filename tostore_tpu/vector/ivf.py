@@ -522,7 +522,7 @@ class IVFVectorIndex:
         num_clusters: int = 0,
         nprobe: int = 8,
         pq_subspaces: int = 0,
-        pq_centroids: int = 256,
+        pq_centroids: int = 0,
         rerank_factor: int = 2,
         min_train_size: int = 256,
         pq_residual: bool = True,
@@ -687,9 +687,22 @@ class IVFVectorIndex:
                 cents_np = np.asarray(self.centroids)[:, : c.dims]
                 cl = np.maximum(self._slice_cluster[np.maximum(sl, 0)], 0)
                 xs = xs - cents_np[cl]
-            self.pq = train_pq(xs, m=self.pq_subspaces, k=self.pq_centroids)
+            self.pq = train_pq(
+                xs, m=self.pq_subspaces, k=self._resolve_pq_k()
+            )
             self._reencode_all()
         return True
+
+    def _resolve_pq_k(self) -> int:
+        """pq_centroids=0 -> auto: the measured dispatch rule (class
+        docstring) says 4-bit K=16 nibble-packed codes beat K=256 ~3x at
+        equal bytes and equal recall@10, so default to K=16 whenever M is
+        even (nibble packing pairs subspaces); odd M keeps K=256. The
+        packed contiguous layout needs (M*K)%256==0 lane alignment, i.e.
+        M%16==0 — below that the measured win doesn't apply, so K=256."""
+        if self.pq_centroids:
+            return self.pq_centroids
+        return 16 if self.pq_subspaces % 16 == 0 else 256
 
     def _maybe_retrain(self):
         """Retrain when corpus grew 4x past the training snapshot (reference
@@ -1220,8 +1233,17 @@ class IVFVectorIndex:
 
     # --- search -----------------------------------------------------------------
 
-    def search_arrays(self, q, k: int, slot_mask=None, nprobe: int | None = None):
-        """Returns (distances [B,k], slots [B,k], pks [B,k])."""
+    def search_arrays(
+        self, q, k: int, slot_mask=None, nprobe: int | None = None,
+        mode: str = "auto",
+    ):
+        """Returns (distances [B,k], slots [B,k], pks [B,k]).
+
+        mode='exact' bypasses the probe entirely and runs the exact flat
+        scan over the whole corpus (the reference's zero-miss exact-scan
+        semantics, vector_index_manager.dart:475) — the probe is
+        approximate by construction, so exactness requires the full scan.
+        """
         c = self.corpus
         if len(c) == 0:
             b = 1 if np.asarray(q).ndim == 1 else np.asarray(q).shape[0]
@@ -1230,16 +1252,19 @@ class IVFVectorIndex:
                 np.full((b, k), -1, np.int64),
                 np.full((b, k), None, dtype=object),
             )
-        if not self.trained:
+        if not self.trained and mode != "exact":
             self.train()
-        if not self.trained:
-            # tiny corpus: exact scan through a flat view
+        if not self.trained or mode == "exact":
+            # tiny corpus, or forced exactness: flat scan through a view
             from .flat import FlatVectorIndex
 
             tmp = FlatVectorIndex.__new__(FlatVectorIndex)
             tmp.metric = self.metric
             tmp.corpus = c
-            return tmp.search_arrays(q, k, slot_mask=slot_mask)
+            return tmp.search_arrays(
+                q, k, slot_mask=slot_mask,
+                mode="exact" if mode == "exact" else "auto",
+            )
 
         qx = np.asarray(q, np.float32)
         single = qx.ndim == 1
@@ -1360,8 +1385,9 @@ class IVFVectorIndex:
         pks = c.pks_for_slots(slot_np)
         return dist_np, slot_np, pks
 
-    def search(self, q, top_k: int = 10, threshold=None, slot_mask=None, nprobe=None):
-        dist, slots, pks = self.search_arrays(q, top_k, slot_mask, nprobe)
+    def search(self, q, top_k: int = 10, threshold=None, slot_mask=None,
+               nprobe=None, mode: str = "auto"):
+        dist, slots, pks = self.search_arrays(q, top_k, slot_mask, nprobe, mode)
         dist, slots, pks = dist[0], slots[0], pks[0]
         score = np.asarray(
             D.distances_to_scores(
