@@ -1978,6 +1978,9 @@ class Database:
                 indexes = list(t.vector_indexes.values())
             for vi in indexes:
                 if len(vi):
+                    if getattr(vi, "trained", True) is False:
+                        with rw(vi).write():  # lazy train mutates: exclusive
+                            vi.train()
                     with rw(vi).read():  # warm off-lock, like real searches
                         for kk in self.PREWARM_KS:
                             vi.search(np.zeros(vi.dims, np.float32), top_k=kk)
