@@ -287,3 +287,75 @@ class TestOffLockSearch:
         for x in threads:
             x.join(10)
         assert not errors, errors
+
+
+class TestBoundedStalenessFlush:
+    """Searches skip a CONTENDED vector flush (bounded staleness,
+    reference async writeChanges) instead of convoying the engine; a
+    deferred flush never surfaces committed deletes, and the row/age
+    bounds force a blocking flush."""
+
+    def test_deferred_flush_hides_pending_deletes(self, db):
+        eng = db.engine
+        t = eng._table("docs")
+        idx = t.vector_indexes["emb"]
+        in_search = threading.Event()
+        release = threading.Event()
+        real = type(idx).search
+
+        def parked(self, *a, **kw):
+            in_search.set()
+            release.wait(5)
+            return real(self, *a, **kw)
+
+        type(idx).search = parked
+        try:
+            target = db.vector_search(  # resolves a real pk to delete
+                "docs", "emb", np.zeros(8, np.float32), top_k=1
+            )[0].primary_key
+            th = threading.Thread(
+                target=lambda: db.vector_search(
+                    "docs", "emb", np.zeros(8, np.float32), top_k=3
+                )
+            )
+            th.start()
+            assert in_search.wait(5)
+            # committed delete while a search holds shared mode: the next
+            # search must NOT block on the flush and must NOT return the
+            # deleted row
+            db.delete_by_pk("docs", target)
+            type(idx).search = real  # only the parked thread stays parked
+            t0 = time.perf_counter()
+            hits = db.vector_search(
+                "docs", "emb", np.zeros(8, np.float32), top_k=5
+            )
+            took = time.perf_counter() - t0
+            assert took < 2.0  # did not wait for the parked reader
+            assert all(h.primary_key != target for h in hits)
+            assert eng._counters.get("vector_flush_deferred", 0) >= 1
+        finally:
+            release.set()
+            type(idx).search = real
+            th.join(10)
+
+    def test_age_bound_forces_flush(self, db, monkeypatch):
+        eng = db.engine
+        t = eng._table("docs")
+        db.insert("docs", {"id": 7777, "n": 7777, "emb": [0.5] * 8})
+        # pretend the pending batch is old: the bound must force a
+        # blocking flush even under contention
+        monkeypatch.setattr(
+            type(t), "vec_pending_age", lambda self, f: 99.0
+        )
+        db.vector_search("docs", "emb", np.zeros(8, np.float32), top_k=1)
+        assert t.vec_pending_count("emb") == 0
+
+    def test_uncontended_search_still_flushes_eagerly(self, db):
+        t = db.engine._table("docs")
+        db.insert("docs", {"id": 8888, "n": 8888, "emb": [0.9] * 8})
+        assert t.vec_pending_count("emb") > 0
+        hits = db.vector_search(
+            "docs", "emb", np.asarray([0.9] * 8, np.float32), top_k=1
+        )
+        assert hits[0].primary_key == 8888  # fresh row visible
+        assert t.vec_pending_count("emb") == 0

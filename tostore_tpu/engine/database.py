@@ -2085,8 +2085,8 @@ class Database:
             with self._lock:
                 t = self._table(table)
                 self._note_read(self._tkey(t))  # predicate read
-                t.flush_vectors(field)
                 idx = t.vector_index_for(field)
+                pending_del = self._flush_or_defer(t, idx, field)
                 if getattr(idx, "trained", True) is False and len(idx):
                     with rw(idx).write():
                         idx.train()  # pre-train here: search() must not mutate
@@ -2114,6 +2114,10 @@ class Database:
             # INSERTS become searchable at commit + flush, matching the
             # reference's flush-deferred vector index updates)
             hits = [r for r in hits if r.primary_key not in ov_keys]
+        if pending_del:
+            # deferred-flush window: committed deletes whose tombstones
+            # have not reached the device yet must not surface
+            hits = [r for r in hits if r.primary_key not in pending_del]
         if include_records:
             hits = [
                 VectorSearchResult(
@@ -2124,6 +2128,45 @@ class Database:
         for h in hits[: self.WEIGHT_SAMPLE]:
             self.weights.record_access(table, h.primary_key)
         return hits
+
+    # bounded-staleness vector flush (reference writeChanges runs on the
+    # async background write scheduler — searches there never force-flush
+    # either): a search flushes pending index writes eagerly when the
+    # index is uncontended, but if other searches are mid-dispatch
+    # (shared mode held), waiting for exclusive mode WHILE HOLDING THE
+    # ENGINE LOCK would convoy the whole engine behind one flush
+    # (measured: mixed search+insert collapsed to ~1 QPS through the
+    # tunnel). Instead the flush defers — results may omit rows staged in
+    # the last VEC_FLUSH_FORCE_AGE_S seconds / VEC_FLUSH_FORCE_ROWS rows
+    # — until either bound trips, which forces a blocking flush. Pending
+    # DELETES never surface: the capture returns them for post-filtering.
+    VEC_FLUSH_FORCE_ROWS = 512
+    VEC_FLUSH_FORCE_AGE_S = 1.0
+
+    def _flush_or_defer(self, t, idx, field) -> frozenset | None:
+        """Called under the engine lock. Returns the pending-delete pk
+        set when the flush was deferred, else None."""
+        pend_n = t.vec_pending_count(field)
+        if not pend_n:
+            return None
+        if (
+            pend_n >= self.VEC_FLUSH_FORCE_ROWS
+            or t.vec_pending_age(field) >= self.VEC_FLUSH_FORCE_AGE_S
+        ):
+            t.flush_vectors(field)  # bound tripped: block (staleness cap)
+            return None
+        lk = rw(idx)
+        if lk.try_acquire_write():
+            try:
+                t.flush_vectors(field)  # uncontended: flush eagerly
+            finally:
+                lk.release_write()
+            return None
+        self._counters["vector_flush_deferred"] = (
+            self._counters.get("vector_flush_deferred", 0) + 1
+        )
+        pend = t._vec_pending.get(field) or {}
+        return frozenset(pk for pk, v in pend.items() if v is None) or None
 
     def _vector_slot_mask(self, t, idx, field, condition):
         """Hybrid-filter slot mask, computed under the engine lock."""

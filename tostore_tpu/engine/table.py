@@ -295,6 +295,10 @@ class Table:
         # vector indexes + buffered writes (field -> {pk: vec|None})
         self.vector_indexes: dict[str, Any] = {}
         self._vec_pending: dict[str, dict] = {}
+        # monotonic ts of the OLDEST unflushed stage per field (bounded-
+        # staleness contract: searches may skip a contended flush until
+        # the pending batch exceeds an age/row bound — database.py)
+        self._vec_pend_since: dict[str, float] = {}
         # device-resident predicate columns (vector/filters.py): numeric/
         # bool/datetime fields mirror into slot-aligned f32 device arrays
         # (owned by each index's corpus) so hybrid search masks compile on
@@ -511,6 +515,7 @@ class Table:
             vals = col_values.get(field)
             if vals is not None:
                 pend = self._vec_pending[field]
+                self._vec_pend_since.setdefault(field, time.monotonic())
                 for pk, v in zip(pks, vals):
                     pend[pk] = None if v is None else np.asarray(v, np.float32)
         if self.filter_fields:
@@ -522,6 +527,7 @@ class Table:
             if fcols:
                 for vf in self.vector_indexes:
                     fp = self._filter_pending[vf]
+                    self._vec_pend_since.setdefault(vf, time.monotonic())
                     for j, pk in enumerate(pks):
                         fp.setdefault(pk, {}).update(
                             {f: c[j] for f, c in fcols.items()}
@@ -624,6 +630,7 @@ class Table:
                 del self.unique_maps[name][key]
         self.store.delete(pk)
         for field in self.vector_indexes:
+            self._vec_pend_since.setdefault(field, time.monotonic())
             self._vec_pending[field][pk] = None
         return old
 
@@ -645,6 +652,7 @@ class Table:
         for field in self.vector_indexes:
             if field in record:
                 v = record[field]
+                self._vec_pend_since.setdefault(field, time.monotonic())
                 self._vec_pending[field][pk] = (
                     None if v is None else np.asarray(v, np.float32)
                 )
@@ -652,6 +660,7 @@ class Table:
             touched = {f: record[f] for f in self.filter_fields if f in record}
             if touched:
                 for vf in self.vector_indexes:
+                    self._vec_pend_since.setdefault(vf, time.monotonic())
                     self._filter_pending[vf].setdefault(pk, {}).update(touched)
 
     # --- vector flush + search ----------------------------------------------------
@@ -669,6 +678,16 @@ class Table:
             idx = self.vector_indexes[f]
             with rw(idx).write():  # wait out in-flight off-lock searches
                 self._flush_one(f, idx)
+            self._vec_pend_since.pop(f, None)
+
+    def vec_pending_count(self, field: str) -> int:
+        return len(self._vec_pending.get(field) or ()) + len(
+            self._filter_pending.get(field) or ()
+        )
+
+    def vec_pending_age(self, field: str) -> float:
+        since = self._vec_pend_since.get(field)
+        return 0.0 if since is None else time.monotonic() - since
 
     def _flush_one(self, f: str, idx):
         pend = self._vec_pending.get(f)

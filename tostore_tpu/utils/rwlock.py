@@ -79,6 +79,22 @@ class RWLock:
             self._writer = me
             self._writer_count = 1
 
+    def try_acquire_write(self) -> bool:
+        """Non-blocking exclusive acquire. True = acquired (re-entrant
+        included); False = contended, nothing changed."""
+        me = threading.get_ident()
+        with self._cond:
+            if self._writer == me:
+                self._writer_count += 1
+                return True
+            if me in self._readers:
+                return False  # upgrade would deadlock
+            if self._writer is not None or self._readers:
+                return False
+            self._writer = me
+            self._writer_count = 1
+            return True
+
     def release_write(self):
         me = threading.get_ident()
         with self._cond:
