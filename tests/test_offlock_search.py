@@ -359,3 +359,51 @@ class TestBoundedStalenessFlush:
         )
         assert hits[0].primary_key == 8888  # fresh row visible
         assert t.vec_pending_count("emb") == 0
+
+
+class TestBackgroundVectorFlush:
+    """run_vector_flush (crontab VECTOR_FLUSH_EVERY_S) drains buffered
+    index writes asynchronously — the reference's writeChanges runs on
+    its background write scheduler — so write-only workloads settle
+    without a search tripping the staleness bounds."""
+
+    def test_drains_pending_without_search(self, db):
+        t = db.engine._table("docs")
+        db.insert("docs", {"id": 9100, "n": 9100, "emb": [0.1] * 8})
+        assert t.vec_pending_count("emb") > 0
+        assert db.engine.run_vector_flush() == 1
+        assert t.vec_pending_count("emb") == 0
+        hits = db.vector_search(
+            "docs", "emb", np.asarray([0.1] * 8, np.float32), top_k=1
+        )
+        assert hits[0].primary_key == 9100
+
+    def test_skips_contended_index(self, db):
+        t = db.engine._table("docs")
+        idx = t.vector_indexes["emb"]
+        db.insert("docs", {"id": 9200, "n": 9200, "emb": [0.2] * 8})
+        done = {}
+
+        def hold_shared():  # a foreign reader mid-dispatch
+            lk = rw(idx)
+            lk.acquire_read()
+            try:
+                done["n"] = db.engine.run_vector_flush()
+            finally:
+                lk.release_read()
+
+        th = threading.Thread(target=hold_shared)
+        th.start()
+        th.join(10)
+        assert done["n"] == 0  # contended: deferred to the next tick
+        assert t.vec_pending_count("emb") > 0
+        assert db.engine.run_vector_flush() == 1  # uncontended: drains
+
+    def test_crontab_drains_within_staleness_window(self, db):
+        t = db.engine._table("docs")
+        db.insert("docs", {"id": 9300, "n": 9300, "emb": [0.3] * 8})
+        assert t.vec_pending_count("emb") > 0
+        deadline = time.time() + 10.0
+        while time.time() < deadline and t.vec_pending_count("emb"):
+            time.sleep(0.2)
+        assert t.vec_pending_count("emb") == 0  # drained with NO search

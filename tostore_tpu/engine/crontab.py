@@ -27,6 +27,7 @@ IDLE_STOP_S = 300.0  # park the ticker after this long with no writes
 FLUSH_AGE_S = 60.0  # time-based checkpoint when the WAL has entries
 COMPACT_EVERY_S = 60.0
 VECTOR_MAINT_EVERY_S = 30.0  # off-lock IVF retrain checks
+VECTOR_FLUSH_EVERY_S = 2.0  # drain buffered index writes (async writeChanges)
 CACHE_MAINT_EVERY_S = 60.0  # weight decay + pressure eviction
 
 
@@ -40,6 +41,7 @@ class CrontabManager:
         self._last_compact = time.monotonic()
         self._last_flush = time.monotonic()
         self._last_vecmaint = time.monotonic()
+        self._last_vecflush = time.monotonic()
         self._last_cachemaint = time.monotonic()
         self._last_write_marker = -1
         self._idle_since = time.monotonic()
@@ -90,6 +92,7 @@ class CrontabManager:
                 (cfg.ttl_cleanup_interval_s, "_last_ttl", self.db.run_ttl_cleanup),
                 (COMPACT_EVERY_S, "_last_compact", self.db.run_compaction),
                 (VECTOR_MAINT_EVERY_S, "_last_vecmaint", self.db.run_vector_maintenance),
+                (VECTOR_FLUSH_EVERY_S, "_last_vecflush", self.db.run_vector_flush),
                 (CACHE_MAINT_EVERY_S, "_last_cachemaint", self.db.run_cache_maintenance),
                 (FLUSH_AGE_S, "_last_flush", self._maybe_flush),
             ):

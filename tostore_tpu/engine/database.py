@@ -2633,6 +2633,39 @@ class Database:
                     with rw(vi).write():
                         vi.maybe_compact(self.config.tombstone_compact_ratio)
 
+    def run_vector_flush(self) -> int:
+        """Background drain of buffered vector-index writes (the
+        reference's writeChanges runs on the async background write
+        scheduler, so its searches never pay the flush either). Searches
+        flush eagerly only when the index is uncontended
+        (`_flush_or_defer`); this crontab job drains what they deferred —
+        and drains write-only workloads that never search — so the
+        bounded-staleness window closes without a reader tripping the
+        force bounds. Contended indexes are skipped for the next tick
+        rather than convoying behind in-flight search dispatches."""
+        with self._lock:
+            work = [
+                (t, f)
+                for t in self._tables.values()
+                for f in t.vector_indexes
+                if t.vec_pending_count(f)
+            ]
+        done = 0
+        for t, f in work:
+            with self._lock:
+                idx = t.vector_indexes.get(f)
+                if idx is None or not t.vec_pending_count(f):
+                    continue
+                lk = rw(idx)
+                if not lk.try_acquire_write():
+                    continue  # searches mid-dispatch; retry next tick
+                try:
+                    t.flush_vectors(f)
+                finally:
+                    lk.release_write()
+                done += 1
+        return done
+
     def run_vector_maintenance(self) -> int:
         """Background IVF retrains without stalling the engine: capture the
         immutable device arrays under the lock, run the multi-second
