@@ -237,3 +237,16 @@ class TestIVFLargeBatchDispatch:
         d2, s2, p2 = idx.search_arrays(x[3], 5, mode="probe")  # forced probe
         assert len(flat_spy) == n_flat  # flat view NOT used
         assert p2[0][0] == 3
+
+
+def test_open_memory_alias(tmp_path, monkeypatch):
+    """open(':memory:') must alias to memory mode (sqlite idiom), not
+    create a literal ':memory:' directory."""
+    monkeypatch.chdir(tmp_path)
+    db = ToStoreTPU.open(":memory:", schemas=[_schema()])
+    assert db.engine.config.memory_mode
+    db.insert("docs", {"id": 1, "n": 1, "emb": [0.0] * 16})
+    assert db.get_by_pk("docs", 1)["n"] == 1
+    db.close()
+    import os
+    assert not os.path.exists(":memory:")

@@ -52,7 +52,11 @@ class ToStoreTPU:
     ) -> "ToStoreTPU":
         """`storage`: optional engine.storage.Storage backend (the
         StorageInterface seam) — file by default; pass MemoryStorage or an
-        ObjectStorage to persist somewhere other than the local FS."""
+        ObjectStorage to persist somewhere other than the local FS.
+        `":memory:"` (the sqlite idiom) aliases to `memory()` instead of
+        creating a literal `:memory:` directory."""
+        if path == ":memory:":
+            return ToStoreTPU.memory(schemas=schemas, config=config, **kw)
         cfg = (config or DataStoreConfig()).copy_with(db_path=path, db_name=db_name, **kw)
         return ToStoreTPU(cfg, schemas, storage=storage)
 
