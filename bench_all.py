@@ -852,7 +852,13 @@ def config12_scale_soak():
                                 index_type="ivf", metric="l2")),
             ),
         )
+        import sys
+
+        def mark(msg):
+            print(f"[scale_soak] {msg}", file=sys.stderr, flush=True)
+
         db = ToStoreTPU.open(tmp, schemas=[rel, vec])
+        mark("open")
         # --- ingest 10M relational rows (columnar batches) ---
         step = 500_000
         t0 = time.time()
@@ -861,6 +867,7 @@ def config12_scale_soak():
                 {"id": i + 1, "a": i % 97, "b": i % 1009}
                 for i in range(lo, lo + step)
             ])
+        mark("rel ingest done")
         out["rel_ingest_s"] = round(time.time() - t0, 1)
         out["rel_ingest_rows_per_s"] = round(n_rel / (time.time() - t0), 0)
         # --- ingest the vector corpus ---
@@ -873,11 +880,13 @@ def config12_scale_soak():
                 {"id": lo + j + 1, "emb": X[j]} for j in range(vstep)
             ])
         db.vector_search("docs", "emb", np.zeros(d, np.float32), top_k=1)
+        mark("vec ingest done")
         out["vec_ingest_s"] = round(time.time() - t0, 1)
         # --- checkpoint ---
         t0 = time.time()
         db.engine.flush(force_all=True)
         out["checkpoint_s"] = round(time.time() - t0, 1)
+        mark("checkpoint done")
         du = sum(
             os.path.getsize(os.path.join(r, f))
             for r, _, fs in os.walk(tmp) for f in fs
@@ -890,6 +899,7 @@ def config12_scale_soak():
             {"id": n_rel + i + 1, "a": 1, "b": 2} for i in range(tail_rows)
         ])
         out["tail_ingest_s"] = round(time.time() - t0, 1)
+        mark("tail ingest done; simulating kill")
         db.engine._crontab and db.engine._crontab.stop()
         # simulated kill: NO close, NO final checkpoint
         del db
@@ -898,22 +908,27 @@ def config12_scale_soak():
         db2 = ToStoreTPU.open(tmp, schemas=[rel, vec])
         reopen_s = time.time() - t0
         out["recover_open_s"] = round(reopen_s, 1)
+        mark("recover open done")
         out["wal_replay_rows_per_s"] = round(tail_rows / reopen_s, 0)
-        assert db2.get_by_pk("events", n_rel + tail_rows) is not None
-        assert db2.get_by_pk("events", 5_000_000)["a"] == (5_000_000 - 1) % 97
+        assert db2.get_by_pk("events", n_rel + tail_rows) is not None, \
+            "tail row missing after WAL replay"
+        mid = db2.get_by_pk("events", 5_000_000)
+        assert mid is not None and mid["a"] == (5_000_000 - 1) % 97, \
+            f"mid row wrong after recover: {mid}"
         t0 = time.time()
         hits = db2.vector_search(
             "docs", "emb", np.zeros(d, np.float32), top_k=10
         )
         out["first_search_after_recover_s"] = round(time.time() - t0, 2)
-        assert len(hits) == 10
+        assert len(hits) == 10, f"vector search returned {len(hits)}"
         # clean reopen (checkpointed, no WAL tail)
         db2.engine.flush()
         db2.close()
         t0 = time.time()
         db3 = ToStoreTPU.open(tmp, schemas=[rel, vec])
         out["clean_open_s"] = round(time.time() - t0, 1)
-        assert db3.query("events").count() == n_rel + tail_rows
+        n3 = db3.query("events").count()
+        assert n3 == n_rel + tail_rows, f"clean-open count {n3} != {n_rel + tail_rows}"
         db3.close()
         out["peak_rss_gb"] = round(
             resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20, 2
@@ -943,7 +958,10 @@ def run_one(name: str):
     try:
         res = CONFIGS[name]()
     except Exception as e:  # record failures instead of dying
-        res = {"config": f"config{name}", "error": repr(e)}
+        import traceback
+
+        res = {"config": f"config{name}", "error": repr(e),
+               "traceback": traceback.format_exc()[-2000:]}
     print(json.dumps(res), flush=True)
     return res
 
