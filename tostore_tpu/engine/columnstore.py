@@ -13,6 +13,8 @@ NumPy kernels.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 from ..models.schema import DataType, TableSchema
@@ -27,12 +29,19 @@ _NP_TYPES = {
 }
 
 _GROW = 256
+_GROW_LOCK = threading.Lock()  # serializes lazy Column growth (see _grow)
 
 
 def _copy_cell(v):
-    """Structure-copy list/dict cells (copy-on-read/write guard). ~8x
-    faster than copy.deepcopy for the small JSON payloads records hold."""
+    """Structure-copy list/dict/ndarray cells (copy-on-read/write guard).
+    ~8x faster than copy.deepcopy for the small JSON payloads records
+    hold. Vector cells are 1-D float32 ndarrays (stored verbatim through
+    WAL + snapshots by the native codec — NEVER per-element Python
+    lists; the list form cost ~40x in checkpoint/replay interpreter
+    time at the 10M-row scale soak)."""
     t = type(v)
+    if t is np.ndarray:
+        return v.copy()
     if t is list:
         return [_copy_cell(x) for x in v]
     if t is dict:
@@ -52,20 +61,30 @@ class Column:
             self.null = None  # None sentinel lives in the object array
 
     def _grow(self, n: int):
-        cur = len(self.data)
-        if n <= cur:
+        # thread-safe for concurrent READERS (view() grows lazily and may
+        # run under the engine's SHARED mode): growth is serialized and
+        # `null` is published before `data`, so a reader that observes a
+        # grown `data` always sees the matching grown `null`. Cell VALUES
+        # only mutate under engine-exclusive mode, so the copied prefix is
+        # stable.
+        if n <= len(self.data):
             return
-        new = max(n, cur * 2, _GROW)
-        if self.np_type is not None:
-            d = np.zeros(new, self.np_type)
-            d[:cur] = self.data
-            m = np.ones(new, np.bool_)
-            m[:cur] = self.null
-            self.data, self.null = d, m
-        else:
-            d = np.empty(new, dtype=object)
-            d[:cur] = self.data
-            self.data = d
+        with _GROW_LOCK:
+            cur = len(self.data)
+            if n <= cur:
+                return  # another grower won the race
+            new = max(n, cur * 2, _GROW)
+            if self.np_type is not None:
+                d = np.zeros(new, self.np_type)
+                d[:cur] = self.data
+                m = np.ones(new, np.bool_)
+                m[:cur] = self.null
+                self.null = m
+                self.data = d
+            else:
+                d = np.empty(new, dtype=object)
+                d[:cur] = self.data
+                self.data = d
 
     def set(self, row: int, value):
         self._grow(row + 1)
@@ -80,7 +99,7 @@ class Column:
                 else:
                     self.data[row] = value
         else:
-            if isinstance(value, (list, dict)):  # copy-on-write, see get()
+            if isinstance(value, (list, dict, np.ndarray)):  # copy-on-write, see get()
                 value = _copy_cell(value)
             self.data[row] = value
 
@@ -115,7 +134,8 @@ class Column:
             else:
                 out = np.empty(len(values), dtype=object)
                 out[:] = [
-                    _copy_cell(v) if isinstance(v, (list, dict)) else v
+                    _copy_cell(v)
+                    if isinstance(v, (list, dict, np.ndarray)) else v
                     for v in values
                 ]  # object assignment keeps list/dict cells intact
                 self.data[rows] = out
@@ -138,7 +158,7 @@ class Column:
         # copy-on-read: callers own the returned record; handing out the
         # stored list/dict would let mutations bypass the WAL and poison
         # cached query results
-        if isinstance(v, (list, dict)):
+        if isinstance(v, (list, dict, np.ndarray)):
             return _copy_cell(v)
         return v
 

@@ -56,7 +56,7 @@ from ..query.condition import QueryCondition
 from ..query.executor import QueryExecutor, QuerySpec
 from ..utils import codec
 from ..utils.logging import Logger
-from ..utils.rwlock import rw
+from ..utils.rwlock import ReadGuard, RWLock, WriteGuard, rw
 from .table import Table, ValidationError, INGEST_TS_FIELD
 from .wal import (
     SegmentedWalWriter,
@@ -259,7 +259,21 @@ class Database:
         # — conservative phantom protection, strictly stronger than the
         # reference's write-set-only SSI check, tm:30-36); readCommitted
         # commits skip validation (last-writer-wins).
-        self._lock = threading.RLock()
+        # the big engine lock is a readers-writer lock (reference
+        # lock_manager.dart:38-44 shared/exclusive): every mutator path
+        # keeps `with self._lock:` (EXCLUSIVE — a drop-in guard over the
+        # RWLock, re-entrant, and a holder may nest shared mode), while
+        # the audited read-only entry points (query/count/get_by_pk) take
+        # `with self._shared:` so concurrent relational reads execute in
+        # parallel. Read-path lazy mutators are individually thread-safe:
+        # Column._grow (columnstore), SortedIndex._ensure (table.py), the
+        # executor query cache (_cache_lock), and metrics (_metrics_lock);
+        # a missed write under shared mode fails loudly — RWLock raises on
+        # read->write upgrade instead of deadlocking.
+        self._biglock = RWLock()
+        self._lock = WriteGuard(self._biglock)
+        self._shared = ReadGuard(self._biglock)
+        self._metrics_lock = threading.Lock()  # counters/timings off-lock
         self._tables: dict[tuple[str, str], Table] = {}
         self._schemas: dict[tuple[str, str], TableSchema] = {}
         self.global_config = GlobalConfig()
@@ -702,10 +716,17 @@ class Database:
         try:
             yield
         finally:
-            cell = self._timings.setdefault(op, [0, 0.0])
-            cell[0] += 1
-            cell[1] += time.perf_counter() - t0
+            with self._metrics_lock:
+                cell = self._timings.setdefault(op, [0, 0.0])
+                cell[0] += 1
+                cell[1] += time.perf_counter() - t0
             self.workload.note_foreground()
+
+    def _bump(self, name: str, n: int = 1):
+        """Counter increment safe from SHARED-mode (off-exclusive) paths.
+        Keys bumped here must not also be `+=`-incremented elsewhere."""
+        with self._metrics_lock:
+            self._counters[name] = self._counters.get(name, 0) + n
 
     @contextlib.contextmanager
     def profile_trace(self, log_dir: str, host_profiler: bool = False):
@@ -1940,7 +1961,7 @@ class Database:
 
     def get_by_pk(self, table: str, pk) -> dict | None:
         self.workload.note_foreground()
-        with self._lock:  # no torn reads of mid-update records
+        with self._shared:  # no torn reads of mid-update records
             t = self._table(table)
             tkey = self._tkey(t)
             self._note_read(tkey, pk)
@@ -2009,8 +2030,10 @@ class Database:
     WEIGHT_SAMPLE = 32  # result-pks recorded per query (weights are sampled)
 
     def query(self, table: str, spec: QuerySpec | None = None):
-        self._counters["queries"] += 1
-        with self._lock, self._timed("query"):
+        self._bump("queries")
+        # SHARED mode: concurrent queries execute in parallel (reference
+        # shared query locks); mutators hold exclusive so no torn reads
+        with self._shared, self._timed("query"):
             t = self._table(table)
             tkey = self._tkey(t)
             # predicate reads are noted inside the executor, where the
@@ -2027,7 +2050,7 @@ class Database:
         return res
 
     def count(self, table: str, condition: QueryCondition | None = None) -> int:
-        with self._lock:
+        with self._shared:
             t = self._table(table)
             tkey = self._tkey(t)
             ov = self._overlay_for(tkey)
@@ -2071,7 +2094,7 @@ class Database:
         'auto' (flat scans may use per-lane candidate selection, miss
         ~1e-5..1e-8/query) | 'exact' (zero-miss full scan; on IVF this
         bypasses the probe — reference exact semantics)."""
-        self._counters["vector_searches"] += 1
+        self._bump("vector_searches")
         with self._timed("vector_search"):
             # CAPTURE under the engine lock (flush pending writes, resolve
             # the index, build the predicate slot mask, pin the index in

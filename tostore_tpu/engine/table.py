@@ -12,6 +12,7 @@ flush path (the reference's write-buffer -> flush pipeline, pjm:350).
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Any
 
@@ -60,6 +61,11 @@ class SortedIndex:
         self._gen = -1
         self._order: np.ndarray | None = None  # rowids sorted by key
         self._keys: np.ndarray | None = None  # sorted memcomparable keys (object/bytes)
+        # serializes the lazy rebuild under the engine's SHARED mode
+        # (concurrent readers may both find _gen stale; one builds, the
+        # rest wait — _build publishes _gen LAST so a current _gen always
+        # means _order/_keys are final for that generation)
+        self._build_lock = threading.Lock()
 
     @staticmethod
     def _encode(v) -> bytes:
@@ -110,9 +116,14 @@ class SortedIndex:
         self._keys = keys[order] if len(rows) else keys
         self._gen = store.generation
 
-    def ordered_rows(self, store: ColumnStore) -> np.ndarray:
+    def _ensure(self, store: ColumnStore):
         if self._gen != store.generation:
-            self._build(store)
+            with self._build_lock:
+                if self._gen != store.generation:
+                    self._build(store)
+
+    def ordered_rows(self, store: ColumnStore) -> np.ndarray:
+        self._ensure(store)
         return self._order
 
     def range_positions(
@@ -124,8 +135,7 @@ class SortedIndex:
         gives the true selectivity for free)."""
         from ..utils import memcomparable as mc
 
-        if self._gen != store.generation:
-            self._build(store)
+        self._ensure(store)
         keys = self._keys
         a, b = 0, len(keys)
         if lo is not None:
@@ -154,8 +164,7 @@ class SortedIndex:
         field (reference query_optimizer.dart composite-index selection)."""
         from ..utils import memcomparable as mc
 
-        if self._gen != store.generation:
-            self._build(store)
+        self._ensure(store)
         keys = self._keys
         prefix = b"".join(self._encode(v) for v in eq_values)
         if bounds is None:
@@ -189,8 +198,7 @@ class SortedIndex:
         NO terminator) is a byte-prefix of exactly the matching keys."""
         from ..utils import memcomparable as mc
 
-        if self._gen != store.generation:
-            self._build(store)
+        self._ensure(store)
         keys = self._keys
         base = b"".join(self._encode(v) for v in eq_values)
         kp = (
@@ -391,12 +399,16 @@ class Table:
                 if not isinstance(v, (dict, list, str, int, float, bool)):
                     raise ValidationError(f"field {f.name!r}: not JSON-serializable")
             elif t == DataType.vector:
-                arr = np.asarray(v, np.float32)
+                # keep vectors as f32 ndarrays end to end (cells, WAL,
+                # snapshots): the native codec serializes them verbatim.
+                # np.array (not asarray) detaches from the caller's buffer
+                # so later caller mutations cannot skew the WAL record.
+                arr = np.array(v, np.float32)
                 if arr.ndim != 1 or arr.shape[0] != f.vector_config.dimensions:
                     raise ValidationError(
                         f"field {f.name!r}: expected {f.vector_config.dimensions}-d vector"
                     )
-                v = arr.tolist()
+                v = arr
         except (TypeError, ValueError) as e:
             if isinstance(e, ValidationError):
                 raise

@@ -14,6 +14,7 @@ from __future__ import annotations
 import copy
 import base64
 import json
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -252,6 +253,10 @@ class QueryExecutor:
     def __init__(self, database):
         self.db = database
         self._cache: dict[tuple, tuple] = {}
+        # the cache is read AND mutated (LRU reorder, insert, evict) by
+        # queries running under the engine's SHARED mode — this mutex
+        # makes those compound dict ops atomic between concurrent readers
+        self._cache_lock = threading.Lock()
 
     def _gen_signature(self, space: str, table_name: str, spec: QuerySpec):
         names = [table_name] + [j.table for j in spec.joins]
@@ -445,19 +450,25 @@ class QueryExecutor:
         # read-set needs the actual matched rows, which a cache hit skips
         if spec.use_cache and overlay is None and buf_txn is None:
             cache_key = (space, table_name, spec.fingerprint())
-            hit = self._cache.get(cache_key)
-            if (
-                hit is not None
-                and spec.cache_expiry_s is not None
-                and time.time() - hit[2] > spec.cache_expiry_s
-            ):
-                self._cache.pop(cache_key)
-                hit = None
-            if hit is not None and hit[0] == self._gen_signature(space, table_name, spec):
-                # LRU: re-insert at the hot end so capacity- and
-                # pressure-eviction take the coldest entries first
-                self._cache.pop(cache_key)
-                self._cache[cache_key] = hit
+            with self._cache_lock:
+                hit = self._cache.get(cache_key)
+                if (
+                    hit is not None
+                    and spec.cache_expiry_s is not None
+                    and time.time() - hit[2] > spec.cache_expiry_s
+                ):
+                    self._cache.pop(cache_key, None)
+                    hit = None
+                if hit is not None and hit[0] == self._gen_signature(
+                    space, table_name, spec
+                ):
+                    # LRU: re-insert at the hot end so capacity- and
+                    # pressure-eviction take the coldest entries first
+                    self._cache.pop(cache_key, None)
+                    self._cache[cache_key] = hit
+                else:
+                    hit = None
+            if hit is not None:
                 res = hit[1]
                 return QueryResult(
                     records=[_copy_record(r) for r in res.records],
@@ -653,9 +664,18 @@ class QueryExecutor:
             total=total,
         )
         if cache_key is not None and self.db.resources.level() != "critical":
-            if len(self._cache) >= self.CACHE_CAP:
-                self._cache.pop(next(iter(self._cache)))
-            self._cache[cache_key] = (
+            with self._cache_lock:
+                self._cache_insert(cache_key, space, table_name, spec, page,
+                                   next_cursor, prev_cursor, has_more, total)
+        return result
+
+    def _cache_insert(self, cache_key, space, table_name, spec, page,
+                      next_cursor, prev_cursor, has_more, total):
+        from ..models.results import QueryResult
+
+        if len(self._cache) >= self.CACHE_CAP:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[cache_key] = (
                 self._gen_signature(space, table_name, spec),
                 QueryResult(
                     records=[_copy_record(r) for r in page],
@@ -666,7 +686,6 @@ class QueryExecutor:
                 ),
                 time.time(),  # stored-at, for cache_expiry_s staleness
             )
-        return result
 
     def shrink_under_pressure(self, level: str) -> int:
         """Memory-pressure eviction (reference cache_manager.dart:226 +
@@ -675,6 +694,10 @@ class QueryExecutor:
         order — `critical` clears the cache. Returns evicted count."""
         if level not in ("warning", "critical") or not self._cache:
             return 0
+        with self._cache_lock:
+            return self._shrink_locked(level)
+
+    def _shrink_locked(self, level: str) -> int:
         if level == "critical":
             n = len(self._cache)
             self._cache.clear()

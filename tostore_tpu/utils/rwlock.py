@@ -127,6 +127,43 @@ class RWLock:
         return RWLock._Guard(self.acquire_write, self.release_write)
 
 
+class WriteGuard:
+    """Reusable `with`-able exclusive view of an RWLock. The engine's big
+    lock swaps its RLock for one of these so every existing
+    `with self._lock:` site keeps exclusive semantics unchanged, while
+    audited read-only paths take the sibling ReadGuard (shared mode)."""
+
+    __slots__ = ("_lk",)
+
+    def __init__(self, lk: RWLock):
+        self._lk = lk
+
+    def __enter__(self):
+        self._lk.acquire_write()
+        return self
+
+    def __exit__(self, *exc):
+        self._lk.release_write()
+        return False
+
+
+class ReadGuard:
+    """Reusable `with`-able shared view of an RWLock (see WriteGuard)."""
+
+    __slots__ = ("_lk",)
+
+    def __init__(self, lk: RWLock):
+        self._lk = lk
+
+    def __enter__(self):
+        self._lk.acquire_read()
+        return self
+
+    def __exit__(self, *exc):
+        self._lk.release_read()
+        return False
+
+
 _ATTACH = threading.Lock()
 
 
