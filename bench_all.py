@@ -799,6 +799,44 @@ def config11_engine_concurrent():
     el = time.time() - t0
     if errs:
         raise RuntimeError(errs[0])
+    # relational concurrent reads (engine SHARED mode): a composite
+    # indexed query, 1 vs 8 client threads — host-side work, so scaling
+    # proves the readers-writer engine lock, not device pipelining
+    def rel_qps(nthreads, dur=4.0):
+        stop2 = threading.Event()
+        counts = [0] * nthreads
+        errs2 = []
+
+        def qreader(i):
+            r = np.random.default_rng(500 + i)
+            try:
+                while not stop2.is_set():
+                    rows = (
+                        db.query("docs")
+                        .where("grp", "=", int(r.integers(0, 10)))
+                        .limit(20)
+                        .no_cache()
+                        .fetch()
+                    )
+                    assert rows
+                    counts[i] += 1
+            except Exception as e:  # pragma: no cover
+                errs2.append(repr(e))
+
+        ths2 = [threading.Thread(target=qreader, args=(i,)) for i in range(nthreads)]
+        t0 = time.time()
+        for t in ths2:
+            t.start()
+        time.sleep(dur)
+        stop2.set()
+        for t in ths2:
+            t.join(30)
+        if errs2:
+            raise RuntimeError(errs2[0])
+        return sum(counts) / (time.time() - t0)
+
+    r1 = rel_qps(1)
+    r8 = rel_qps(8)
     db.close()
     return {
         "config": "engine_concurrent_search_100kx768_bf16",
@@ -807,6 +845,9 @@ def config11_engine_concurrent():
         "scaling_1_to_8": round(q8 / max(q1, 1e-9), 2),
         "mixed_qps_8_searchers_live_writer": round(searched[0] / el, 1),
         "mixed_inserts_per_s": round(inserted[0] / el, 1),
+        "rel_query_qps_1_thread": round(r1, 1),
+        "rel_query_qps_8_threads": round(r8, 1),
+        "rel_scaling_1_to_8": round(r8 / max(r1, 1e-9), 2),
     }
 
 

@@ -49,22 +49,52 @@ NULL_KEY = NullKey()
 
 
 class SortedIndex:
-    """Ordered secondary index: lazily (re)built sorted key array over live
-    rows — the vectorized stand-in for the reference's paged index B+Trees
-    (index_tree_partition_manager.dart). Keys use the order-preserving
-    memcomparable encoding (utils/memcomparable.py, reference
-    handler/memcomparable.dart), so typed multi-field tuples sort and
-    range-scan as plain byte strings via np.searchsorted."""
+    """Ordered secondary index: sorted memcomparable key array over live
+    rows PLUS an incremental delta log — the vectorized stand-in for the
+    reference's paged index B+Trees (index_tree_partition_manager.dart),
+    which update in place per write. A full rebuild is O(n log n)
+    (measured 2.4 s at 2M rows), so a single write must not force one on
+    the next indexed query; instead Table's mutators feed this index an
+    ordered (key, rowid, is_add) log, and reads serve from
+    base + replayed deltas until the log exceeds ~2% of the base (then
+    one rebuild folds it in). Keys use the order-preserving memcomparable
+    encoding (utils/memcomparable.py, reference handler/memcomparable.dart),
+    so typed multi-field tuples sort and range-scan as plain byte strings
+    via np.searchsorted.
+
+    Safety: every store mutation bumps `store.generation` exactly once,
+    and every Table mutator notifies every index exactly once (possibly a
+    no-op note). The log tracks generation contiguity; ANY untracked bump
+    (a gap) or threshold overflow marks the log broken and the next read
+    falls back to a full rebuild — delta replay can therefore never serve
+    a state it did not see. Read methods return spans `(a, b, kl, kh)`
+    (base bisect positions + the encoded byte bounds) so counts and rows
+    adjust for deltas EXACTLY: key in [kl, kh) <=> base position in
+    [a, b), since base is sorted by the same bytes with side-left
+    bisection at both ends. Thread-safe for concurrent readers under the
+    engine's SHARED mode: replay/rebuild serialize on _build_lock and
+    publish their generation stamps last; mutators (and hence the notes)
+    only run under engine-exclusive mode.
+    """
+
+    LOG_MIN = 1024  # always allow at least this many deltas
+    LOG_FRAC = 0.02  # rebuild once deltas exceed this fraction of base
 
     def __init__(self, fields: tuple[str, ...]):
         self.fields = fields
-        self._gen = -1
+        self._gen = -1  # generation of the BASE arrays
         self._order: np.ndarray | None = None  # rowids sorted by key
         self._keys: np.ndarray | None = None  # sorted memcomparable keys (object/bytes)
-        # serializes the lazy rebuild under the engine's SHARED mode
-        # (concurrent readers may both find _gen stale; one builds, the
-        # rest wait — _build publishes _gen LAST so a current _gen always
-        # means _order/_keys are final for that generation)
+        # delta log: (key_bytes, rowid, is_add), in mutation order
+        self._log: list[tuple[bytes, int, bool]] = []
+        self._log_broken = False
+        self._tracked_gen = -1  # generation the log brings the base up to
+        # replay cache for generation _cache_gen:
+        # (add_keys, add_rows, del_keys, del_rows, del_set)
+        self._cache_gen = -2
+        self._cache = None
+        self._merged_gen = -2
+        self._merged: np.ndarray | None = None
         self._build_lock = threading.Lock()
 
     @staticmethod
@@ -85,6 +115,11 @@ class SortedIndex:
             return mc.encode_value(v)
         except TypeError:
             return mc.encode_value(str(v))
+
+    def key_of(self, record: dict) -> bytes:
+        """Concatenated memcomparable key of this record's index fields —
+        byte-identical to what _build produces for the same values."""
+        return b"".join(self._encode(record.get(f)) for f in self.fields)
 
     def _build(self, store: ColumnStore):
         from ..native import get as get_native
@@ -114,100 +149,292 @@ class SortedIndex:
             order = np.zeros(0, np.int64)
         self._order = rows[order]
         self._keys = keys[order] if len(rows) else keys
-        self._gen = store.generation
+        self._log.clear()
+        self._log_broken = False
+        self._cache_gen = -2
+        self._cache = None
+        self._merged_gen = -2
+        self._merged = None
+        self._tracked_gen = store.generation
+        self._gen = store.generation  # published LAST (see _build_lock doc)
+
+    # --- mutation notes (engine-EXCLUSIVE mode only) -------------------------
+
+    def invalidate(self):
+        """Force the next read to rebuild (clear/restore/migration)."""
+        self._log_broken = True
+        self._log.clear()
+
+    def _advance(self, store: ColumnStore) -> bool:
+        """Track one store mutation. Returns True when the delta log may
+        accept entries for it; marks the log broken on any generation gap
+        (an untracked mutation slipped in between)."""
+        g = store.generation
+        prev = self._tracked_gen
+        self._tracked_gen = g
+        if self._order is None or self._log_broken:
+            return False
+        if g != prev + 1:
+            self.invalidate()
+            return False
+        return True
+
+    def _room_for(self, n: int) -> bool:
+        if len(self._log) + n > max(self.LOG_MIN, int(self.LOG_FRAC * len(self._order))):
+            self.invalidate()
+            return False
+        return True
+
+    def note_noop(self, store: ColumnStore):
+        """This index's fields were untouched by the mutation."""
+        self._advance(store)
+
+    def note_insert(self, store: ColumnStore, rowid: int, record: dict):
+        if self._advance(store) and self._room_for(1):
+            self._log.append((self.key_of(record), int(rowid), True))
+            self._cache_gen = -2
+
+    def note_delete(self, store: ColumnStore, rowid: int, old: dict):
+        if self._advance(store) and self._room_for(1):
+            self._log.append((self.key_of(old), int(rowid), False))
+            self._cache_gen = -2
+
+    def note_update(self, store: ColumnStore, rowid: int, old: dict, new: dict):
+        if self._advance(store) and self._room_for(2):
+            self._log.append((self.key_of(old), int(rowid), False))
+            self._log.append((self.key_of(new), int(rowid), True))
+            self._cache_gen = -2
+
+    def note_bulk(self, store: ColumnStore, rowids, records_or_none):
+        """Bulk insert (records list) — or None to just invalidate when
+        the batch is bigger than the log budget."""
+        if not self._advance(store):
+            return
+        if records_or_none is None:
+            self.invalidate()
+            return
+        if not self._room_for(len(rowids)):
+            return  # _room_for marked the log broken
+        for r, rec in zip(rowids, records_or_none):
+            self._log.append((self.key_of(rec), int(r), True))
+        self._cache_gen = -2
+
+    def note_bulk_update(self, store: ColumnStore, rowids, olds, news):
+        """Bulk patch of existing rows; olds/news are per-row dicts of
+        this index's fields (olds=None to just invalidate)."""
+        if not self._advance(store):
+            return
+        if olds is None:
+            self.invalidate()
+            return
+        if not self._room_for(2 * len(rowids)):
+            return
+        for r, o, nw in zip(rowids, olds, news):
+            self._log.append((self.key_of(o), int(r), False))
+            self._log.append((self.key_of(nw), int(r), True))
+        self._cache_gen = -2
+
+    # --- read-side state ------------------------------------------------------
 
     def _ensure(self, store: ColumnStore):
-        if self._gen != store.generation:
+        """Returns the delta cache (add_keys, add_rows, del_keys, del_rows,
+        del_set) or None when the base alone is current."""
+        g = store.generation
+        if self._gen == g:
+            return None
+        if (
+            not self._log_broken
+            and self._tracked_gen == g
+            and self._order is not None
+        ):
+            if self._cache_gen == g:
+                return self._cache
             with self._build_lock:
-                if self._gen != store.generation:
-                    self._build(store)
+                if self._gen == store.generation:
+                    return None  # another thread rebuilt
+                if self._cache_gen == store.generation:
+                    return self._cache
+                return self._replay(store.generation)
+        with self._build_lock:
+            g = store.generation
+            if self._gen == g:
+                return None
+            if (
+                not self._log_broken
+                and self._tracked_gen == g
+                and self._order is not None
+            ):
+                if self._cache_gen == g:
+                    return self._cache
+                return self._replay(g)
+            self._build(store)
+            return None
+
+    def _replay(self, g: int):
+        """Fold the ordered log into (pending adds, base deletions).
+        Correct under rowid reuse: a remove cancels a pending add of the
+        same rowid; otherwise it tombstones the base row."""
+        adds: dict[int, bytes] = {}
+        dels: dict[int, bytes] = {}
+        for key, row, is_add in self._log:
+            if is_add:
+                adds[row] = key
+            elif row in adds:
+                del adds[row]
+            else:
+                dels[row] = key
+        ak = np.asarray(list(adds.values()), dtype=object)
+        ar = np.asarray(list(adds.keys()), dtype=np.int64)
+        if len(ak):
+            o = np.argsort(ak, kind="stable")
+            ak, ar = ak[o], ar[o]
+        dk = np.asarray(list(dels.values()), dtype=object)
+        dr = np.asarray(list(dels.keys()), dtype=np.int64)
+        if len(dk):
+            o = np.argsort(dk, kind="stable")
+            dk, dr = dk[o], dr[o]
+        cache = (ak, ar, dk, dr, frozenset(dels))
+        self._cache = cache
+        self._merged_gen = -2
+        self._merged = None
+        self._cache_gen = g  # published last
+        return cache
+
+    @staticmethod
+    def _count_in(keys: np.ndarray, kl: bytes | None, kh: bytes | None) -> int:
+        lo = 0 if kl is None else int(np.searchsorted(keys, kl, side="left"))
+        hi = (
+            len(keys)
+            if kh is None
+            else int(np.searchsorted(keys, kh, side="left"))
+        )
+        return max(0, hi - lo)
+
+    def span_count(self, store: ColumnStore, span) -> int:
+        """EXACT live-row count for a span — the cost model input."""
+        a, b, kl, kh = span
+        d = self._ensure(store)
+        base = b - a
+        if d is None:
+            return base
+        ak, _, dk, _, _ = d
+        return base - self._count_in(dk, kl, kh) + self._count_in(ak, kl, kh)
+
+    def span_rows(self, store: ColumnStore, span) -> np.ndarray:
+        """Candidate rowids for a span (order not guaranteed)."""
+        a, b, kl, kh = span
+        d = self._ensure(store)
+        rows = self._order[a:b]
+        if d is None:
+            return rows
+        ak, ar, dk, dr, del_set = d
+        if del_set and len(rows):
+            rows = rows[~np.isin(rows, dr)]
+        lo = 0 if kl is None else int(np.searchsorted(ak, kl, side="left"))
+        hi = len(ak) if kh is None else int(np.searchsorted(ak, kh, side="left"))
+        if hi > lo:
+            rows = np.concatenate([rows, ar[lo:hi]])
+        return rows
 
     def ordered_rows(self, store: ColumnStore) -> np.ndarray:
-        self._ensure(store)
-        return self._order
+        d = self._ensure(store)
+        if d is None:
+            return self._order
+        g = store.generation
+        if self._merged_gen == g:
+            return self._merged
+        with self._build_lock:
+            if self._merged_gen == store.generation:
+                return self._merged
+            ak, ar, dk, dr, del_set = d
+            keys, order = self._keys, self._order
+            if del_set and len(order):
+                keep = ~np.isin(order, dr)
+                keys, order = keys[keep], order[keep]
+            if len(ak):
+                pos = np.searchsorted(keys, ak, side="right")
+                order = np.insert(order, pos, ar)
+            self._merged = order
+            self._merged_gen = store.generation  # published last
+            return order
 
-    def range_positions(
+    # --- bisect spans ---------------------------------------------------------
+
+    def _span(self, kl: bytes | None, kh: bytes | None):
+        keys = self._keys
+        a = 0 if kl is None else int(np.searchsorted(keys, kl, side="left"))
+        b = len(keys) if kh is None else int(np.searchsorted(keys, kh, side="left"))
+        return (a, max(a, b), kl, kh)
+
+    def range_span(
         self, store: ColumnStore, lo=None, hi=None, lo_open=False, hi_open=False
-    ) -> tuple[int, int]:
-        """Bisect positions [a, b) of the first key field within [lo, hi] —
-        b - a is an EXACT row count for the cost model (reference
-        cost_estimator.dart compares estimated plan costs; the sorted array
-        gives the true selectivity for free)."""
+    ):
+        """Span of rows whose first key field lies within [lo, hi]; with
+        deltas, span_count is still EXACT (reference cost_estimator.dart
+        compares estimated plan costs; the sorted array + bounded delta
+        bisects give the true selectivity for free)."""
         from ..utils import memcomparable as mc
 
         self._ensure(store)
-        keys = self._keys
-        a, b = 0, len(keys)
+        kl = kh = None
         if lo is not None:
-            klo = self._encode(lo)
+            kl = self._encode(lo)
             if lo_open:
-                klo = mc.prefix_upper_bound(klo)
-            a = int(np.searchsorted(keys, klo, side="left"))
+                kl = mc.prefix_upper_bound(kl)
         if hi is not None:
-            khi = self._encode(hi)
-            khi = khi if hi_open else mc.prefix_upper_bound(khi)
-            b = int(np.searchsorted(keys, khi, side="left"))
-        return a, max(a, b)
+            kh = self._encode(hi)
+            kh = kh if hi_open else mc.prefix_upper_bound(kh)
+        return self._span(kl, kh)
 
-    def range_rows(self, store: ColumnStore, lo=None, hi=None, lo_open=False, hi_open=False):
-        """Rows whose first key field lies within [lo, hi]."""
-        a, b = self.range_positions(store, lo, hi, lo_open, hi_open)
-        return self._order[a:b]
-
-    def range_positions_multi(
-        self, store: ColumnStore, eq_values: list, bounds=None
-    ) -> tuple[int, int]:
-        """Composite-prefix bisect: equality on the leading `eq_values`
+    def range_span_multi(self, store: ColumnStore, eq_values: list, bounds=None):
+        """Composite-prefix span: equality on the leading `eq_values`
         fields plus an optional (lo, hi, lo_open, hi_open) range on the
-        NEXT field. The memcomparable concatenated keys make this a plain
-        byte-string range — multi-field index prefixes beyond the first
-        field (reference query_optimizer.dart composite-index selection)."""
+        NEXT field (reference query_optimizer.dart composite-index
+        selection)."""
         from ..utils import memcomparable as mc
 
         self._ensure(store)
-        keys = self._keys
         prefix = b"".join(self._encode(v) for v in eq_values)
         if bounds is None:
-            a = int(np.searchsorted(keys, prefix, side="left"))
-            b = int(np.searchsorted(keys, mc.prefix_upper_bound(prefix), side="left"))
-            return a, max(a, b)
+            return self._span(prefix, mc.prefix_upper_bound(prefix))
         lo, hi, lo_open, hi_open = bounds
         if lo is not None:
-            klo = prefix + self._encode(lo)
+            kl = prefix + self._encode(lo)
             if lo_open:
-                klo = mc.prefix_upper_bound(klo)
-            a = int(np.searchsorted(keys, klo, side="left"))
+                kl = mc.prefix_upper_bound(kl)
         else:
-            a = int(np.searchsorted(keys, prefix, side="left"))
+            kl = prefix
         if hi is not None:
-            khi = prefix + self._encode(hi)
-            khi = khi if hi_open else mc.prefix_upper_bound(khi)
-            b = int(np.searchsorted(keys, khi, side="left"))
+            kh = prefix + self._encode(hi)
+            kh = kh if hi_open else mc.prefix_upper_bound(kh)
         else:
-            b = int(np.searchsorted(keys, mc.prefix_upper_bound(prefix), side="left"))
-        return a, max(a, b)
+            kh = mc.prefix_upper_bound(prefix)
+        return self._span(kl, kh)
 
-    def prefix_positions_multi(
+    def prefix_span_multi(
         self, store: ColumnStore, eq_values: list, text_prefix: str
-    ) -> tuple[int, int]:
-        """Bisect positions of rows whose next-field TEXT value starts
-        with `text_prefix`, after an equality prefix — the LIKE 'abc%'
-        index arm (reference searchIndex prefix scans,
-        index_manager.dart:3299). The memcomparable text encoding is
-        escape-stable, so the encoded prefix (type tag + escaped utf8,
-        NO terminator) is a byte-prefix of exactly the matching keys."""
+    ):
+        """Span of rows whose next-field TEXT value starts with
+        `text_prefix`, after an equality prefix — the LIKE 'abc%' index
+        arm (reference searchIndex prefix scans, index_manager.dart:3299).
+        The memcomparable text encoding is escape-stable, so the encoded
+        prefix (type tag + escaped utf8, NO terminator) is a byte-prefix
+        of exactly the matching keys."""
         from ..utils import memcomparable as mc
 
         self._ensure(store)
-        keys = self._keys
         base = b"".join(self._encode(v) for v in eq_values)
         kp = (
             base + b"\x06"
             + text_prefix.encode().replace(b"\x00", b"\x00\xff")
         )
-        a = int(np.searchsorted(keys, kp, side="left"))
-        b = int(np.searchsorted(keys, mc.prefix_upper_bound(kp), side="left"))
-        return a, max(a, b)
+        return self._span(kp, mc.prefix_upper_bound(kp))
+
+    # --- compatibility helpers (tests / tools) --------------------------------
+
+    def range_rows(self, store: ColumnStore, lo=None, hi=None, lo_open=False, hi_open=False):
+        """Rows whose first key field lies within [lo, hi]."""
+        return self.span_rows(store, self.range_span(store, lo, hi, lo_open, hi_open))
 
 
 def _make_vector_index(dims: int, precision: str, idx: IndexSchema, mesh=None):
@@ -506,7 +733,8 @@ class Table:
             self._seq.observe(max(int_pks))
         col_values = dict(col_values)
         col_values[INGEST_TS_FIELD] = [now] * len(pks)
-        self.store.bulk_insert(pks, col_values)
+        rowids = self.store.bulk_insert(pks, col_values)
+        self._note_indexes_insert(rowids, col_values)
         # unique maps: one zip pass per constraint instead of a per-record
         # dict + _unique_apply call (measured hot in 200k-row batches)
         for f in self._unique_field_names:
@@ -590,7 +818,8 @@ class Table:
             name: [rec.get(name) for rec in records] for name in self.store.columns
         }
         col_values[INGEST_TS_FIELD] = [now] * len(pks)
-        self.store.bulk_insert(pks, col_values)
+        rowids = self.store.bulk_insert(pks, col_values)
+        self._note_indexes_insert(rowids, col_values)
         for pk, rec in zip(pks, records):
             self._unique_apply(pk, rec, None)
             self._vector_stage(pk, rec)
@@ -600,7 +829,10 @@ class Table:
         batch analogue of apply_update. The caller guarantees existence and
         that no PK/unique/FK fields are touched (those need the general
         per-record path)."""
+        rows_arr = np.asarray(rows, np.int64)
+        captured = self._capture_index_olds(rows_arr, col_values)
         self.store.bulk_patch(rows, col_values)
+        self._note_indexes_update(rows_arr, col_values, captured)
         touches_vec = any(f in col_values for f in self.vector_indexes)
         touches_filt = any(f in col_values for f in self.filter_fields)
         if touches_vec or touches_filt:
@@ -619,7 +851,9 @@ class Table:
         self._unique_apply(pk, record, None)
         rec = dict(record)
         rec[INGEST_TS_FIELD] = rec.get(INGEST_TS_FIELD) or int(time.time() * 1000)
-        self.store.upsert(pk, rec)
+        rowid = self.store.upsert(pk, rec)
+        for sidx in self.sorted_indexes.values():
+            sidx.note_insert(self.store, rowid, rec)
         self._vector_stage(pk, record)
 
     def apply_update(self, pk, updates: dict) -> dict | None:
@@ -629,7 +863,12 @@ class Table:
         new = {**old, **updates}
         self.check_unique(pk, new, old)
         self._unique_apply(pk, new, old)
-        self.store.patch(pk, updates)
+        rowid = self.store.patch(pk, updates)
+        for sidx in self.sorted_indexes.values():
+            if any(f in updates for f in sidx.fields):
+                sidx.note_update(self.store, rowid, old, new)
+            else:
+                sidx.note_noop(self.store)
         self._vector_stage(pk, updates)
         return old
 
@@ -640,7 +879,10 @@ class Table:
         for name, key in self._unique_entries(pk, old):
             if self.unique_maps[name].get(key) == pk:
                 del self.unique_maps[name][key]
+        rowid = self.store.rowid(pk)
         self.store.delete(pk)
+        for sidx in self.sorted_indexes.values():
+            sidx.note_delete(self.store, rowid, old)
         for field in self.vector_indexes:
             self._vec_pend_since.setdefault(field, time.monotonic())
             self._vec_pending[field][pk] = None
@@ -649,6 +891,8 @@ class Table:
     def apply_clear(self):
         self.store.clear()
         self.store.ensure_column(INGEST_TS_FIELD, DataType.datetime)
+        for sidx in self.sorted_indexes.values():
+            sidx.invalidate()
         for m in self.unique_maps.values():
             m.clear()
         for idx in self.schema.vector_indexes():
@@ -659,6 +903,58 @@ class Table:
             )
             self._vec_pending[field] = {}
             self._filter_pending[field] = {}
+
+    def _note_indexes_insert(self, rowids, col_values: dict):
+        """Feed a bulk insert to every sorted index's delta log (or
+        invalidate when the batch exceeds the log budget — the rebuild
+        then amortizes over the batch, exactly like before)."""
+        small = len(rowids) <= SortedIndex.LOG_MIN
+        for sidx in self.sorted_indexes.values():
+            if not small:
+                sidx.note_bulk(self.store, rowids, None)
+                continue
+            cols = [col_values.get(f) for f in sidx.fields]
+            recs = [
+                {f: (c[j] if c is not None else None)
+                 for f, c in zip(sidx.fields, cols)}
+                for j in range(len(rowids))
+            ]
+            sidx.note_bulk(self.store, rowids, recs)
+
+    def _capture_index_olds(self, rows_arr, col_values: dict) -> dict:
+        """Pre-patch snapshot of the OLD key-field values for every index
+        whose fields a bulk update touches (removals need the old key)."""
+        captured: dict[str, list | None] = {}
+        small = len(rows_arr) <= SortedIndex.LOG_MIN
+        for name, sidx in self.sorted_indexes.items():
+            if not any(f in col_values for f in sidx.fields):
+                continue
+            if not small:
+                captured[name] = None
+                continue
+            views = {f: self.store.column_view(f) for f in sidx.fields}
+            captured[name] = [
+                {f: views[f][r] for f in sidx.fields} for r in rows_arr
+            ]
+        return captured
+
+    def _note_indexes_update(self, rows_arr, col_values: dict, captured: dict):
+        for name, sidx in self.sorted_indexes.items():
+            if name not in captured:
+                sidx.note_noop(self.store)
+                continue
+            olds = captured[name]
+            if olds is None:
+                sidx.note_bulk_update(self.store, rows_arr, None, None)
+                continue
+            news = [
+                {
+                    f: (col_values[f][j] if f in col_values else olds[j][f])
+                    for f in sidx.fields
+                }
+                for j in range(len(rows_arr))
+            ]
+            sidx.note_bulk_update(self.store, rows_arr, olds, news)
 
     def _vector_stage(self, pk, record: dict):
         for field in self.vector_indexes:

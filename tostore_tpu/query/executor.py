@@ -285,12 +285,15 @@ class QueryExecutor:
         if conjs and conjs != [[]] and table.sorted_indexes and n:
             arms, eq_len = self._plan_arms(table, conjs)
             if arms is not None:
-                est = sum(b - a for _, a, b in arms)
+                est = sum(
+                    table.sorted_indexes[name].span_count(store, sp)
+                    for name, sp in arms
+                )
                 # candidates re-filter through the full residual mask, so an
                 # arm set covering most of the table loses to one vectorized
                 # scan; below the noise floor always take the index
                 if est <= self.MIN_COST_ROWS or est <= n // 2:
-                    names = sorted({a[0] for a in arms})
+                    names = sorted({name for name, _ in arms})
                     ordered = False
                     if eq_len is not None and spec.order_by:
                         sidx = table.sorted_indexes[arms[0][0]]
@@ -375,17 +378,19 @@ class QueryExecutor:
                 )
             if eq and bounds is None and vals is None:
                 # pure equality prefix (possibly the full index)
-                a, b = sidx.range_positions_multi(store, eq)
-                if best_est is None or b - a < best_est:
-                    best, best_est = [(name, a, b)], b - a
+                sp = sidx.range_span_multi(store, eq)
+                cnt = sidx.span_count(store, sp)
+                if best_est is None or cnt < best_est:
+                    best, best_est = [(name, sp)], cnt
                     best_eq = len(eq)
             if bounds is not None:
                 if eq:
-                    a, b = sidx.range_positions_multi(store, eq, bounds)
+                    sp = sidx.range_span_multi(store, eq, bounds)
                 else:
-                    a, b = sidx.range_positions(store, *bounds)
-                if best_est is None or b - a < best_est:
-                    best, best_est = [(name, a, b)], b - a
+                    sp = sidx.range_span(store, *bounds)
+                cnt = sidx.span_count(store, sp)
+                if best_est is None or cnt < best_est:
+                    best, best_est = [(name, sp)], cnt
                     best_eq = len(eq)
             # LIKE with a literal prefix on the field after the eq prefix:
             # a [prefix, prefix-upper) memcomparable slice (reference
@@ -405,9 +410,10 @@ class QueryExecutor:
                 # while the residual matcher compares str(value)
                 lp = _like_literal_prefix(pat) if pat else None
                 if lp:
-                    a, b = sidx.prefix_positions_multi(store, eq, lp)
-                    if best_est is None or b - a < best_est:
-                        best, best_est = [(name, a, b)], b - a
+                    sp = sidx.prefix_span_multi(store, eq, lp)
+                    cnt = sidx.span_count(store, sp)
+                    if best_est is None or cnt < best_est:
+                        best, best_est = [(name, sp)], cnt
                         best_eq = None
             # in-list on the field after the prefix: one slice per value
             if vals is not None and 0 < len(vals) <= self.MAX_IN_ARMS:
@@ -416,13 +422,13 @@ class QueryExecutor:
                 for v in vals:
                     v = _coerce_index_value(v, fs)
                     if eq:
-                        a, b = sidx.range_positions_multi(
+                        sp = sidx.range_span_multi(
                             store, eq, (v, v, False, False)
                         )
                     else:
-                        a, b = sidx.range_positions(store, v, v)
-                    sub.append((name, a, b))
-                est = sum(b - a for _, a, b in sub)
+                        sp = sidx.range_span(store, v, v)
+                    sub.append((name, sp))
+                est = sum(sidx.span_count(store, sp) for _, sp in sub)
                 if best_est is None or est < best_est:
                     best, best_est = sub, est
                     best_eq = None
@@ -810,10 +816,14 @@ class QueryExecutor:
 
     def _rows_from_arms(self, table, arms: list[tuple]) -> np.ndarray:
         """Candidate rows for resolved bisect arms; unions dedupe."""
+        store = table.store
         if len(arms) == 1:
-            name, a, b = arms[0]
-            return table.sorted_indexes[name]._order[a:b]
-        parts = [table.sorted_indexes[name]._order[a:b] for name, a, b in arms]
+            name, sp = arms[0]
+            return table.sorted_indexes[name].span_rows(store, sp)
+        parts = [
+            table.sorted_indexes[name].span_rows(store, sp)
+            for name, sp in arms
+        ]
         cat = np.concatenate(parts) if parts else np.zeros(0, np.int64)
         return np.unique(cat)
 
