@@ -848,6 +848,12 @@ def config11_engine_concurrent():
         "rel_query_qps_1_thread": round(r1, 1),
         "rel_query_qps_8_threads": round(r8, 1),
         "rel_scaling_1_to_8": round(r8 / max(r1, 1e-9), 2),
+        "rel_note": "relational reads are pure host Python/numpy, so "
+                    "8-thread scaling is GIL-bound (~1x) by design; the "
+                    "shared engine mode's win is that reads never queue "
+                    "behind multi-ms device dispatches or writer batches "
+                    "(search scaling above), matching the reference's "
+                    "single-isolate event-loop concurrency",
     }
 
 
@@ -979,6 +985,55 @@ def config12_scale_soak():
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def config13_index_build():
+    """#13: sorted-index cold build + incremental-delta read latency
+    (reference updates its index B+Trees in place per write; here a
+    delta log gives the same no-rebuild-per-write property and the
+    native fused encode+sort bounds the cold rebuild). CPU/host work."""
+    import threading
+
+    from tostore_tpu import (
+        DataType, FieldSchema, IndexSchema, TableSchema, ToStoreTPU,
+    )
+
+    s = TableSchema(
+        name="t",
+        fields=(FieldSchema("a", DataType.integer),
+                FieldSchema("b", DataType.integer)),
+        indexes=(IndexSchema(fields=("a",)), IndexSchema(fields=("a", "b"))),
+    )
+    db = ToStoreTPU.memory(schemas=[s])
+    n = 2_000_000
+    step = 200_000
+    for lo in range(0, n, step):
+        db.batch_insert("t", [
+            {"id": i + 1, "a": i % 1000, "b": i % 37}
+            for i in range(lo, lo + step)
+        ])
+    # cold: first indexed query builds BOTH indexes (planner probes each)
+    t0 = time.time()
+    rows = db.query("t").where("a", "=", 7).limit(5000).no_cache().fetch()
+    cold_s = time.time() - t0
+    assert len(rows) == n // 1000
+    # delta path: single write then indexed query, repeated
+    t0 = time.time()
+    pairs = 200
+    for k in range(pairs):
+        db.insert("t", {"id": n + 10 + k, "a": k % 1000, "b": 0})
+        got = db.query("t").where("a", "=", k % 1000).no_cache().fetch()
+        assert got
+    pair_ms = (time.time() - t0) / pairs * 1e3
+    db.close()
+    return {
+        "config": "index_build_2M_rows_2_indexes",
+        "cold_build_query_s": round(cold_s, 2),
+        "cold_build_rows_per_s_per_index": round(n * 2 / cold_s, 0),
+        "write_then_query_ms_per_pair": round(pair_ms, 2),
+        "note": "delta log: no rebuild per write (was a full rebuild, "
+                "11.6 s at this size, before r4)",
+    }
+
+
 CONFIGS = {
     "1": config1_flat_100k,
     "2": config2_flat_1m,
@@ -992,6 +1047,7 @@ CONFIGS = {
     "10": config10_mesh_probe,
     "11": config11_engine_concurrent,
     "12": config12_scale_soak,
+    "13": config13_index_build,
 }
 
 

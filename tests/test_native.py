@@ -79,3 +79,23 @@ class TestMemcomparableEquivalence:
     def test_str_fallback_for_exotic(self):
         # dicts/lists in key columns degrade to str() in both paths
         assert native.mc_encode_value([1, 2]) == mc.encode_value(str([1, 2]))
+
+    def test_sort_rows_matches_encode_plus_argsort(self):
+        # mc_sort_rows must equal mc_encode_rows + stable argsort exactly:
+        # SortedIndex._build depends on identical permutation AND bytes
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        vals = [None, 3, -7, 2.5, "abc", "ab\x00c", b"\x00\xff", "", -0.0, True]
+        cols = [
+            [vals[int(i)] for i in rng.integers(0, len(vals), 4000)],
+            [int(x) for x in rng.integers(-50, 50, 4000)],
+        ]
+        keys = np.asarray(native.mc_encode_rows(cols), dtype=object)
+        order = np.argsort(keys, kind="stable")
+        sorted_keys, order_buf = native.mc_sort_rows(cols)
+        assert np.array_equal(np.frombuffer(order_buf, np.int64), order)
+        assert list(keys[order]) == list(sorted_keys)
+        # empty input
+        sk, ob = native.mc_sort_rows([[]])
+        assert sk == [] and ob == b""

@@ -162,6 +162,27 @@ class Column:
             return _copy_cell(v)
         return v
 
+    def get_many(self, rows: np.ndarray) -> list:
+        """Vectorized get() over many rows: one fancy-index + tolist per
+        column instead of a branchy per-cell call (hot in query result
+        materialization). Cell semantics identical to get(): null -> None,
+        Python scalar types, copy-on-read for mutable cells."""
+        if len(rows) == 0:
+            return []
+        if len(self.data) == 0 or int(rows.max()) >= len(self.data):
+            return [self.get(int(r)) for r in rows]
+        vals = self.data[rows].tolist()  # native Python scalars / objects
+        if self.np_type is not None:
+            nulls = self.null[rows]
+            if nulls.any():
+                for j in np.flatnonzero(nulls):
+                    vals[j] = None
+            return vals
+        return [
+            _copy_cell(v) if isinstance(v, (list, dict, np.ndarray)) else v
+            for v in vals
+        ]
+
     def view(self, n: int) -> np.ndarray:
         """First n entries as an array for vectorized predicates. Typed
         columns with nulls are surfaced as object arrays only when needed."""
@@ -307,6 +328,17 @@ class ColumnStore:
         for name, col in self.columns.items():
             rec[name] = col.get(row)
         return rec
+
+    def read_rows(self, rows) -> list[dict]:
+        """Bulk read_row: one vectorized gather per column instead of one
+        get() per cell — the query-result materialization hot path."""
+        rows = np.asarray(rows, np.int64)
+        if len(rows) == 0:
+            return []
+        names = [self.pk_name, *self.columns.keys()]
+        cols = [self.pk_col.get_many(rows)]
+        cols.extend(c.get_many(rows) for c in self.columns.values())
+        return [dict(zip(names, cells)) for cells in zip(*cols)]
 
     def column_view(self, name: str) -> np.ndarray:
         """Column (or PK) values for rows [0, high) — invalid rows included;

@@ -2043,10 +2043,12 @@ class Database:
                 self.current_space, table, spec or QuerySpec(), overlay=overlay
             )
         pk_name = t.schema.primary_key.name
-        for r in res.records[: self.WEIGHT_SAMPLE]:
-            pk = r.get(pk_name)
-            if pk is not None:  # aggregates/projections carry no pk
-                self.weights.record_access(table, pk)
+        pks = [
+            pk for r in res.records[: self.WEIGHT_SAMPLE]
+            if (pk := r.get(pk_name)) is not None  # aggregates carry no pk
+        ]
+        if pks:
+            self.weights.record_accesses(table, pks)
         return res
 
     def count(self, table: str, condition: QueryCondition | None = None) -> int:

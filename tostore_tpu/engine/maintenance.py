@@ -135,6 +135,18 @@ class WeightManager:
         if overflow:
             self.decay(evict=True)
 
+    def record_accesses(self, table: str, pks):
+        """Batch record_access: one lock round-trip per query result
+        instead of one per row (hot on the shared-mode read path)."""
+        with self._mu:
+            w = self._w
+            for pk in pks:
+                key = (table, pk)
+                w[key] = min(self.MAX_WEIGHT, w.get(key, 0.0) + self.HIT_BONUS)
+            overflow = len(w) > self.max_entries
+        if overflow:
+            self.decay(evict=True)
+
     def decay(self, evict: bool = False):
         with self._mu:
             dead = []

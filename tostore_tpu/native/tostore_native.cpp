@@ -19,9 +19,12 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <numeric>
 #include <string>
+#include <string_view>
 #include <vector>
 
 namespace {
@@ -478,6 +481,78 @@ PyObject* py_mc_encode_value(PyObject*, PyObject* arg) {
   return PyBytes_FromStringAndSize(buf.d.data(), static_cast<Py_ssize_t>(buf.d.size()));
 }
 
+// mc_sort_rows(columns: list[list[value]]) -> (list[bytes], bytes)
+// Encodes one concatenated memcomparable key per row (byte-identical to
+// mc_encode_rows) into a single arena, stable-sorts the rows by key bytes
+// with the GIL released, and returns (keys in sorted order, the sort
+// permutation as little-endian int64 bytes for np.frombuffer). One call
+// replaces encode + numpy object-dtype argsort in SortedIndex._build —
+// the argsort's per-comparison PyBytes dispatch dominated the cold build.
+PyObject* py_mc_sort_rows(PyObject*, PyObject* arg) {
+  if (!PyList_Check(arg)) {
+    PyErr_SetString(PyExc_TypeError, "expected list of column lists");
+    return nullptr;
+  }
+  Py_ssize_t ncols = PyList_GET_SIZE(arg);
+  Py_ssize_t nrows = ncols ? PySequence_Size(PyList_GET_ITEM(arg, 0)) : 0;
+  if (nrows < 0) return nullptr;
+  std::vector<PyObject*> fast(ncols);
+  for (Py_ssize_t c = 0; c < ncols; c++) {
+    fast[c] = PySequence_Fast(PyList_GET_ITEM(arg, c), "column must be a sequence");
+    if (!fast[c]) {
+      for (Py_ssize_t j = 0; j < c; j++) Py_DECREF(fast[j]);
+      return nullptr;
+    }
+  }
+  Buf arena;
+  arena.d.reserve(static_cast<size_t>(nrows) * 16);
+  std::vector<size_t> offs(static_cast<size_t>(nrows) + 1, 0);
+  bool ok = true;
+  for (Py_ssize_t r = 0; r < nrows && ok; r++) {
+    for (Py_ssize_t c = 0; c < ncols && ok; c++) {
+      ok = mc_encode_one(PySequence_Fast_GET_ITEM(fast[c], r), arena);
+    }
+    offs[static_cast<size_t>(r) + 1] = arena.d.size();
+  }
+  for (Py_ssize_t c = 0; c < ncols; c++) Py_DECREF(fast[c]);
+  if (!ok) return nullptr;
+  std::vector<int64_t> idx(static_cast<size_t>(nrows));
+  std::iota(idx.begin(), idx.end(), 0);
+  const char* base = arena.d.data();
+  Py_BEGIN_ALLOW_THREADS;
+  std::stable_sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
+    std::string_view ka(base + offs[static_cast<size_t>(a)],
+                        offs[static_cast<size_t>(a) + 1] - offs[static_cast<size_t>(a)]);
+    std::string_view kb(base + offs[static_cast<size_t>(b)],
+                        offs[static_cast<size_t>(b) + 1] - offs[static_cast<size_t>(b)]);
+    return ka < kb;
+  });
+  Py_END_ALLOW_THREADS;
+  PyObject* keys = PyList_New(nrows);
+  if (!keys) return nullptr;
+  for (Py_ssize_t i = 0; i < nrows; i++) {
+    size_t r = static_cast<size_t>(idx[static_cast<size_t>(i)]);
+    PyObject* b = PyBytes_FromStringAndSize(
+        base + offs[r], static_cast<Py_ssize_t>(offs[r + 1] - offs[r]));
+    if (!b) {
+      Py_DECREF(keys);
+      return nullptr;
+    }
+    PyList_SET_ITEM(keys, i, b);
+  }
+  PyObject* order = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(idx.data()),
+      static_cast<Py_ssize_t>(idx.size() * sizeof(int64_t)));
+  if (!order) {
+    Py_DECREF(keys);
+    return nullptr;
+  }
+  PyObject* out = PyTuple_Pack(2, keys, order);
+  Py_DECREF(keys);
+  Py_DECREF(order);
+  return out;
+}
+
 // -------------------------------------------------------------- module def
 
 PyMethodDef methods[] = {
@@ -486,6 +561,8 @@ PyMethodDef methods[] = {
     {"mc_encode_rows", py_mc_encode_rows, METH_O,
      "memcomparable keys for rows given per-field column lists"},
     {"mc_encode_value", py_mc_encode_value, METH_O, "memcomparable key for one value"},
+    {"mc_sort_rows", py_mc_sort_rows, METH_O,
+     "(sorted keys, int64-bytes permutation) for rows given column lists"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -551,7 +551,7 @@ class QueryExecutor:
                     rowid_sorted=rowid_sorted,
                 )
             page_rows = rows[start : start + limit]
-            page = [store.read_row(int(r)) for r in page_rows]
+            page = store.read_rows(page_rows)
             for rec in page:
                 rec.pop("_system_ingest_ts_ms", None)
             has_more = start + limit < total
@@ -561,7 +561,7 @@ class QueryExecutor:
             )
 
         # 3. materialize (+ overlay merge) + joins
-        records = [store.read_row(r) for r in rows]
+        records = store.read_rows(rows)
         for rec in records:
             rec.pop("_system_ingest_ts_ms", None)
         if overlay is not None:
@@ -839,14 +839,23 @@ class QueryExecutor:
 
         out = []
         matched_right = set()
+        rcache: dict[int, dict] = {}  # right rows materialize once
+
+        def rrec_of(rr):
+            rrec = rcache.get(rr)
+            if rrec is None:
+                rrec = rstore.read_row(int(rr))
+                rrec.pop("_system_ingest_ts_ms", None)
+                rcache[rr] = rrec
+            return rrec
+
         for rec in records:
             lv = rec.get(j.left_field)
             hits = rmap.get(lv, []) if lv is not None else []
             if hits:
                 for rr in hits:
                     matched_right.add(rr)
-                    rrec = rstore.read_row(rr)
-                    rrec.pop("_system_ingest_ts_ms", None)
+                    rrec = rrec_of(rr)
                     merged = dict(rec)
                     for k, v in rrec.items():
                         merged.setdefault(k, v)
@@ -857,8 +866,7 @@ class QueryExecutor:
         if j.kind == "right":
             for rr in rrows:
                 if rr not in matched_right:
-                    rrec = rstore.read_row(rr)
-                    rrec.pop("_system_ingest_ts_ms", None)
+                    rrec = rrec_of(rr)
                     merged = dict(rrec)
                     for k, v in rrec.items():
                         merged[f"{j.table}.{k}"] = v
