@@ -553,7 +553,7 @@ def config9_txn():
     import threading
 
     from tostore_tpu import (
-        DataStoreConfig, DataType, FieldSchema, TableSchema, ToStoreTPU,
+        DataStoreConfig, DataType, Expr, FieldSchema, TableSchema, ToStoreTPU,
     )
 
     schema = TableSchema(
@@ -585,6 +585,17 @@ def config9_txn():
                         pk = tid * 100 + (j % 100) + 1
                     for _ in range(200):
                         def action(tx, pk=pk):
+                            if mode.startswith("hot_expr"):
+                                # blind all-Expr update: deferred to commit
+                                # replay, exempt from write-footprint
+                                # validation (commutes) — hot increments
+                                # never conflict
+                                if mode.endswith("slow"):
+                                    time.sleep(0.0002)
+                                db.update_by_pk(
+                                    "c", pk, {"val": Expr.field("val") + 1}
+                                )
+                                return
                             if mode.startswith("predicate"):
                                 # table-granular predicate read: conflicts
                                 # with ANY concurrent write to the table
@@ -682,7 +693,8 @@ def config9_txn():
 
     out = {"config": "txn_contention_8thr_serializable"}
     for mode in ("disjoint", "hot", "predicate",
-                 "disjoint_slow", "hot_slow", "predicate_slow"):
+                 "disjoint_slow", "hot_slow", "predicate_slow",
+                 "hot_expr_slow"):
         out.update(run(mode))
     out.update(run_engine_retry())
     return out

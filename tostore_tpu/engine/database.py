@@ -194,6 +194,13 @@ class _Txn:
         self.overlay: dict[tuple, dict] = {}
         self.oplog: list[tuple] = []  # ("insert"/"update"/"delete", tkey, pk, payload)
         self.write_set: set[tuple] = set()  # {(tkey, pk)}
+        # {(tkey, pk)} whose ONLY writes in this txn are blind all-Expr
+        # updates (deferred to commit replay): exempt from this txn's own
+        # write-footprint validation — a blind write commutes with any
+        # concurrent commit because commit order is a valid serial order
+        # for a txn whose behavior never observed the row (any read of the
+        # row lands in read_set, which always stays in the footprint)
+        self.commutes: set[tuple] = set()
         # {(tkey, pk)} row reads + {(tkey, None)} table-level predicate
         # reads (conservative phantom protection: a condition query
         # conflicts with ANY later commit touching that table)
@@ -1800,9 +1807,24 @@ class Database:
         return before
 
     def _txn_update(self, txn: _Txn, t: Table, tkey, pk, updates: dict) -> dict | None:
-        """Buffered update: Expr resolves against the thread's view at op
-        time (matching the eager path); the resolved updates replay at
-        commit."""
+        """Buffered update. Literal updates resolve against the thread's
+        view at op time and replay the resolved values at commit (the
+        value may embed prior reads, so first-committer-wins validation
+        keeps the write in the conflict footprint).
+
+        ALL-Expr updates (`{"val": Expr.field("val") + 1}` — the
+        reference's atomic-update surface, README.md:612-668) are BLIND:
+        the txn's behavior never observes the row, so the Expr is buffered
+        UNRESOLVED and re-resolves against live state at commit replay
+        (under the engine lock). Such writes are exempt from this txn's
+        own write-footprint validation (`txn.commutes`): concurrent
+        hot-row increments all commit, each applying on top of the last —
+        commit order is a valid serial order for blind writes. Reading the
+        row (get_by_pk/query) still lands in read_set/pred_reads, which
+        always conflict, so read-modify-write stays protected; a later
+        literal write to the same pk demotes it. The overlay carries an
+        op-time provisional resolution so same-txn read-back is coherent
+        (and that read-back itself restores conflict detection)."""
         cur = self._view_get(t, tkey, pk)
         if cur is None:
             return None
@@ -1828,7 +1850,17 @@ class Database:
             self._unique_res[rkey] = (txn.tx_id, pk)
             txn.reservations.add(rkey)
         txn.overlay.setdefault(tkey, {})[pk] = merged
-        txn.oplog.append(("update", tkey, pk, resolved))
+        blind = bool(updates) and all(
+            isinstance(v, Expr) for v in updates.values()
+        )
+        if blind and (
+            (tkey, pk) not in txn.write_set or (tkey, pk) in txn.commutes
+        ):
+            txn.oplog.append(("update", tkey, pk, dict(updates)))
+            txn.commutes.add((tkey, pk))
+        else:
+            txn.oplog.append(("update", tkey, pk, resolved))
+            txn.commutes.discard((tkey, pk))
         txn.write_set.add((tkey, pk))
         return {k: cur.get(k) for k in resolved}
 
@@ -1886,6 +1918,7 @@ class Database:
             buf.overlay.setdefault(tkey, {})[pk] = _TOMBSTONE
             buf.oplog.append(("delete", tkey, pk, None))
             buf.write_set.add((tkey, pk))
+            buf.commutes.discard((tkey, pk))  # delete is not commutative
             return True
         old = t.store.get(pk)
         if old is None:
@@ -2342,7 +2375,12 @@ class Database:
                     tables_read = {
                         tk for tk, pk in txn.read_set if pk is None
                     }
-                    footprint = txn.write_set | txn.read_set
+                    # blind all-Expr writes (txn.commutes) are exempt from
+                    # the txn's OWN footprint — they re-resolve against
+                    # live state at replay, so commit order is a valid
+                    # serial order; they still enter the RECORDED write-set
+                    # below, so concurrent readers of those rows conflict
+                    footprint = (txn.write_set - txn.commutes) | txn.read_set
                     for seq, wset in self._recent_commits:
                         if seq <= txn.begin_seq:
                             continue
