@@ -1,0 +1,123 @@
+"""Experiment: jax.lax.approx_max_k (TPU PartialReduce) vs the hand-rolled
+per-lane top-2 lane scan, for the B>=128 flat-scan regime.
+
+approx_max_k lowers to TPU's hardware-binned PartialReduce, which XLA can
+fuse into the producing loop — potentially replacing the ~2.4 ms of VPU
+selection (max/argmax/one_hot x2 per chunk) that makes the lane scan 1.9x
+its DMA floor at B=256.
+
+Variants measured (1M x 768 bf16 corpus, k=10):
+  A. monolithic: einsum -> [B, N] f32 scores -> approx_max_k
+  B. chunked scan: per-chunk einsum -> approx_max_k(k) per chunk ->
+     concat candidates -> exact top_k merge (bounds the tile like the
+     lane scan does)
+  C. baseline: flat_topk_lane (current dispatch for B>32)
+  D. exact merge check + recall vs flat_topk_xla
+
+Run alone on the real TPU: python _exp_approx_topk.py
+"""
+
+import functools
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+from tostore_tpu.ops.topk import flat_topk_lane, flat_topk_xla, _lane_chunk_for
+
+
+def bench(fn, *args, iters=50):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    float(jnp.sum(out[0]))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(*args)
+        float(jnp.sum(out[0]))
+        best = min(best, (time.time() - t0) / iters)
+    return best * 1e3
+
+
+@functools.partial(jax.jit, static_argnames=("k", "rt"))
+def mono_approx(q, corpus, bias, *, k, rt=0.99):
+    s = jnp.dot(q.astype(corpus.dtype), corpus.T, preferred_element_type=jnp.float32)
+    s = s + bias[None, :]
+    return jax.lax.approx_max_k(s, k, recall_target=rt)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "ch", "rt"))
+def chunked_approx(q, corpus, bias, *, k, ch=None, rt=0.99):
+    b, d = q.shape
+    n = corpus.shape[0]
+    if ch is None:
+        ch = _lane_chunk_for(b, n)
+    nch = n // ch
+    qc = q.astype(corpus.dtype)
+    offs = jnp.arange(nch, dtype=jnp.int32) * ch
+    cr = corpus.reshape(nch, ch, d)
+    br = bias.reshape(nch, ch)
+
+    def body(carry, inp):
+        cblk, bblk, off = inp
+        s = jnp.dot(qc, cblk.T, preferred_element_type=jnp.float32)
+        s = s + bblk[None, :]
+        vs, vi = jax.lax.approx_max_k(s, k, recall_target=rt)
+        return carry, (vs, vi + off)
+
+    _, (ss, ii) = jax.lax.scan(body, 0, (cr, br, offs))
+    flat_s = ss.transpose(1, 0, 2).reshape(b, -1)
+    flat_i = ii.transpose(1, 0, 2).reshape(b, -1)
+    top_s, pos = jax.lax.top_k(flat_s, k)
+    return top_s, jnp.take_along_axis(flat_i, pos, axis=1)
+
+
+def recall_vs_exact(ei, xi, b, k):
+    return float(np.mean([
+        len(set(np.asarray(ei[i]).tolist()) & set(np.asarray(xi[i]).tolist())) / k
+        for i in range(b)
+    ]))
+
+
+def main():
+    import sys
+    # n matches bench.py's round_up(1e6, 4096) so the lane/exact compiles
+    # hit the persistent cache; fresh tunnel compiles run minutes each.
+    n, d, k = 1003520, 768, 10
+    corpus = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.bfloat16)
+    bias = jnp.zeros(n, jnp.float32)
+    rng = np.random.default_rng(0)
+
+    batches = [int(x) for x in sys.argv[1:]] or [256]
+    for b in batches:
+        q = jnp.asarray(rng.standard_normal((b, d)), np.float32)
+        es, ei = flat_topk_xla(q, corpus, bias, 1.0, k)
+        print(f"B={b} exact done", flush=True)
+
+        ms_lane = bench(functools.partial(flat_topk_lane, k=k), q, corpus, bias)
+        print(f"B={b:3d} lane(current) : {ms_lane:6.2f} ms ({b/ms_lane*1e3:6.0f} QPS)", flush=True)
+
+        for rt in (0.95, 0.99):
+            fn = functools.partial(mono_approx, k=k, rt=rt)
+            ms = bench(fn, q, corpus, bias)
+            _, xi = fn(q, corpus, bias)
+            r = recall_vs_exact(ei, xi, b, k)
+            print(f"B={b:3d} mono rt={rt}: {ms:6.2f} ms ({b/ms*1e3:6.0f} QPS)  recall@10={r:.4f}", flush=True)
+
+        for rt in (0.99,):
+            fn = functools.partial(chunked_approx, k=k, rt=rt)
+            ms = bench(fn, q, corpus, bias)
+            _, xi = fn(q, corpus, bias)
+            r = recall_vs_exact(ei, xi, b, k)
+            print(f"B={b:3d} chnk rt={rt}: {ms:6.2f} ms ({b/ms*1e3:6.0f} QPS)  recall@10={r:.4f}", flush=True)
+        print(flush=True)
+
+
+if __name__ == "__main__":
+    main()

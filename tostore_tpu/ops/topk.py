@@ -86,11 +86,17 @@ from .runtime import LANE, NEG_INF, interpret_mode, round_up
 # ms, per-block emission 8.3 ms, top-T accumulator 11.3 ms (r3) — the
 # per-block VPU selection (~2r sublane sweeps over a [256, 2048] f32
 # tile) serializes against the MXU in Mosaic's pipeline, while XLA
-# overlaps selection of chunk i with the matmul of chunk i+1. Dispatch
-# therefore keeps the XLA lane scan for B>32 (B=256: 5.7 ms = 45k QPS,
-# 1.9x floor); closing the last ~2x needs either a Mosaic schedule that
-# overlaps VPU+MXU across grid steps or fewer score bytes (bf16 score
-# tiles), both left documented rather than faked.
+# overlaps selection of chunk i with the matmul of chunk i+1. bf16
+# score tiles were then measured (r4): casting the chunk scores to bf16
+# before selection buys only 4% at B=256 (5.36 -> 5.14 ms) and nothing
+# at B=128, while top-10 agreement vs exact drops 0.9999+ -> 0.9816
+# (bf16 rounding collapses near-ties before the per-lane argmax) — so
+# the residual 1.9x is VPU selection COMPUTE, not score-tile bytes, and
+# the bf16 variant is rejected. Dispatch keeps the XLA lane scan for
+# B>32; closing the last ~2x needs a selection primitive that is
+# cheaper per element than max/argmax/one_hot x2 (see approx_max_k
+# note below if present) or a Mosaic schedule overlapping VPU with MXU
+# across grid steps.
 DEFAULT_BLK_N = 2048
 MAX_BLK_B = 256
 # Candidates harvested per (lane, block) (top-2 -> exact unless 3+ of the
