@@ -524,3 +524,151 @@ class TestRound3ReviewFindings:
         idx.upsert(list(range(300)), x)
         d, pks = idx.search_arrays(x[42], k=1)
         assert pks[0][0] == 42 and abs(float(d[0][0])) < 1e-2
+
+
+class TestRound4SelfReviewFindings:
+    """Mid-round-4 self-review findings; each test reproduced its bug
+    before the fix."""
+
+    def _indexed_schema(self):
+        return TableSchema(
+            name="t",
+            fields=(FieldSchema("v", DataType.integer),),
+            indexes=(IndexSchema(fields=("v",)),),
+        )
+
+    def test_sorted_index_fresh_after_clear_generation_catchup(self):
+        # invalidate() left _gen at the old build generation; clear()
+        # resets store.generation to 0, so once mutations climbed back to
+        # exactly that value _ensure served the STALE base order
+        db = ToStoreTPU.memory(schemas=[self._indexed_schema()])
+        try:
+            t = db.engine._table("t")
+            for i in range(6):
+                db.insert("t", {"v": i})
+            assert db.query("t").where("v", ">=", 0).count() == 6  # builds
+            build_gen = t.store.generation
+            db.clear("t")
+            n = 0
+            while t.store.generation < build_gen:  # walk gen back up
+                db.insert("t", {"v": 100 + n})
+                n += 1
+            assert t.store.generation == build_gen  # the pre-fix trap
+            got = db.query("t").where("v", ">=", 100).no_cache().fetch()
+            assert sorted(r["v"] for r in got.records) == [100 + j for j in range(n)]
+        finally:
+            db.close()
+
+    def test_ordered_slice_merges_delta_log_rows(self):
+        # the ordered-slice fast path pages span_rows WITHOUT re-sorting;
+        # pending delta-log adds were concatenated at the end, so a fresh
+        # row whose key sorts early vanished from the first page
+        db = ToStoreTPU.memory(schemas=[self._indexed_schema()])
+        try:
+            db.batch_insert("t", [{"v": v} for v in range(0, 200, 2)])
+            q = db.query("t").where("v", ">", 150).order_by("v").limit(3)
+            assert [r["v"] for r in q.fetch().records] == [152, 154, 156]
+            db.insert("t", {"v": 151})  # single write -> delta log entry
+            page = (
+                db.query("t").where("v", ">", 150).order_by("v").limit(3)
+                .no_cache().fetch().records
+            )
+            assert [r["v"] for r in page] == [151, 152, 154]
+            # later page unaffected and still in key order
+            page2 = (
+                db.query("t").where("v", ">", 150).order_by("v")
+                .offset(3).limit(3).no_cache().fetch().records
+            )
+            assert [r["v"] for r in page2] == [156, 158, 160]
+        finally:
+            db.close()
+
+    def test_deferred_flush_rechecks_stale_filter_columns(self):
+        # a deferred vector flush leaves device filter columns stale for
+        # rows with buffered filter-field updates: the slot mask matched
+        # the OLD value, surfacing rows that violate the live condition
+        import threading
+
+        from tostore_tpu.models.schema import (
+            VectorFieldConfig, VectorIndexConfig,
+        )
+
+        schema = TableSchema(
+            name="docs",
+            fields=(
+                FieldSchema("n", DataType.integer),
+                FieldSchema(
+                    "emb", DataType.vector,
+                    vector_config=VectorFieldConfig(dimensions=8),
+                ),
+            ),
+            indexes=(
+                IndexSchema(
+                    fields=("emb",), type="vector",
+                    vector_config=VectorIndexConfig(index_type="flat"),
+                ),
+            ),
+        )
+        db = ToStoreTPU.memory(schemas=[schema])
+        try:
+            rng = np.random.default_rng(3)
+            db.batch_insert(
+                "docs",
+                [{"id": i, "n": i, "emb": rng.standard_normal(8).tolist()}
+                 for i in range(32)],
+            )
+            target_emb = np.asarray(
+                db.get_by_pk("docs", 5)["emb"], np.float32
+            )
+            db.vector_search("docs", "emb", target_emb, top_k=1)  # flush
+            eng = db.engine
+            idx = eng._table("docs").vector_indexes["emb"]
+            in_search = threading.Event()
+            release = threading.Event()
+            real = type(idx).search
+
+            def parked(self, *a, **kw):
+                in_search.set()
+                release.wait(5)
+                return real(self, *a, **kw)
+
+            type(idx).search = parked
+            th = threading.Thread(
+                target=lambda: db.vector_search(
+                    "docs", "emb", target_emb, top_k=1
+                )
+            )
+            th.start()
+            try:
+                assert in_search.wait(5)
+                type(idx).search = real
+                # filter-field update buffers while the reader is parked
+                db.update_by_pk("docs", 5, {"n": 999})
+                cond = QueryCondition().where("n", "<", 10)
+                hits = db.vector_search(
+                    "docs", "emb", target_emb, top_k=3, condition=cond
+                )
+                assert eng._counters.get("vector_flush_deferred", 0) >= 1
+                assert all(h.primary_key != 5 for h in hits)
+                assert all(
+                    db.get_by_pk("docs", h.primary_key)["n"] < 10
+                    for h in hits
+                )
+            finally:
+                release.set()
+                type(idx).search = real
+                th.join(10)
+        finally:
+            db.close()
+
+    def test_memory_alias_forwards_storage(self):
+        # open(":memory:", storage=...) silently DROPPED the injected
+        # backend before the fix
+        from tostore_tpu.engine.storage import MemoryStorage
+
+        st = MemoryStorage()
+        db = ToStoreTPU.open(":memory:", schemas=[users_schema()], storage=st)
+        try:
+            assert db.engine._storage is st
+        finally:
+            db.close()

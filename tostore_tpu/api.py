@@ -56,7 +56,9 @@ class ToStoreTPU:
         `":memory:"` (the sqlite idiom) aliases to `memory()` instead of
         creating a literal `:memory:` directory."""
         if path == ":memory:":
-            return ToStoreTPU.memory(schemas=schemas, config=config, **kw)
+            return ToStoreTPU.memory(
+                schemas=schemas, config=config, storage=storage, **kw
+            )
         cfg = (config or DataStoreConfig()).copy_with(db_path=path, db_name=db_name, **kw)
         return ToStoreTPU(cfg, schemas, storage=storage)
 
@@ -64,10 +66,13 @@ class ToStoreTPU:
     def memory(
         schemas: list[TableSchema] | None = None,
         config: DataStoreConfig | None = None,
+        storage=None,
         **kw,
     ) -> "ToStoreTPU":
+        """`storage`: reuse a MemoryStorage instance across open/close
+        cycles to test recovery without touching the filesystem."""
         cfg = (config or DataStoreConfig()).copy_with(db_path=None, **kw)
-        return ToStoreTPU(cfg, schemas)
+        return ToStoreTPU(cfg, schemas, storage=storage)
 
     # --- lifecycle ------------------------------------------------------------
 

@@ -60,7 +60,6 @@ from ..utils.rwlock import ReadGuard, RWLock, WriteGuard, rw
 from .table import Table, ValidationError, INGEST_TS_FIELD
 from .wal import (
     SegmentedWalWriter,
-    atomic_write,
     list_segments,
     read_wal,
     read_wal_segments,
@@ -2144,7 +2143,7 @@ class Database:
                 t = self._table(table)
                 self._note_read(self._tkey(t))  # predicate read
                 idx = t.vector_index_for(field)
-                pending_del = self._flush_or_defer(t, idx, field)
+                pending_del, pending_filt = self._flush_or_defer(t, idx, field)
                 if getattr(idx, "trained", True) is False and len(idx):
                     with rw(idx).write():
                         idx.train()  # pre-train here: search() must not mutate
@@ -2176,6 +2175,22 @@ class Database:
             # deferred-flush window: committed deletes whose tombstones
             # have not reached the device yet must not surface
             hits = [r for r in hits if r.primary_key not in pending_del]
+        if pending_filt and condition is not None and not condition.is_empty:
+            # deferred-flush window, filter columns: the device slot mask
+            # was built from stale column values for these pks — re-check
+            # hit rows against the LIVE condition so an explicit predicate
+            # is never violated (rows that newly MATCH may still be
+            # omitted until the flush lands: same bounded staleness as
+            # pending inserts, documented at _flush_or_defer)
+            def _still_matches(pk):
+                rec = self.get_by_pk(table, pk)
+                return rec is not None and condition.matches(rec)
+
+            hits = [
+                r for r in hits
+                if r.primary_key not in pending_filt
+                or _still_matches(r.primary_key)
+            ]
         if include_records:
             hits = [
                 VectorSearchResult(
@@ -2201,30 +2216,39 @@ class Database:
     VEC_FLUSH_FORCE_ROWS = 512
     VEC_FLUSH_FORCE_AGE_S = 1.0
 
-    def _flush_or_defer(self, t, idx, field) -> frozenset | None:
-        """Called under the engine lock. Returns the pending-delete pk
-        set when the flush was deferred, else None."""
+    def _flush_or_defer(self, t, idx, field):
+        """Called under the engine lock. Returns (pending-delete pks,
+        pending-filter-update pks) when the flush was deferred, else
+        (None, None). Both sets post-filter results: tombstoned rows must
+        never surface, and rows whose staged filter-column updates have
+        not reached the device yet must be re-checked against the LIVE
+        condition (the stale device column would otherwise return rows
+        that no longer satisfy the caller's explicit predicate)."""
         pend_n = t.vec_pending_count(field)
         if not pend_n:
-            return None
+            return None, None
         if (
             pend_n >= self.VEC_FLUSH_FORCE_ROWS
             or t.vec_pending_age(field) >= self.VEC_FLUSH_FORCE_AGE_S
         ):
             t.flush_vectors(field)  # bound tripped: block (staleness cap)
-            return None
+            return None, None
         lk = rw(idx)
         if lk.try_acquire_write():
             try:
                 t.flush_vectors(field)  # uncontended: flush eagerly
             finally:
                 lk.release_write()
-            return None
+            return None, None
         self._counters["vector_flush_deferred"] = (
             self._counters.get("vector_flush_deferred", 0) + 1
         )
         pend = t._vec_pending.get(field) or {}
-        return frozenset(pk for pk, v in pend.items() if v is None) or None
+        fpend = t._filter_pending.get(field) or {}
+        return (
+            frozenset(pk for pk, v in pend.items() if v is None) or None,
+            frozenset(fpend) or None,
+        )
 
     def _vector_slot_mask(self, t, idx, field, condition):
         """Hybrid-filter slot mask, computed under the engine lock."""
@@ -2301,9 +2325,7 @@ class Database:
             except BusinessError as e:
                 if getattr(e, "code", None) == "txn_conflict" and attempt < retries:
                     attempt += 1
-                    self._counters["txn_retries"] = (
-                        self._counters.get("txn_retries", 0) + 1
-                    )
+                    self._bump("txn_retries")  # runs outside the engine lock
                     import random
 
                     delay = min(backoff * (2 ** (attempt - 1)), max_backoff)

@@ -180,6 +180,10 @@ class SortedIndex:
         """Force the next read to rebuild (clear/restore/migration)."""
         self._log_broken = True
         self._log.clear()
+        # clear()/restore RESET store.generation, so a later mutation count
+        # can catch back up to the old build generation — the base must
+        # never satisfy _ensure's `_gen == generation` check again
+        self._gen = -1
 
     def _advance(self, store: ColumnStore) -> bool:
         """Track one store mutation. Returns True when the delta log may
@@ -336,20 +340,33 @@ class SortedIndex:
         ak, _, dk, _, _ = d
         return base - self._count_in(dk, kl, kh) + self._count_in(ak, kl, kh)
 
-    def span_rows(self, store: ColumnStore, span) -> np.ndarray:
-        """Candidate rowids for a span (order not guaranteed)."""
+    def span_rows(self, store: ColumnStore, span, ordered: bool = False) -> np.ndarray:
+        """Candidate rowids for a span. With `ordered=True` the result is in
+        index-KEY order — pending delta adds are merge-inserted at their key
+        position instead of concatenated (the executor's ordered-slice fast
+        path pages the raw span, so appended-at-the-end delta rows would
+        drop recently written rows from early pages and misorder late ones).
+        """
         a, b, kl, kh = span
         d = self._ensure(store)
         rows = self._order[a:b]
         if d is None:
             return rows
         ak, ar, dk, dr, del_set = d
+        keys = self._keys[a:b] if ordered else None
         if del_set and len(rows):
-            rows = rows[~np.isin(rows, dr)]
+            keep = ~np.isin(rows, dr)
+            rows = rows[keep]
+            if ordered:
+                keys = keys[keep]
         lo = 0 if kl is None else int(np.searchsorted(ak, kl, side="left"))
         hi = len(ak) if kh is None else int(np.searchsorted(ak, kh, side="left"))
         if hi > lo:
-            rows = np.concatenate([rows, ar[lo:hi]])
+            if ordered:
+                pos = np.searchsorted(keys, ak[lo:hi], side="right")
+                rows = np.insert(rows, pos, ar[lo:hi])
+            else:
+                rows = np.concatenate([rows, ar[lo:hi]])
         return rows
 
     def ordered_rows(self, store: ColumnStore) -> np.ndarray:

@@ -117,9 +117,9 @@ class VectorIndexConfig:
     # PQ (0 subspaces = no PQ; auto rule mirrors ngh_index_meta.dart:237:
     # clamp(D/8, 8, 128))
     pq_subspaces: int = 0
-    # 0 = auto: K=16 (4-bit nibble-packed codes) when pq_subspaces is
-    # even — measured ~3x faster than K=256 at equal bytes and equal
-    # recall@10 (vector/ivf.py dispatch table); K=256 stays opt-in
+    # 0 = auto: K=16 (4-bit nibble-packed codes) when pq_subspaces % 16
+    # == 0 (lane alignment) — measured ~3x faster than K=256 at equal
+    # bytes and equal recall@10 (vector/ivf.py dispatch table); else K=256
     pq_centroids: int = 0
     # exact re-rank pool multiplier (reference rerank pool max(2k, 20),
     # ngh_graph_engine.dart:115)

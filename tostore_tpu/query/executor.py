@@ -488,7 +488,7 @@ class QueryExecutor:
 
         # 1. candidate rows
         if plan.plan in ("indexScan", "indexUnion"):
-            rows = self._rows_from_arms(table, plan.arms)
+            rows = self._rows_from_arms(table, plan.arms, ordered=plan.ordered)
         elif plan.plan == "indexOrder":
             rows = table.sorted_indexes[plan.index].ordered_rows(store)
         else:
@@ -814,12 +814,15 @@ class QueryExecutor:
         inner.sort(key=lambda j: len(self.db._table(j.table, space).store))
         return inner + rest
 
-    def _rows_from_arms(self, table, arms: list[tuple]) -> np.ndarray:
-        """Candidate rows for resolved bisect arms; unions dedupe."""
+    def _rows_from_arms(self, table, arms: list[tuple], ordered=False) -> np.ndarray:
+        """Candidate rows for resolved bisect arms; unions dedupe.
+        `ordered` (single-arm plans only) asks the index to merge pending
+        delta-log rows at their key position — required by the ordered-slice
+        fast path, which pages the span without re-sorting."""
         store = table.store
         if len(arms) == 1:
             name, sp = arms[0]
-            return table.sorted_indexes[name].span_rows(store, sp)
+            return table.sorted_indexes[name].span_rows(store, sp, ordered=ordered)
         parts = [
             table.sorted_indexes[name].span_rows(store, sp)
             for name, sp in arms

@@ -526,8 +526,11 @@ class IVFVectorIndex:
     constants — probe ~ PROBE_BASE_MS + PROBE_STEP_US x B x nprobe
     (slope 2.2 us per (query, slice-probe); ADC variants pay a higher
     measured slope), flat ~ corpus_bytes / FLAT_GBPS + 7 us x B — and
-    auto-falls back to the exact flat scan when it is cheaper (recall
-    strictly improves: flat is exact). `mode="probe"` forces the probe
+    auto-falls back to the flat scan when it is cheaper (recall strictly
+    improves in practice: the probe visits only nprobe clusters while the
+    flat fallback scans everything — in auto mode via the per-lane
+    candidate path, miss ~1e-5..1e-8/query per ops/topk.py's contract;
+    pass mode="exact" for a zero-miss scan). `mode="probe"` forces the probe
     (benchmarks, tests); the sharded index keeps probe-only dispatch
     (mesh constants unmeasured)."""
 
@@ -747,9 +750,8 @@ class IVFVectorIndex:
     def _resolve_pq_k(self) -> int:
         """pq_centroids=0 -> auto: the measured dispatch rule (class
         docstring) says 4-bit K=16 nibble-packed codes beat K=256 ~3x at
-        equal bytes and equal recall@10, so default to K=16 whenever M is
-        even (nibble packing pairs subspaces); odd M keeps K=256. The
-        packed contiguous layout needs (M*K)%256==0 lane alignment, i.e.
+        equal bytes and equal recall@10, so default to K=16 whenever the
+        packed contiguous layout's (M*K)%256==0 lane alignment holds, i.e.
         M%16==0 — below that the measured win doesn't apply, so K=256."""
         if self.pq_centroids:
             return self.pq_centroids
