@@ -228,3 +228,69 @@ class TestIndexDeltas:
             .fetch()
         )
         assert got == _expect(db, a=3, b=2)
+
+    def test_ordered_paging_differential_fuzz(self, db):
+        """Ordered-slice fast path across pending deltas: pages of an
+        order_by query must concatenate to the exact oracle match set in
+        non-decreasing key order, at every offset, as random writes land
+        in the delta log between rounds."""
+        rng = np.random.default_rng(11)
+        next_id = 9000
+        for rnd in range(12):
+            # a couple of writes per round -> fresh delta-log entries
+            for _ in range(3):
+                op = rng.integers(0, 3)
+                if op == 0:
+                    db.insert("t", {
+                        "id": next_id,
+                        "a": int(rng.integers(0, 20)),
+                        "b": int(rng.integers(-3, 10)),
+                        "s": "pg",
+                    })
+                    next_id += 1
+                elif op == 1:
+                    pks = db.engine._table("t").store.pks()
+                    pk = pks[int(rng.integers(0, len(pks)))]
+                    db.update(
+                        "t", {"b": int(rng.integers(-3, 10))}
+                    ).where("id", "=", pk).execute()
+                else:
+                    pks = db.engine._table("t").store.pks()
+                    db.delete_by_pk(
+                        "t", pks[int(rng.integers(0, len(pks)))]
+                    )
+            t = db.engine._table("t")
+            # range + order_by on the SAME index field: the planner's
+            # ordered-slice fast path (plan.ordered) pages span_rows raw,
+            # so delta adds must merge at their key position
+            lo = int(rng.integers(12, 18))
+            match = {
+                pk: t.store.get(pk)["a"]
+                for pk in t.store.pks()
+                if t.store.get(pk)["a"] > lo
+            }
+            page_sz = int(rng.integers(2, 6))
+            seen, avs = [], []
+            for start in range(0, len(match) + page_sz, page_sz):
+                page = (
+                    db.query("t").where("a", ">", lo).order_by("a")
+                    .offset(start).limit(page_sz).no_cache().fetch()
+                )
+                seen.extend(r["id"] for r in page.records)
+                avs.extend(r["a"] for r in page.records)
+                if not page.has_more:
+                    break
+            assert sorted(seen) == sorted(match), f"round {rnd} lo={lo}"
+            assert avs == sorted(avs), f"round {rnd} lo={lo}: misordered"
+            assert avs == sorted(match.values())
+            # eq + order_by on the composite (a,b) trailing field: today
+            # the tie-broken plan sorts (ordered=False) — this guards the
+            # result set if the planner ever prefers the composite arm
+            a = int(rng.integers(0, 20))
+            rows = (
+                db.query("t").where("a", "=", a).order_by("b")
+                .no_cache().fetch().records
+            )
+            bs = [r["b"] for r in rows]
+            assert bs == sorted(bs)
+            assert sorted(r["id"] for r in rows) == _expect(db, a=a)
