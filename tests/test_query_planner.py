@@ -431,3 +431,87 @@ class TestStaleBoundFlags:
         allr = db.query("t").limit(1000).fetch().records
         want = {r["id"] for r in allr if 5 <= r["age"] <= 13}
         assert {r["id"] for r in rows} == want
+
+
+class TestOrderTieBreak:
+    """Equal-cost arms prefer the index that continues into the ascending
+    order_by fields past the equality prefix: the chosen plan serves pages
+    pre-sorted (plan.ordered) instead of paying a full result sort."""
+
+    def _db(self):
+        schema = TableSchema(
+            name="t",
+            fields=(
+                FieldSchema("grp", DataType.integer),
+                FieldSchema("ts", DataType.integer),
+            ),
+            indexes=(
+                IndexSchema(fields=("grp",)),          # declared FIRST
+                IndexSchema(fields=("grp", "ts")),     # order-serving arm
+            ),
+        )
+        d = ToStoreTPU.memory(schemas=[schema])
+        d.batch_insert(
+            "t",
+            [{"id": i, "grp": i % 10, "ts": (i * 37) % 1000}
+             for i in range(400)],
+        )
+        return d
+
+    def plan(self, db, cond, order_by=None, limit=None):
+        spec = QuerySpec(condition=cond, order_by=order_by or [], limit=limit)
+        return db.engine.executor.choose_plan(db.engine._table("t"), spec)
+
+    def test_tie_prefers_order_serving_composite(self):
+        db = self._db()
+        try:
+            c = QueryCondition().where("grp", "=", 3)
+            # without order_by: first-declared single-field arm wins the tie
+            assert self.plan(db, c).index == "idx_grp"
+            info = self.plan(db, c, order_by=[("ts", False)])
+            assert info.index == "idx_grp_ts" and info.ordered
+            # desc order can't be served pre-sorted: tie-break off
+            info = self.plan(db, c, order_by=[("ts", True)])
+            assert not info.ordered
+            res = (
+                db.query("t").where("grp", "=", 3).order_by("ts").limit(7)
+                .fetch()
+            )
+            expect = sorted(
+                (i * 37) % 1000 for i in range(400) if i % 10 == 3
+            )[:7]
+            assert [r["ts"] for r in res] == expect
+        finally:
+            db.close()
+
+    def test_cheaper_arm_still_beats_order_serving(self):
+        # cost dominates: a strictly smaller arm wins even if unordered
+        schema = TableSchema(
+            name="t",
+            fields=(
+                FieldSchema("grp", DataType.integer),
+                FieldSchema("ts", DataType.integer),
+                FieldSchema("sel", DataType.integer),
+            ),
+            indexes=(
+                IndexSchema(fields=("grp", "ts")),
+                IndexSchema(fields=("sel",)),
+            ),
+        )
+        db = ToStoreTPU.memory(schemas=[schema])
+        try:
+            db.batch_insert(
+                "t",
+                [{"id": i, "grp": i % 4, "ts": i, "sel": i}
+                 for i in range(400)],
+            )
+            c = QueryCondition().where("grp", "=", 1).where("sel", "=", 5)
+            info = self.plan(db, c, order_by=[("ts", False)])
+            assert info.index == "idx_sel" and not info.ordered
+            res = (
+                db.query("t").where("grp", "=", 1).where("sel", "=", 5)
+                .order_by("ts").fetch()
+            )
+            assert [r["id"] for r in res] == [5]
+        finally:
+            db.close()

@@ -283,7 +283,15 @@ class QueryExecutor:
             cond.dnf() if cond is not None and not cond.is_empty else None
         )
         if conjs and conjs != [[]] and table.sorted_indexes and n:
-            arms, eq_len = self._plan_arms(table, conjs)
+            # ascending order_by fields act as a cost TIE-BREAKER: an arm
+            # whose index continues into the sort keys past its equality
+            # prefix serves the ordered-slice fast path (no re-sort)
+            want_order = (
+                tuple(f for f, _ in spec.order_by)
+                if spec.order_by and all(not d for _, d in spec.order_by)
+                else None
+            )
+            arms, eq_len = self._plan_arms(table, conjs, want_order)
             if arms is not None:
                 est = sum(
                     table.sorted_indexes[name].span_count(store, sp)
@@ -316,18 +324,19 @@ class QueryExecutor:
                     return ExplainInfo("indexOrder", name, n)
         return ExplainInfo("tableScan", None, n)
 
-    def _plan_arms(self, table, conjs: list[list]):
+    def _plan_arms(self, table, conjs: list[list], want_order=None):
         """Resolve each DNF conjunction to a (index, lo, hi) bisect slice;
         None when any conjunction has no usable index (the union would not
         be a superset of the matches). Returns (arms, eq_len) — eq_len is
         the equality-prefix length of a SINGLE-conjunction single arm (for
-        the ordered-slice fast path), else None."""
+        the ordered-slice fast path), else None. `want_order` (ascending
+        order_by fields) breaks cost ties toward order-serving arms."""
         arms: list[tuple] = []
         eq_len = None
         for leaves in conjs:
             if not leaves:
                 return None, None  # TRUE arm: the union is the whole table
-            arm, arm_eq = self._best_arm(table, leaves)
+            arm, arm_eq = self._best_arm(table, leaves, want_order)
             if arm is None:
                 return None, None
             arms.extend(arm)
@@ -345,19 +354,29 @@ class QueryExecutor:
             return lo, True
         return None, False
 
-    def _best_arm(self, table, leaves: list):
+    def _best_arm(self, table, leaves: list, want_order=None):
         """Cheapest bisect arm(s) for one AND-conjunction across all sorted
         indexes, using the LONGEST usable composite prefix of each index:
         equality leaves consume leading fields, then one range/eq/in leaf
         on the next field bounds the slice (reference
         query_optimizer.dart's composite-index selection; round-1 only ever
-        used fields[0])."""
+        used fields[0]). Equal-cost arms prefer one whose index continues
+        into `want_order` past the equality prefix — that arm serves pages
+        pre-sorted (plan.ordered), skipping the result sort entirely."""
         from ..models.schema import DataType
 
         best: list[tuple] | None = None
         best_est = None
         best_eq = None
+        best_ord = False
         store = table.store
+
+        def serves_order(sidx, neq):
+            return (
+                want_order is not None
+                and sidx.fields[neq : neq + len(want_order)] == want_order
+            )
+
         for name, sidx in table.sorted_indexes.items():
             # 1. longest equality prefix
             eq: list = []
@@ -380,18 +399,33 @@ class QueryExecutor:
                 # pure equality prefix (possibly the full index)
                 sp = sidx.range_span_multi(store, eq)
                 cnt = sidx.span_count(store, sp)
-                if best_est is None or cnt < best_est:
+                ok = serves_order(sidx, len(eq))
+                if (
+                    best_est is None
+                    or cnt < best_est
+                    or (cnt == best_est and ok and not best_ord)
+                ):
                     best, best_est = [(name, sp)], cnt
                     best_eq = len(eq)
+                    best_ord = ok
             if bounds is not None:
                 if eq:
                     sp = sidx.range_span_multi(store, eq, bounds)
                 else:
                     sp = sidx.range_span(store, *bounds)
                 cnt = sidx.span_count(store, sp)
-                if best_est is None or cnt < best_est:
+                # a range leaf on fields[len(eq)] still yields key-ordered
+                # pages when the sort key IS that field (eq_len prefix
+                # constant across the slice)
+                ok = serves_order(sidx, len(eq))
+                if (
+                    best_est is None
+                    or cnt < best_est
+                    or (cnt == best_est and ok and not best_ord)
+                ):
                     best, best_est = [(name, sp)], cnt
                     best_eq = len(eq)
+                    best_ord = ok
             # LIKE with a literal prefix on the field after the eq prefix:
             # a [prefix, prefix-upper) memcomparable slice (reference
             # searchIndex prefix scans, index_manager.dart:3299). Sound
@@ -415,6 +449,7 @@ class QueryExecutor:
                     if best_est is None or cnt < best_est:
                         best, best_est = [(name, sp)], cnt
                         best_eq = None
+                        best_ord = False
             # in-list on the field after the prefix: one slice per value
             if vals is not None and 0 < len(vals) <= self.MAX_IN_ARMS:
                 fs = table.schema.field_map.get(nxt)
@@ -432,6 +467,7 @@ class QueryExecutor:
                 if best_est is None or est < best_est:
                     best, best_est = sub, est
                     best_eq = None
+                    best_ord = False
         return best, best_eq
 
     # --- execution -----------------------------------------------------------
