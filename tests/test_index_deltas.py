@@ -236,6 +236,9 @@ class TestIndexDeltas:
         in the delta log between rounds."""
         rng = np.random.default_rng(11)
         next_id = 9000
+        # force the group-reversed desc span at any size so the fuzz
+        # exercises the fast path (the sort path has its own differential)
+        db.engine.executor.DESC_SPAN_MIN_ROWS = 0
         for rnd in range(12):
             # a couple of writes per round -> fresh delta-log entries
             for _ in range(3):
@@ -264,6 +267,7 @@ class TestIndexDeltas:
             # ordered-slice fast path (plan.ordered) pages span_rows raw,
             # so delta adds must merge at their key position
             lo = int(rng.integers(12, 18))
+            desc = bool(rng.integers(0, 2))
             match = {
                 pk: t.store.get(pk)["a"]
                 for pk in t.store.pks()
@@ -273,16 +277,16 @@ class TestIndexDeltas:
             seen, avs = [], []
             for start in range(0, len(match) + page_sz, page_sz):
                 page = (
-                    db.query("t").where("a", ">", lo).order_by("a")
+                    db.query("t").where("a", ">", lo).order_by("a", desc=desc)
                     .offset(start).limit(page_sz).no_cache().fetch()
                 )
                 seen.extend(r["id"] for r in page.records)
                 avs.extend(r["a"] for r in page.records)
                 if not page.has_more:
                     break
-            assert sorted(seen) == sorted(match), f"round {rnd} lo={lo}"
-            assert avs == sorted(avs), f"round {rnd} lo={lo}: misordered"
-            assert avs == sorted(match.values())
+            tag = f"round {rnd} lo={lo} desc={desc}"
+            assert sorted(seen) == sorted(match), tag
+            assert avs == sorted(match.values(), reverse=desc), tag
             # eq + order_by on the composite (a,b) trailing field: today
             # the tie-broken plan sorts (ordered=False) — this guards the
             # result set if the planner ever prefers the composite arm

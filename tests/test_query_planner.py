@@ -470,9 +470,20 @@ class TestOrderTieBreak:
             assert self.plan(db, c).index == "idx_grp"
             info = self.plan(db, c, order_by=[("ts", False)])
             assert info.index == "idx_grp_ts" and info.ordered
-            # desc order can't be served pre-sorted: tie-break off
+            # all-DESC is served too (group-reversed slice) — but only
+            # above the measured span-size crossover; below it the
+            # partial top-k sort is cheaper
             info = self.plan(db, c, order_by=[("ts", True)])
-            assert not info.ordered
+            assert info.index == "idx_grp_ts" and not info.ordered_rev
+            exe = db.engine.executor
+            old = exe.DESC_SPAN_MIN_ROWS
+            exe.DESC_SPAN_MIN_ROWS = 0
+            try:
+                info = self.plan(db, c, order_by=[("ts", True)])
+                assert info.index == "idx_grp_ts" and info.ordered_rev
+                assert not info.ordered
+            finally:
+                exe.DESC_SPAN_MIN_ROWS = old
             res = (
                 db.query("t").where("grp", "=", 3).order_by("ts").limit(7)
                 .fetch()
@@ -482,6 +493,40 @@ class TestOrderTieBreak:
             )[:7]
             assert [r["ts"] for r in res] == expect
         finally:
+            db.close()
+
+    @pytest.mark.parametrize("fast", [False, True])
+    def test_desc_pages_match_full_sort(self, fast):
+        db = self._db()
+        exe = db.engine.executor
+        old = exe.DESC_SPAN_MIN_ROWS
+        if fast:
+            exe.DESC_SPAN_MIN_ROWS = 0  # force the group-reversed span
+        try:
+            matches = sorted(
+                ((i * 37) % 1000, i) for i in range(400) if i % 10 == 3
+            )
+            ts_desc = [ts for ts, _ in matches][::-1]
+            got = []
+            for start in range(0, len(matches) + 6, 6):
+                page = (
+                    db.query("t").where("grp", "=", 3)
+                    .order_by("ts", desc=True).offset(start).limit(6)
+                    .no_cache().fetch()
+                )
+                got.extend(r["ts"] for r in page.records)
+                if not page.has_more:
+                    break
+            assert got == ts_desc
+            # a fresh delta-log write lands at the right DESC position
+            db.insert("t", {"id": 9000, "grp": 3, "ts": 998})
+            first = (
+                db.query("t").where("grp", "=", 3)
+                .order_by("ts", desc=True).limit(2).no_cache().fetch()
+            )
+            assert [r["ts"] for r in first][0] == 998
+        finally:
+            exe.DESC_SPAN_MIN_ROWS = old
             db.close()
 
     def test_cheaper_arm_still_beats_order_serving(self):

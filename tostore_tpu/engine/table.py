@@ -95,6 +95,9 @@ class SortedIndex:
         self._cache = None
         self._merged_gen = -2
         self._merged: np.ndarray | None = None
+        self._merged_keys: np.ndarray | None = None
+        self._desc_gen = -2  # group-reversed ordered_rows cache
+        self._desc: np.ndarray | None = None
         self._build_lock = threading.Lock()
 
     @staticmethod
@@ -171,6 +174,9 @@ class SortedIndex:
         self._cache = None
         self._merged_gen = -2
         self._merged = None
+        self._merged_keys = None
+        self._desc_gen = -2
+        self._desc = None
         self._tracked_gen = store.generation
         self._gen = store.generation  # published LAST (see _build_lock doc)
 
@@ -317,6 +323,9 @@ class SortedIndex:
         self._cache = cache
         self._merged_gen = -2
         self._merged = None
+        self._merged_keys = None
+        self._desc_gen = -2
+        self._desc = None
         self._cache_gen = g  # published last
         return cache
 
@@ -340,56 +349,98 @@ class SortedIndex:
         ak, _, dk, _, _ = d
         return base - self._count_in(dk, kl, kh) + self._count_in(ak, kl, kh)
 
-    def span_rows(self, store: ColumnStore, span, ordered: bool = False) -> np.ndarray:
+    @staticmethod
+    def _group_reverse(rows: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        """Key-DESC view of an ASC (rows, keys) pair: reverse the order of
+        equal-key GROUPS while preserving intra-group order — ties keep the
+        same relative order as the ASC path, and NULL keys (which sort
+        first ASC, memcomparable tag 0x01) land at the end, matching the
+        sort path's nulls-first-asc / nulls-last-desc convention."""
+        m = len(rows)
+        if m <= 1:
+            return rows
+        change = np.r_[True, keys[1:] != keys[:-1]]
+        gid = np.cumsum(change) - 1
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.r_[starts, m])
+        elem_start = starts[gid]
+        dest = (m - (elem_start + sizes[gid])) + (np.arange(m) - elem_start)
+        out = np.empty(m, rows.dtype)
+        out[dest] = rows
+        return out
+
+    def span_rows(
+        self, store: ColumnStore, span, ordered: bool = False,
+        desc: bool = False,
+    ) -> np.ndarray:
         """Candidate rowids for a span. With `ordered=True` the result is in
         index-KEY order — pending delta adds are merge-inserted at their key
         position instead of concatenated (the executor's ordered-slice fast
         path pages the raw span, so appended-at-the-end delta rows would
         drop recently written rows from early pages and misorder late ones).
+        `desc=True` (with ordered) returns the group-reversed key-DESC view.
         """
         a, b, kl, kh = span
         d = self._ensure(store)
         rows = self._order[a:b]
-        if d is None:
-            return rows
-        ak, ar, dk, dr, del_set = d
-        keys = self._keys[a:b] if ordered else None
-        if del_set and len(rows):
-            keep = ~np.isin(rows, dr)
-            rows = rows[keep]
-            if ordered:
-                keys = keys[keep]
-        lo = 0 if kl is None else int(np.searchsorted(ak, kl, side="left"))
-        hi = len(ak) if kh is None else int(np.searchsorted(ak, kh, side="left"))
-        if hi > lo:
-            if ordered:
-                pos = np.searchsorted(keys, ak[lo:hi], side="right")
-                rows = np.insert(rows, pos, ar[lo:hi])
-            else:
-                rows = np.concatenate([rows, ar[lo:hi]])
+        need_keys = ordered and (desc or d is not None)
+        keys = self._keys[a:b] if need_keys else None
+        if d is not None:
+            ak, ar, dk, dr, del_set = d
+            if del_set and len(rows):
+                keep = ~np.isin(rows, dr)
+                rows = rows[keep]
+                if need_keys:
+                    keys = keys[keep]
+            lo = 0 if kl is None else int(np.searchsorted(ak, kl, side="left"))
+            hi = len(ak) if kh is None else int(np.searchsorted(ak, kh, side="left"))
+            if hi > lo:
+                if ordered:
+                    pos = np.searchsorted(keys, ak[lo:hi], side="right")
+                    rows = np.insert(rows, pos, ar[lo:hi])
+                    if desc:
+                        keys = np.insert(keys, pos, ak[lo:hi])
+                else:
+                    rows = np.concatenate([rows, ar[lo:hi]])
+        if ordered and desc:
+            rows = self._group_reverse(rows, keys)
         return rows
 
-    def ordered_rows(self, store: ColumnStore) -> np.ndarray:
+    def ordered_rows(self, store: ColumnStore, desc: bool = False) -> np.ndarray:
         d = self._ensure(store)
-        if d is None:
-            return self._order
         g = store.generation
-        if self._merged_gen == g:
-            return self._merged
-        with self._build_lock:
-            if self._merged_gen == store.generation:
-                return self._merged
-            ak, ar, dk, dr, del_set = d
-            keys, order = self._keys, self._order
-            if del_set and len(order):
-                keep = ~np.isin(order, dr)
-                keys, order = keys[keep], order[keep]
-            if len(ak):
-                pos = np.searchsorted(keys, ak, side="right")
-                order = np.insert(order, pos, ar)
-            self._merged = order
-            self._merged_gen = store.generation  # published last
+        if d is None:
+            order, keys = self._order, self._keys
+        elif self._merged_gen == g:
+            order, keys = self._merged, self._merged_keys
+        else:
+            with self._build_lock:
+                if self._merged_gen == store.generation:
+                    order, keys = self._merged, self._merged_keys
+                else:
+                    ak, ar, dk, dr, del_set = d
+                    keys, order = self._keys, self._order
+                    if del_set and len(order):
+                        keep = ~np.isin(order, dr)
+                        keys, order = keys[keep], order[keep]
+                    if len(ak):
+                        pos = np.searchsorted(keys, ak, side="right")
+                        order = np.insert(order, pos, ar)
+                        keys = np.insert(keys, pos, ak)
+                    self._merged = order
+                    self._merged_keys = keys
+                    self._merged_gen = store.generation  # published last
+        if not desc:
             return order
+        if self._desc_gen == g:
+            return self._desc
+        with self._build_lock:
+            if self._desc_gen == store.generation:
+                return self._desc
+            rev = self._group_reverse(order, keys)
+            self._desc = rev
+            self._desc_gen = store.generation  # published last
+            return rev
 
     # --- bisect spans ---------------------------------------------------------
 

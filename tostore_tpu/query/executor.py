@@ -87,6 +87,8 @@ class ExplainInfo:
     # single-arm indexScan whose slice already satisfies spec.order_by
     # (composite key order after the equality prefix) — skips the sort
     ordered: bool = False
+    # same, but the order_by is all-DESC: the reversed slice serves it
+    ordered_rev: bool = False
 
 
 def _encode_cursor(values: list, pk) -> str:
@@ -268,6 +270,10 @@ class QueryExecutor:
     MAX_IN_ARMS = 16
     # below this the per-row cost difference between plans is noise
     MIN_COST_ROWS = 256
+    # desc-serving span cutoff: measured crossover where the group-reversed
+    # span beats the partial top-k sort (0.34 vs 0.47 ms at est=1k;
+    # 1.31 vs 0.76 ms at est=10k — limit 20, 100k rows)
+    DESC_SPAN_MIN_ROWS = 4096
 
     def choose_plan(self, table, spec: QuerySpec) -> ExplainInfo:
         """Cost-based index selection (reference query_optimizer.dart:30-43
@@ -283,12 +289,14 @@ class QueryExecutor:
             cond.dnf() if cond is not None and not cond.is_empty else None
         )
         if conjs and conjs != [[]] and table.sorted_indexes and n:
-            # ascending order_by fields act as a cost TIE-BREAKER: an arm
-            # whose index continues into the sort keys past its equality
-            # prefix serves the ordered-slice fast path (no re-sort)
+            # uniform-direction order_by fields act as a cost TIE-BREAKER:
+            # an arm whose index continues into the sort keys past its
+            # equality prefix serves the ordered-slice fast path (no
+            # re-sort; all-desc pages the reversed slice)
+            dirs = {d for _, d in spec.order_by}
             want_order = (
                 tuple(f for f, _ in spec.order_by)
-                if spec.order_by and all(not d for _, d in spec.order_by)
+                if spec.order_by and len(dirs) == 1
                 else None
             )
             arms, eq_len = self._plan_arms(table, conjs, want_order)
@@ -302,20 +310,27 @@ class QueryExecutor:
                 # scan; below the noise floor always take the index
                 if est <= self.MIN_COST_ROWS or est <= n // 2:
                     names = sorted({name for name, _ in arms})
-                    ordered = False
+                    ordered = ordered_rev = False
                     if eq_len is not None and spec.order_by:
                         sidx = table.sorted_indexes[arms[0][0]]
                         want = tuple(f for f, _ in spec.order_by)
-                        ordered = (
-                            all(not d for _, d in spec.order_by)
-                            and sidx.fields[eq_len : eq_len + len(want)] == want
-                        )
+                        if sidx.fields[eq_len : eq_len + len(want)] == want:
+                            ordered = dirs == {False}
+                            # DESC pays an uncached O(est) group-reverse
+                            # over object keys; below the measured
+                            # crossover (~2-4k rows at limit 20, see
+                            # tests) the partial top-k sort is cheaper
+                            ordered_rev = (
+                                dirs == {True}
+                                and est >= self.DESC_SPAN_MIN_ROWS
+                            )
                     return ExplainInfo(
                         "indexScan" if len(arms) == 1 else "indexUnion",
                         ",".join(names),
                         est,
                         arms=arms,
                         ordered=ordered,
+                        ordered_rev=ordered_rev,
                     )
         if spec.order_by:
             fields_ = tuple(f for f, _ in spec.order_by)
@@ -523,10 +538,17 @@ class QueryExecutor:
         plan = self.choose_plan(table, spec)
 
         # 1. candidate rows
+        all_desc = bool(spec.order_by) and all(d for _, d in spec.order_by)
         if plan.plan in ("indexScan", "indexUnion"):
-            rows = self._rows_from_arms(table, plan.arms, ordered=plan.ordered)
+            rows = self._rows_from_arms(
+                table, plan.arms,
+                ordered=plan.ordered or plan.ordered_rev,
+                desc=plan.ordered_rev,
+            )
         elif plan.plan == "indexOrder":
-            rows = table.sorted_indexes[plan.index].ordered_rows(store)
+            rows = table.sorted_indexes[plan.index].ordered_rows(
+                store, desc=all_desc
+            )
         else:
             rows = np.flatnonzero(store.valid_view())
         # 2. residual predicate as vectorized mask
@@ -575,8 +597,13 @@ class QueryExecutor:
                 if spec.limit is not None
                 else self.db.config.default_query_limit
             )
-            pre_sorted = plan.ordered or (
-                plan.plan == "indexOrder" and all(not d for _, d in order)
+            pre_sorted = (
+                plan.ordered
+                or plan.ordered_rev
+                or (
+                    plan.plan == "indexOrder"
+                    and (all_desc or all(not d for _, d in order))
+                )
             )
             if not pre_sorted:
                 # tableScan (flatnonzero) and indexUnion (np.unique) yield
@@ -850,15 +877,20 @@ class QueryExecutor:
         inner.sort(key=lambda j: len(self.db._table(j.table, space).store))
         return inner + rest
 
-    def _rows_from_arms(self, table, arms: list[tuple], ordered=False) -> np.ndarray:
+    def _rows_from_arms(
+        self, table, arms: list[tuple], ordered=False, desc=False
+    ) -> np.ndarray:
         """Candidate rows for resolved bisect arms; unions dedupe.
         `ordered` (single-arm plans only) asks the index to merge pending
         delta-log rows at their key position — required by the ordered-slice
-        fast path, which pages the span without re-sorting."""
+        fast path, which pages the span without re-sorting; `desc` serves
+        the group-reversed key-DESC view."""
         store = table.store
         if len(arms) == 1:
             name, sp = arms[0]
-            return table.sorted_indexes[name].span_rows(store, sp, ordered=ordered)
+            return table.sorted_indexes[name].span_rows(
+                store, sp, ordered=ordered, desc=desc
+            )
         parts = [
             table.sorted_indexes[name].span_rows(store, sp)
             for name, sp in arms
