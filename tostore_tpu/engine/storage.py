@@ -97,6 +97,23 @@ class _FileAppender:
         self._f.close()
 
 
+def _fsync_dir(path: str) -> None:
+    """Persist a rename/create in its parent directory: fsyncing the file
+    alone does not make the DIRECTORY ENTRY durable, so a crash right
+    after os.replace could lose the whole replace."""
+    d = os.path.dirname(path) or "."
+    try:
+        fd = os.open(d, os.O_RDONLY)
+    except OSError:
+        return  # non-POSIX dir semantics: best effort
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 class FileStorage(Storage):
     """POSIX files — today's semantics, fsync included."""
 
@@ -114,9 +131,14 @@ class FileStorage(Storage):
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
+        _fsync_dir(path)
 
     def appender(self, path: str) -> _FileAppender:
-        return _FileAppender(path)
+        created = not os.path.exists(path)
+        ap = _FileAppender(path)
+        if created:
+            _fsync_dir(path)  # make the new segment's dir entry durable
+        return ap
 
     def list(self, dir_path: str) -> list[str]:
         if not os.path.isdir(dir_path):
