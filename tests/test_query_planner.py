@@ -560,3 +560,101 @@ class TestOrderTieBreak:
             assert [r["id"] for r in res] == [5]
         finally:
             db.close()
+
+
+class TestCursorFastPath:
+    """Cursor pagination on the row-id fast path: a vectorized
+    strictly-after filter + limit-aware partial sort replaces the
+    materialize-everything record compare (which remains the fallback for
+    object columns)."""
+
+    def _db(self, n=500):
+        schema = TableSchema(
+            name="t",
+            fields=(
+                FieldSchema("a", DataType.integer),
+                FieldSchema("s", DataType.text),
+            ),
+            indexes=(IndexSchema(fields=("a",)),),
+        )
+        d = ToStoreTPU.memory(schemas=[schema])
+        rows = []
+        for i in range(n):
+            rows.append({
+                "id": i,
+                # heavy ties + nulls to stress the tie-break levels
+                "a": None if i % 11 == 0 else (i * 7) % 13,
+                "s": f"w{i % 5}",
+            })
+        d.batch_insert("t", rows)
+        return d
+
+    def _walk(self, db, field, desc, page=7):
+        got = []
+        res = (
+            db.query("t").order_by(field, desc=desc).limit(page)
+            .no_cache().fetch()
+        )
+        got.extend(r["id"] for r in res)
+        while res.next_cursor:
+            res = res.next()
+            got.extend(r["id"] for r in res)
+        return got
+
+    @pytest.mark.parametrize("desc", [False, True])
+    def test_cursor_walk_typed_column_matches_offset_oracle(self, desc):
+        db = self._db()
+        try:
+            # oracle: offset paging over the same order (slow full sort)
+            oracle = []
+            start = 0
+            while True:
+                res = (
+                    db.query("t").order_by("a", desc=desc)
+                    .offset(start).limit(7).no_cache().fetch()
+                )
+                oracle.extend(r["id"] for r in res)
+                if not res.has_more:
+                    break
+                start += 7
+            got = self._walk(db, "a", desc)
+            assert got == oracle
+            assert sorted(got) == list(range(500))  # every row exactly once
+        finally:
+            db.close()
+
+    @pytest.mark.parametrize("desc", [False, True])
+    def test_cursor_walk_object_column_fallback_parity(self, desc):
+        db = self._db(200)
+        try:
+            got = self._walk(db, "s", desc)  # text column: fallback path
+            assert sorted(got) == list(range(200))
+            svals = [
+                db.get_by_pk("t", pk)["s"] for pk in got
+            ]
+            assert svals == sorted(svals, reverse=desc)
+        finally:
+            db.close()
+
+    def test_cursor_with_condition_and_writes_between_pages(self):
+        db = self._db()
+        try:
+            res = (
+                db.query("t").where("a", ">=", 5).order_by("a").limit(9)
+                .no_cache().fetch()
+            )
+            seen = [r["id"] for r in res]
+            first_new = 1000
+            db.insert("t", {"id": first_new, "a": 12, "s": "zz"})
+            while res.next_cursor:
+                res = res.next()
+                seen.extend(r["id"] for r in res)
+            # no duplicates; the concurrent insert (a=12, sorts late)
+            # surfaces in a later page
+            assert len(seen) == len(set(seen))
+            assert first_new in seen
+            a_vals = [db.get_by_pk("t", pk)["a"] for pk in seen]
+            assert a_vals == sorted(a_vals)
+            assert all(v >= 5 for v in a_vals)
+        finally:
+            db.close()

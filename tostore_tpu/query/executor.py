@@ -584,44 +584,71 @@ class QueryExecutor:
             and not spec.aggregates
             and not spec.group_by
             and not spec.distinct
-            and spec.cursor is None
         ):
-            total = int(len(rows))
-            start = (
-                min(spec.offset, self.db.config.max_query_offset)
-                if spec.offset
-                else 0
-            )
-            limit = (
-                spec.limit
-                if spec.limit is not None
-                else self.db.config.default_query_limit
-            )
-            pre_sorted = (
-                plan.ordered
-                or plan.ordered_rev
-                or (
-                    plan.plan == "indexOrder"
-                    and (all_desc or all(not d for _, d in order))
+            cmask = None
+            if spec.cursor is not None:
+                # cursor resume as a VECTORIZED filter over typed columns
+                # (strictly-after (order values, pk)), then a limit-aware
+                # partial sort — a cursor walk over 1M rows must not
+                # materialize + python-sort every match per page. Object
+                # columns / odd cursor payloads fall back to the exact
+                # record-compare path below.
+                try:
+                    vals, last_pk = _decode_cursor(spec.cursor)
+                    cmask = self._after_cursor_mask(
+                        store, rows, order, pk_name, vals, last_pk
+                    )
+                except Exception:
+                    cmask = None
+            if spec.cursor is None or cmask is not None:
+                total = int(len(rows))
+                limit = (
+                    spec.limit
+                    if spec.limit is not None
+                    else self.db.config.default_query_limit
                 )
-            )
-            if not pre_sorted:
-                # tableScan (flatnonzero) and indexUnion (np.unique) yield
-                # rowid-sorted candidates; index slices are in KEY order
-                rowid_sorted = plan.plan in ("tableScan", "indexUnion")
-                rows = self._sort_rows(
-                    store, rows, order, pk_name, start + limit,
-                    rowid_sorted=rowid_sorted,
+                pre_sorted = (
+                    plan.ordered
+                    or plan.ordered_rev
+                    or (
+                        plan.plan == "indexOrder"
+                        and (all_desc or all(not d for _, d in order))
+                    )
                 )
-            page_rows = rows[start : start + limit]
-            page = store.read_rows(page_rows)
-            for rec in page:
-                rec.pop("_system_ingest_ts_ms", None)
-            has_more = start + limit < total
-            return self._finish(
-                space, table_name, spec, cache_key, page, order, pk_name,
-                total, has_more, start,
-            )
+                if cmask is not None:
+                    rows = rows[cmask]
+                    start = total - int(len(rows))
+                    want = limit
+                    page_lo = 0
+                else:
+                    start = (
+                        min(spec.offset, self.db.config.max_query_offset)
+                        if spec.offset
+                        else 0
+                    )
+                    want = start + limit
+                    page_lo = start
+                if not pre_sorted:
+                    # tableScan (flatnonzero) and indexUnion (np.unique)
+                    # yield rowid-sorted candidates; index slices are in
+                    # KEY order (cursor-masked sets lose contiguity)
+                    rowid_sorted = (
+                        cmask is None
+                        and plan.plan in ("tableScan", "indexUnion")
+                    )
+                    rows = self._sort_rows(
+                        store, rows, order, pk_name, want,
+                        rowid_sorted=rowid_sorted,
+                    )
+                page_rows = rows[page_lo : page_lo + limit]
+                page = store.read_rows(page_rows)
+                for rec in page:
+                    rec.pop("_system_ingest_ts_ms", None)
+                has_more = start + limit < total
+                return self._finish(
+                    space, table_name, spec, cache_key, page, order, pk_name,
+                    total, has_more, start,
+                )
 
         # 3. materialize (+ overlay merge) + joins
         records = store.read_rows(rows)
@@ -848,6 +875,51 @@ class QueryExecutor:
             keys.append(vk)
             keys.append(nk)
         return keys
+
+    def _after_cursor_mask(
+        self, store, rows: np.ndarray, order: list, pk_name: str,
+        vals: list, last_pk,
+    ):
+        """Boolean mask over candidate `rows` selecting records strictly
+        AFTER the cursor position (order values, then pk ascending as the
+        final tie-break — the same lexicographic rule as the record-compare
+        path). Null ranks match _sort_key/_NegKey: nulls first ascending,
+        last descending. Returns None when any order field (or the pk)
+        lives in an object column — caller falls back to the exact path."""
+        m = len(rows)
+        if m == 0:
+            return np.zeros(0, np.bool_)
+        if len(vals) != len(order):
+            return None
+        after = np.zeros(m, np.bool_)
+        all_eq = np.ones(m, np.bool_)
+        levels = [(f, d, v) for (f, d), v in zip(order, vals)]
+        levels.append((pk_name, False, last_pk))
+        for f, desc, cval in levels:
+            col = store.pk_col if f == pk_name else store.columns.get(f)
+            if col is None or col.np_type is None:
+                return None
+            col._grow(store.high)
+            v = col.data[rows]
+            nl = col.null[rows]
+            if v.dtype == np.bool_:
+                v = v.astype(np.int8)
+            if isinstance(cval, bool):
+                cval = int(cval)
+            nn = ~nl
+            if cval is None:
+                gt_asc = nn  # any non-null sorts after a null cursor value
+                lt_asc = np.zeros(m, np.bool_)
+                eq = nl
+            else:
+                if isinstance(cval, str):
+                    return None  # typed numeric column vs string cursor
+                gt_asc = nn & (v > cval)
+                lt_asc = nl | (nn & (v < cval))
+                eq = nn & (v == cval)
+            after |= all_eq & (lt_asc if desc else gt_asc)
+            all_eq = all_eq & eq
+        return after
 
     def _order_joins(self, space: str, table, joins: list) -> list:
         """Join ordering: run INNER joins most-selective-first (smallest
