@@ -1046,6 +1046,85 @@ def config13_index_build():
     }
 
 
+def config14_relational_query():
+    """#14: relational query hot paths at 1M rows (host/CPU work): point
+    lookups, eq+order_by+limit via the order-serving composite arm,
+    cursor-walk pages (vectorized strictly-after filter), and group_by
+    aggregates (group codes + bincount reducers). The reference drives
+    these same shapes through its query_executor/topk_heap."""
+    from tostore_tpu import (
+        DataType, FieldSchema, IndexSchema, TableSchema, ToStoreTPU,
+    )
+    from tostore_tpu.models.aggregation import Agg
+
+    s = TableSchema(
+        name="t",
+        fields=(FieldSchema("grp", DataType.integer),
+                FieldSchema("ts", DataType.integer),
+                FieldSchema("city", DataType.text),
+                FieldSchema("x", DataType.double)),
+        indexes=(IndexSchema(fields=("grp", "ts")),),
+    )
+    db = ToStoreTPU.memory(schemas=[s])
+    rng = np.random.default_rng(0)
+    n = 1_000_000
+    step = 250_000
+    gs = rng.integers(0, 1000, n)
+    tss = rng.integers(0, 10**9, n)
+    cs = rng.integers(0, 20, n)
+    xs = rng.standard_normal(n)
+    for lo in range(0, n, step):
+        db.batch_insert("t", [
+            {"id": i, "grp": int(gs[i]), "ts": int(tss[i]),
+             "city": f"c{int(cs[i])}", "x": float(xs[i])}
+            for i in range(lo, lo + step)
+        ])
+
+    q_point = lambda: db.get_by_pk("t", 424242)
+    q_page = lambda: (
+        db.query("t").where("grp", "=", 7).order_by("ts").limit(20)
+        .no_cache().fetch()
+    )
+    q_agg = lambda: db.engine.query("t", __import__(
+        "tostore_tpu.query.executor", fromlist=["QuerySpec"]
+    ).QuerySpec(
+        group_by=["city"],
+        aggregates=[Agg.count(alias="n"), Agg.sum("x", alias="sx"),
+                    Agg.avg("x", alias="ax")],
+    ))
+
+    def cursor_walk(pages=10):
+        res = db.query("t").order_by("ts").limit(50).no_cache().fetch()
+        k = 1
+        while res.next_cursor and k < pages:
+            res = res.next()
+            k += 1
+
+    for f in (q_point, q_page, q_agg):
+        f()
+    cursor_walk(2)
+    t0 = time.time(); [q_point() for _ in range(2000)]
+    point_us = (time.time() - t0) / 2000 * 1e6
+    t0 = time.time(); [q_page() for _ in range(300)]
+    page_ms = (time.time() - t0) / 300 * 1e3
+    t0 = time.time(); cursor_walk()
+    cursor_ms = (time.time() - t0) / 10 * 1e3
+    t0 = time.time(); [q_agg() for _ in range(5)]
+    agg_ms = (time.time() - t0) / 5 * 1e3
+    db.close()
+    return {
+        "config": "relational_query_1M_rows",
+        "point_get_us": round(point_us, 1),
+        "eq_order_limit_page_ms": round(page_ms, 3),
+        "eq_order_limit_qps": round(1e3 / page_ms, 0),
+        "cursor_page_ms": round(cursor_ms, 2),
+        "group_by_text_agg_ms": round(agg_ms, 1),
+        "note": "single host thread; order-serving arm skips the sort, "
+                "cursor pages filter vectorized, aggregates reduce via "
+                "group codes + bincount (no record materialization)",
+    }
+
+
 CONFIGS = {
     "1": config1_flat_100k,
     "2": config2_flat_1m,
@@ -1060,6 +1139,7 @@ CONFIGS = {
     "11": config11_engine_concurrent,
     "12": config12_scale_soak,
     "13": config13_index_build,
+    "14": config14_relational_query,
 }
 
 

@@ -658,3 +658,135 @@ class TestCursorFastPath:
             assert all(v >= 5 for v in a_vals)
         finally:
             db.close()
+
+
+class TestAggregateFastPath:
+    """Vectorized aggregation (group codes + bincount/ufunc.at) must be
+    value-identical to the record-path _aggregate, including null
+    skipping, empty->None, int/bool result types, and group order."""
+
+    def _db(self, n=400):
+        schema = TableSchema(
+            name="t",
+            fields=(
+                FieldSchema("g", DataType.integer),
+                FieldSchema("city", DataType.text),
+                FieldSchema("x", DataType.integer),
+                FieldSchema("f", DataType.double),
+                FieldSchema("flag", DataType.boolean),
+            ),
+        )
+        d = ToStoreTPU.memory(schemas=[schema])
+        rng = np.random.default_rng(5)
+        rows = []
+        for i in range(n):
+            rows.append({
+                "id": i,
+                "g": None if i % 13 == 0 else int(rng.integers(0, 6)),
+                "city": None if i % 17 == 0 else f"c{int(rng.integers(0, 4))}",
+                "x": None if i % 7 == 0 else int(rng.integers(-50, 50)),
+                "f": None if i % 5 == 0 else float(rng.standard_normal()),
+                "flag": None if i % 19 == 0 else bool(rng.integers(0, 2)),
+            })
+        d.batch_insert("t", rows)
+        return d
+
+    def _agg_spec(self, db, group_by, cond=None, having=None,
+                  order_by=None, limit=None, offset=0):
+        from tostore_tpu.models.aggregation import Agg
+
+        spec = QuerySpec(
+            condition=cond,
+            group_by=list(group_by),
+            aggregates=[
+                Agg.count(alias="n"),
+                Agg.count("x", alias="nx"),
+                Agg.sum("x", alias="sx"),
+                Agg.avg("f", alias="af"),
+                Agg.min("x", alias="mnx"),
+                Agg.max("f", alias="mxf"),
+                Agg.sum("flag", alias="sfl"),
+                Agg.min("flag", alias="mnfl"),
+            ],
+            having=having,
+            order_by=order_by or [],
+            limit=limit,
+            offset=offset,
+        )
+        return spec
+
+    def _both(self, db, spec):
+        exe = db.engine.executor
+        fast = db.engine.query("t", spec)
+        real = type(exe)._aggregate_rows
+        type(exe)._aggregate_rows = lambda self, *a: None
+        try:
+            slow = db.engine.query("t", spec)
+        finally:
+            type(exe)._aggregate_rows = real
+        return fast, slow
+
+    @staticmethod
+    def _assert_rows_equal(fast, slow, ctx=None):
+        # float sums reduce in a different order (np.add.at vs sequential
+        # python sum): equal to within ulps, everything else exact
+        assert len(fast) == len(slow), ctx
+        for fr, sr in zip(fast, slow):
+            assert fr.keys() == sr.keys(), ctx
+            for k in fr:
+                fv, sv = fr[k], sr[k]
+                if isinstance(fv, float) and isinstance(sv, float):
+                    assert fv == pytest.approx(sv, rel=1e-9), (ctx, k)
+                else:
+                    assert fv == sv, (ctx, k, fv, sv)
+
+    def test_differential_vs_record_path(self):
+        db = self._db()
+        try:
+            rng = np.random.default_rng(9)
+            for trial in range(12):
+                gb = [
+                    ["g"], ["city"], ["g", "city"], ["flag"], [],
+                ][trial % 5]
+                cond = (
+                    QueryCondition().where("x", ">", int(rng.integers(-40, 20)))
+                    if trial % 3 == 0 else None
+                )
+                fast, slow = self._both(db, self._agg_spec(db, gb, cond))
+                self._assert_rows_equal(fast.records, slow.records, (trial, gb))
+                assert fast.total == slow.total
+        finally:
+            db.close()
+
+    def test_having_order_limit_parity(self):
+        db = self._db()
+        try:
+            having = QueryCondition().where("n", ">", 10)
+            spec = self._agg_spec(
+                db, ["g"], having=having,
+                order_by=[("sx", True)], limit=3, offset=1,
+            )
+            fast, slow = self._both(db, spec)
+            self._assert_rows_equal(fast.records, slow.records)
+            assert fast.total == slow.total
+        finally:
+            db.close()
+
+    def test_result_types_match(self):
+        db = self._db(60)
+        try:
+            fast, slow = self._both(db, self._agg_spec(db, ["g"]))
+            for fr, sr in zip(fast.records, slow.records):
+                for k in fr:
+                    assert type(fr[k]) is type(sr[k]), (k, fr[k], sr[k])
+        finally:
+            db.close()
+
+    def test_empty_match_set(self):
+        db = self._db(30)
+        try:
+            cond = QueryCondition().where("x", ">", 10_000)
+            fast, slow = self._both(db, self._agg_spec(db, ["g"], cond))
+            assert fast.records == slow.records == []
+        finally:
+            db.close()

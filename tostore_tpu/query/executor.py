@@ -581,6 +581,20 @@ class QueryExecutor:
         if (
             overlay is None
             and not spec.joins
+            and (spec.aggregates or spec.group_by)
+        ):
+            # vectorized aggregation over typed columns: group codes +
+            # bincount/ufunc.at reducers — a sum() over 10M matches must
+            # not build 10M record dicts first. Object group keys
+            # factorize via np.unique; ineligible shapes (missing
+            # columns, pk group keys) take the record path below.
+            res = self._aggregate_rows(store, rows, spec)
+            if res is not None:
+                return res
+
+        if (
+            overlay is None
+            and not spec.joins
             and not spec.aggregates
             and not spec.group_by
             and not spec.distinct
@@ -1017,8 +1031,6 @@ class QueryExecutor:
         return out
 
     def _aggregate(self, records: list[dict], spec: QuerySpec):
-        from ..models.results import QueryResult
-
         groups: dict[tuple, list[dict]] = {}
         for r in records:
             key = tuple(r.get(g) for g in spec.group_by) if spec.group_by else ()
@@ -1032,6 +1044,12 @@ class QueryExecutor:
                 vals = [r.get(a.field) for r in recs] if a.field else [1] * len(recs)
                 row[a.name] = a.apply(vals)
             out.append(row)
+        return self._agg_tail(out, spec)
+
+    def _agg_tail(self, out: list[dict], spec: QuerySpec):
+        """Shared aggregate finish: having, ordering, offset/limit."""
+        from ..models.results import QueryResult
+
         if spec.having is not None:
             out = [r for r in out if spec.having.matches(r)]
         if spec.order_by:
@@ -1046,6 +1064,141 @@ class QueryExecutor:
             end = spec.offset + spec.limit if spec.limit else None
             out = out[spec.offset : end]
         return QueryResult(records=out, total=total)
+
+    def _aggregate_rows(self, store, rows: np.ndarray, spec: QuerySpec):
+        """Vectorized _aggregate over candidate ROWIDS: factorize group
+        keys into dense codes (np.unique; encounter-order-remapped so
+        group order matches the dict-insertion record path), then reduce
+        each aggregate with bincount / add.at / minimum.at on typed
+        column arrays. Returns None when a referenced column is missing
+        or an aggregate field is non-numeric (record path handles it).
+        Result values match Agg.apply exactly: count(*) counts all rows,
+        count(f)/sum/avg/min/max skip nulls, empty -> None, int columns
+        stay int (add.at on int64 — no float53 loss), bool min/max stay
+        bool, datetime reduces as its epoch-ms int (= Column.get)."""
+        m = len(rows)
+        aggs = spec.aggregates or [Agg.count()]
+        acols = {}
+        for a in aggs:
+            if a.field:
+                c = store.columns.get(a.field)
+                if c is None or c.np_type is None:
+                    return None
+                acols[a.field] = c
+        gcols = []
+        for g in spec.group_by:
+            c = store.columns.get(g)
+            if c is None:
+                return None
+            gcols.append((g, c))
+        if m == 0:
+            return self._agg_tail([], spec)
+        for c in list(acols.values()) + [c for _, c in gcols]:
+            c._grow(store.high)
+
+        if gcols:
+            codes = None
+            for _, c in gcols:
+                v = c.data[rows]
+                if c.np_type is not None:
+                    # typed: one value sort factorizes; null bucket = 0
+                    nl = c.null[rows]
+                    nn = ~nl
+                    f = np.zeros(m, np.int64)
+                    if nn.any():
+                        _, inv = np.unique(v[nn], return_inverse=True)
+                        f[nn] = inv + 1
+                else:
+                    # object (text): dict factorization beats np.unique's
+                    # O(n log n) object-compare sort ~10x at 1M rows
+                    tbl: dict = {}
+                    get = tbl.setdefault
+                    f = np.asarray(
+                        [
+                            0 if x is None else get(x, len(tbl) + 1)
+                            for x in v.tolist()
+                        ],
+                        np.int64,
+                    )
+                if codes is None:
+                    codes = f
+                else:  # multi-field: mixed radix, re-densified per step
+                    codes = codes * (int(f.max(initial=0)) + 1) + f
+                    _, codes = np.unique(codes, return_inverse=True)
+            # drop empty buckets + order groups by FIRST ENCOUNTER so the
+            # output matches the record path's dict-insertion order;
+            # minimum.at finds first occurrences without another sort
+            g0 = int(codes.max()) + 1
+            first_idx = np.full(g0, m, np.int64)
+            np.minimum.at(first_idx, codes, np.arange(m))
+            live = np.flatnonzero(first_idx < m)
+            enc = live[np.argsort(first_idx[live], kind="stable")]
+            remap = np.empty(g0, np.int64)
+            remap[enc] = np.arange(len(enc))
+            codes = remap[codes]
+            reps = rows[first_idx[enc]]  # representative rowid per group
+            G = len(enc)
+        else:
+            codes = np.zeros(m, np.int64)
+            reps = rows[:1]
+            G = 1
+
+        out = [
+            {g: c.get(int(rp)) for g, c in gcols}
+            for rp in reps
+        ]
+        counts_all = np.bincount(codes, minlength=G)
+        for a in aggs:
+            if not a.field:
+                for gi in range(G):
+                    out[gi][a.name] = int(counts_all[gi])
+                continue
+            c = acols[a.field]
+            v = c.data[rows]
+            nn = ~c.null[rows]
+            cnt = np.bincount(codes[nn], minlength=G)
+            is_float = c.np_type is np.float64
+            is_bool = v.dtype == np.bool_
+            vv = v[nn]
+            if is_bool:
+                vv = vv.astype(np.int64)
+            ck = codes[nn]
+            if a.op == "count":
+                vals = [int(x) for x in cnt]
+            elif a.op in ("sum", "avg"):
+                acc = np.zeros(G, np.float64 if is_float else np.int64)
+                np.add.at(acc, ck, vv)
+                if a.op == "sum":
+                    vals = [
+                        None if cnt[gi] == 0
+                        else (float(acc[gi]) if is_float else int(acc[gi]))
+                        for gi in range(G)
+                    ]
+                else:
+                    vals = [
+                        None if cnt[gi] == 0 else float(acc[gi]) / int(cnt[gi])
+                        for gi in range(G)
+                    ]
+            else:  # min / max
+                if is_float:
+                    init = np.inf if a.op == "min" else -np.inf
+                    acc = np.full(G, init, np.float64)
+                else:
+                    ii = np.iinfo(np.int64)
+                    acc = np.full(
+                        G, ii.max if a.op == "min" else ii.min, np.int64
+                    )
+                (np.minimum if a.op == "min" else np.maximum).at(acc, ck, vv)
+                def conv(x):
+                    if is_float:
+                        return float(x)
+                    return bool(x) if is_bool else int(x)
+                vals = [
+                    None if cnt[gi] == 0 else conv(acc[gi]) for gi in range(G)
+                ]
+            for gi in range(G):
+                out[gi][a.name] = vals[gi]
+        return self._agg_tail(out, spec)
 
 
 class _NegKey:
