@@ -790,3 +790,92 @@ class TestAggregateFastPath:
             assert fast.records == slow.records == []
         finally:
             db.close()
+
+
+class TestDistinctFastPath:
+    """Vectorized DISTINCT (sort -> factorize selected columns -> first
+    occurrence) must match the record path's sort-then-keep-first dedup,
+    projection included."""
+
+    def _db(self, n=300):
+        schema = TableSchema(
+            name="t",
+            fields=(
+                FieldSchema("g", DataType.integer),
+                FieldSchema("city", DataType.text),
+                FieldSchema("x", DataType.integer),
+            ),
+            indexes=(IndexSchema(fields=("g",)),),
+        )
+        d = ToStoreTPU.memory(schemas=[schema])
+        rng = np.random.default_rng(4)
+        d.batch_insert("t", [
+            {
+                "id": i,
+                "g": None if i % 11 == 0 else int(rng.integers(0, 5)),
+                "city": None if i % 13 == 0 else f"c{int(rng.integers(0, 4))}",
+                "x": int(rng.integers(0, 1000)),
+            }
+            for i in range(n)
+        ])
+        return d
+
+    def _both(self, db, build):
+        exe = db.engine.executor
+        fast = build().fetch()
+        real = type(exe)._distinct_rows
+        type(exe)._distinct_rows = lambda self, *a, **k: None
+        try:
+            slow = build().fetch()
+        finally:
+            type(exe)._distinct_rows = real
+        return fast, slow
+
+    def test_distinct_select_matches_record_path(self):
+        db = self._db()
+        try:
+            for sel, order in (
+                (["g"], [("g", False)]),
+                (["city"], [("city", True)]),
+                (["g", "city"], [("g", False), ("city", False)]),
+                (["g"], None),  # default pk order
+            ):
+                def build():
+                    q = db.query("t").select(*sel).distinct().no_cache()
+                    for f, d in order or []:
+                        q = q.order_by(f, desc=d)
+                    return q
+                fast, slow = self._both(db, build)
+                assert fast.records == slow.records, (sel, order)
+                assert fast.total == slow.total
+        finally:
+            db.close()
+
+    def test_distinct_pagination_parity(self):
+        db = self._db()
+        try:
+            def build():
+                return (
+                    db.query("t").select("g", "city").distinct()
+                    .order_by("g").order_by("city")
+                    .offset(3).limit(4).no_cache()
+                )
+            fast, slow = self._both(db, build)
+            assert fast.records == slow.records
+            assert fast.total == slow.total
+            assert fast.has_more == slow.has_more
+        finally:
+            db.close()
+
+    def test_distinct_with_condition(self):
+        db = self._db()
+        try:
+            def build():
+                return (
+                    db.query("t").where("x", "<", 500)
+                    .select("city").distinct().order_by("city").no_cache()
+                )
+            fast, slow = self._both(db, build)
+            assert fast.records == slow.records
+        finally:
+            db.close()

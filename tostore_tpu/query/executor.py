@@ -597,7 +597,35 @@ class QueryExecutor:
             and not spec.joins
             and not spec.aggregates
             and not spec.group_by
-            and not spec.distinct
+            and spec.distinct
+            and spec.select
+            and spec.cursor is None
+        ):
+            pre_sorted_d = (
+                plan.ordered
+                or plan.ordered_rev
+                or (
+                    plan.plan == "indexOrder"
+                    and (all_desc or all(not d for _, d in spec.order_by))
+                )
+            ) if spec.order_by else False
+            res = self._distinct_rows(
+                store, rows, spec,
+                spec.order_by or [(table.schema.primary_key.name, False)],
+                table.schema.primary_key.name, pre_sorted_d,
+                space, table_name, cache_key,
+            )
+            if res is not None:
+                return res
+
+        if (
+            overlay is None
+            and not spec.joins
+            and not spec.aggregates
+            and not spec.group_by
+            # distinct without a projection dedups on all fields
+            # INCLUDING the pk — a no-op this path serves directly
+            and (not spec.distinct or not spec.select)
         ):
             cmask = None
             if spec.cursor is not None:
@@ -1065,6 +1093,124 @@ class QueryExecutor:
             out = out[spec.offset : end]
         return QueryResult(records=out, total=total)
 
+    @staticmethod
+    def _factorize(rows: np.ndarray, cols: list) -> np.ndarray:
+        """Dense int64 codes for the value combinations of `cols` over
+        `rows` (codes may include empty buckets; bucket 0 = null). Typed
+        columns factorize with one np.unique sort; object (text) columns
+        use dict factorization — ~10x cheaper than an object-compare sort
+        at 1M rows. Multi-column combines by mixed radix, re-densified
+        per step."""
+        m = len(rows)
+        codes = None
+        for c in cols:
+            v = c.data[rows]
+            if c.np_type is not None:
+                nn = ~c.null[rows]
+                f = np.zeros(m, np.int64)
+                if nn.any():
+                    _, inv = np.unique(v[nn], return_inverse=True)
+                    f[nn] = inv + 1
+            else:
+                tbl: dict = {}
+                get = tbl.setdefault
+                f = np.asarray(
+                    [
+                        0 if x is None else get(x, len(tbl) + 1)
+                        for x in v.tolist()
+                    ],
+                    np.int64,
+                )
+            if codes is None:
+                codes = f
+            else:
+                codes = codes * (int(f.max(initial=0)) + 1) + f
+                _, codes = np.unique(codes, return_inverse=True)
+        return codes
+
+    def _distinct_rows(
+        self, store, rows: np.ndarray, spec: QuerySpec, order, pk_name,
+        pre_sorted: bool, space, table_name, cache_key,
+    ):
+        """Vectorized DISTINCT over candidate rowids: sort by the order
+        spec, factorize the SELECTED columns, keep each combination's
+        first occurrence (= the record path's keep-first-after-sort), and
+        materialize only the page. Only reachable with a projection — a
+        distinct without select dedups on the pk and is a no-op the plain
+        fast path already serves. Returns None when a selected field has
+        no column (record path handles it)."""
+        sel = spec.select or []
+        cols = []
+        for f in sel:
+            c = store.pk_col if f == pk_name else store.columns.get(f)
+            if c is None:
+                return None
+            cols.append(c)
+        m = len(rows)
+        limit = (
+            spec.limit
+            if spec.limit is not None
+            else self.db.config.default_query_limit
+        )
+        start = (
+            min(spec.offset, self.db.config.max_query_offset)
+            if spec.offset
+            else 0
+        )
+        if m == 0:
+            return self._finish(
+                space, table_name, spec, cache_key, [], order, pk_name,
+                0, False, start,
+            )
+        for c in cols:
+            c._grow(store.high)
+        typed_order = pre_sorted or (
+            self._lex_keys(store, rows[:1], order, pk_name) is not None
+        )
+        if typed_order:
+            # typed order fields: lexsort ALL rows, then each value
+            # combination's first occurrence is its keep-first-after-sort
+            # representative and result position
+            if not pre_sorted:
+                rows = self._sort_rows(store, rows, order, pk_name, -1)
+            codes = self._factorize(rows, cols)
+            g0 = int(codes.max()) + 1
+            first_idx = np.full(g0, m, np.int64)
+            np.minimum.at(first_idx, codes, np.arange(m))
+            firsts = np.sort(first_idx[first_idx < m])
+            total = int(len(firsts))
+            page_rows = rows[firsts[start : start + limit]]
+            page = store.read_rows(page_rows)
+        elif {f for f, _ in order} <= set(sel):
+            # object order fields, but all of them are PROJECTED: every
+            # row of a combination shares the sort key, so any
+            # representative projects identically — factorize WITHOUT
+            # sorting (a python key-sort of 1M rowids costs seconds) and
+            # sort only the G representatives as records
+            codes = self._factorize(rows, cols)
+            g0 = int(codes.max()) + 1
+            first_idx = np.full(g0, m, np.int64)
+            np.minimum.at(first_idx, codes, np.arange(m))
+            reps = rows[first_idx[first_idx < m]]
+            recs = store.read_rows(reps)
+            recs.sort(
+                key=lambda r: tuple(
+                    _sort_key(r.get(f)) if not d else _NegKey(_sort_key(r.get(f)))
+                    for f, d in order
+                )
+            )
+            total = len(recs)
+            page = recs[start : start + limit]
+        else:
+            return None  # unprojected object order field: record path
+        for rec in page:
+            rec.pop("_system_ingest_ts_ms", None)
+        has_more = start + limit < total
+        return self._finish(
+            space, table_name, spec, cache_key, page, order, pk_name,
+            total, has_more, start,
+        )
+
     def _aggregate_rows(self, store, rows: np.ndarray, spec: QuerySpec):
         """Vectorized _aggregate over candidate ROWIDS: factorize group
         keys into dense codes (np.unique; encounter-order-remapped so
@@ -1097,34 +1243,7 @@ class QueryExecutor:
             c._grow(store.high)
 
         if gcols:
-            codes = None
-            for _, c in gcols:
-                v = c.data[rows]
-                if c.np_type is not None:
-                    # typed: one value sort factorizes; null bucket = 0
-                    nl = c.null[rows]
-                    nn = ~nl
-                    f = np.zeros(m, np.int64)
-                    if nn.any():
-                        _, inv = np.unique(v[nn], return_inverse=True)
-                        f[nn] = inv + 1
-                else:
-                    # object (text): dict factorization beats np.unique's
-                    # O(n log n) object-compare sort ~10x at 1M rows
-                    tbl: dict = {}
-                    get = tbl.setdefault
-                    f = np.asarray(
-                        [
-                            0 if x is None else get(x, len(tbl) + 1)
-                            for x in v.tolist()
-                        ],
-                        np.int64,
-                    )
-                if codes is None:
-                    codes = f
-                else:  # multi-field: mixed radix, re-densified per step
-                    codes = codes * (int(f.max(initial=0)) + 1) + f
-                    _, codes = np.unique(codes, return_inverse=True)
+            codes = self._factorize(rows, [c for _, c in gcols])
             # drop empty buckets + order groups by FIRST ENCOUNTER so the
             # output matches the record path's dict-insertion order;
             # minimum.at finds first occurrences without another sort
