@@ -879,3 +879,65 @@ class TestDistinctFastPath:
             assert fast.records == slow.records
         finally:
             db.close()
+
+
+class TestBackwardCursor:
+    """QueryResult.prev() pages strictly BEFORE the cursor (reference
+    query_result.dart prev()); before the fix the backward flag was
+    dropped and prev() returned a forward page shifted by one row."""
+
+    def _db(self, n=30):
+        s = TableSchema(
+            name="t",
+            fields=(
+                FieldSchema("v", DataType.integer),
+                FieldSchema("s", DataType.text),
+            ),
+        )
+        d = ToStoreTPU.memory(schemas=[s])
+        d.batch_insert(
+            "t", [{"id": i, "v": i % 7, "s": f"w{i:03d}"} for i in range(n)]
+        )
+        return d
+
+    @pytest.mark.parametrize("field", ["v", "s"])  # fast path + fallback
+    @pytest.mark.parametrize("desc", [False, True])
+    def test_prev_inverts_next(self, field, desc):
+        db = self._db()
+        try:
+            p1 = db.query("t").order_by(field, desc=desc).limit(5).no_cache().fetch()
+            p2 = p1.next()
+            p3 = p2.next()
+            b2 = p3.prev()
+            b1 = b2.prev()
+            assert [r["id"] for r in b2] == [r["id"] for r in p2]
+            assert [r["id"] for r in b1] == [r["id"] for r in p1]
+            assert b1.prev().records == []  # at the beginning
+        finally:
+            db.close()
+
+    def test_prev_partial_leading_page(self):
+        db = self._db()
+        try:
+            px = db.query("t").order_by("v").offset(3).limit(5).no_cache().fetch()
+            pb = px.prev()  # only 3 records exist before the page
+            lead = db.query("t").order_by("v").limit(3).no_cache().fetch()
+            assert [r["id"] for r in pb] == [r["id"] for r in lead]
+            assert pb.has_more
+        finally:
+            db.close()
+
+    def test_prev_after_writes_between_pages(self):
+        db = self._db()
+        try:
+            p1 = db.query("t").order_by("v").limit(5).no_cache().fetch()
+            p2 = p1.next()
+            db.insert("t", {"id": 900, "v": 0, "s": "zz"})  # sorts early
+            back = p2.prev()
+            # the fresh row belongs before the cursor: it surfaces in the
+            # backward page, everything stays strictly before page 2
+            ids = [r["id"] for r in back]
+            assert 900 in ids
+            assert len(ids) == 5
+        finally:
+            db.close()

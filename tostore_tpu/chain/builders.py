@@ -186,6 +186,7 @@ class QueryBuilder(_ConditionMixin):
 
         spec = copy.deepcopy(self._spec)
         spec.cursor = cursor
+        spec.cursor_backward = not forward  # prev(): page BEFORE the cursor
         res = self._db.executor.execute(self._db.current_space, self._table, spec)
         res._source = self
         return res

@@ -42,6 +42,9 @@ class QuerySpec:
     limit: int | None = None
     offset: int = 0
     cursor: str | None = None
+    # True = page strictly BEFORE the cursor row (QueryResult.prev();
+    # the cursor is the first record of the page navigated from)
+    cursor_backward: bool = False
     joins: list[JoinSpec] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     aggregates: list[Agg] = field(default_factory=list)
@@ -64,6 +67,7 @@ class QuerySpec:
                 "l": self.limit,
                 "off": self.offset,
                 "cur": self.cursor,
+                "back": self.cursor_backward,
                 "j": [(j.table, j.left_field, j.right_field, j.kind) for j in self.joins],
                 "g": self.group_by,
                 "agg": [(a.op, a.field, a.alias) for a in self.aggregates],
@@ -630,16 +634,24 @@ class QueryExecutor:
             cmask = None
             if spec.cursor is not None:
                 # cursor resume as a VECTORIZED filter over typed columns
-                # (strictly-after (order values, pk)), then a limit-aware
-                # partial sort — a cursor walk over 1M rows must not
-                # materialize + python-sort every match per page. Object
-                # columns / odd cursor payloads fall back to the exact
+                # (strictly-after (order values, pk); strictly-before for
+                # backward prev() pages), then a limit-aware partial
+                # sort — a cursor walk over 1M rows must not materialize
+                # + python-sort every match per page. Object columns /
+                # odd cursor payloads fall back to the exact
                 # record-compare path below.
                 try:
                     vals, last_pk = _decode_cursor(spec.cursor)
-                    cmask = self._after_cursor_mask(
+                    masks = self._after_cursor_mask(
                         store, rows, order, pk_name, vals, last_pk
                     )
+                    if masks is not None:
+                        after, eq_row = masks
+                        cmask = (
+                            ~(after | eq_row)
+                            if spec.cursor_backward
+                            else after
+                        )
                 except Exception:
                     cmask = None
             if spec.cursor is None or cmask is not None:
@@ -659,9 +671,17 @@ class QueryExecutor:
                 )
                 if cmask is not None:
                     rows = rows[cmask]
-                    start = total - int(len(rows))
-                    want = limit
-                    page_lo = 0
+                    if spec.cursor_backward:
+                        # before-cursor rows are the FIRST len(rows)
+                        # positions of the ordered match set; the prev
+                        # page is their tail
+                        page_lo = max(0, int(len(rows)) - limit)
+                        start = page_lo
+                        want = -1  # tail page: partial first-k invalid
+                    else:
+                        start = total - int(len(rows))
+                        want = limit
+                        page_lo = 0
                 else:
                     start = (
                         min(spec.offset, self.db.config.max_query_offset)
@@ -741,6 +761,7 @@ class QueryExecutor:
         total = len(records)
 
         # 6. pagination: cursor beats offset
+        limit = spec.limit if spec.limit is not None else self.db.config.default_query_limit
         start = 0
         if spec.cursor:
             vals, last_pk = _decode_cursor(spec.cursor)
@@ -748,19 +769,30 @@ class QueryExecutor:
                 _sort_key(v) if not desc else _NegKey(_sort_key(v))
                 for v, (f, desc) in zip(vals, order)
             ) + (_sort_key(last_pk),)
-            start = len(records)
+            pos = len(records)
+            strict = not spec.cursor_backward
             for i, r in enumerate(records):
                 rk = tuple(
                     _sort_key(r.get(f)) if not desc else _NegKey(_sort_key(r.get(f)))
                     for f, desc in order
                 ) + (_sort_key(r.get(pk_name)),)
-                if rk > ckey:  # first record strictly after the cursor row
-                    start = i
+                # forward: first record strictly after the cursor row;
+                # backward: first at-or-after — the prev page ends there
+                if (rk > ckey) if strict else (rk >= ckey):
+                    pos = i
                     break
+            if spec.cursor_backward:
+                start = max(0, pos - limit)
+                page = records[start:pos]
+                has_more = pos < total
+                return self._finish(
+                    space, table_name, spec, cache_key, page, order,
+                    pk_name, total, has_more, start,
+                )
+            start = pos
         elif spec.offset:
             start = min(spec.offset, self.db.config.max_query_offset)
 
-        limit = spec.limit if spec.limit is not None else self.db.config.default_query_limit
         page = records[start : start + limit]
         has_more = start + limit < total
         return self._finish(
@@ -922,15 +954,18 @@ class QueryExecutor:
         self, store, rows: np.ndarray, order: list, pk_name: str,
         vals: list, last_pk,
     ):
-        """Boolean mask over candidate `rows` selecting records strictly
-        AFTER the cursor position (order values, then pk ascending as the
-        final tie-break — the same lexicographic rule as the record-compare
-        path). Null ranks match _sort_key/_NegKey: nulls first ascending,
-        last descending. Returns None when any order field (or the pk)
-        lives in an object column — caller falls back to the exact path."""
+        """(after, equal) boolean masks over candidate `rows` vs the
+        cursor position (order values, then pk ascending as the final
+        tie-break — the same lexicographic rule as the record-compare
+        path): `after` = strictly greater, `equal` = the cursor row
+        itself; strictly-before (backward pages) = ~(after | equal).
+        Null ranks match _sort_key/_NegKey: nulls first ascending, last
+        descending. Returns None when any order field (or the pk) lives
+        in an object column — caller falls back to the exact path."""
         m = len(rows)
         if m == 0:
-            return np.zeros(0, np.bool_)
+            z = np.zeros(0, np.bool_)
+            return z, z
         if len(vals) != len(order):
             return None
         after = np.zeros(m, np.bool_)
@@ -961,7 +996,7 @@ class QueryExecutor:
                 eq = nn & (v == cval)
             after |= all_eq & (lt_asc if desc else gt_asc)
             all_eq = all_eq & eq
-        return after
+        return after, all_eq
 
     def _order_joins(self, space: str, table, joins: list) -> list:
         """Join ordering: run INNER joins most-selective-first (smallest
