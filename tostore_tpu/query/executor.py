@@ -229,7 +229,9 @@ def _partial_first(rows, vk, nk, want):
             taken += len(g_rows)
             continue
         part = np.argpartition(g_vk, need - 1)[:need]
-        boundary = g_vk[part].max()
+        sub = g_vk[part]
+        # unicode has no maximum ufunc; a small sort stands in
+        boundary = np.sort(sub)[-1] if sub.dtype.kind == "U" else sub.max()
         sel = g_vk <= boundary
         if int(sel.sum()) > 4 * need + 1024:
             return None  # massive ties at the boundary
@@ -915,11 +917,14 @@ class QueryExecutor:
         return rows[np.lexsort(keys)]
 
     def _lex_keys(self, store, rows, order, pk_name, rowid_sorted=False):
-        """np.lexsort keys (last = most significant) for typed columns, or
-        None when an order field lives in an object column. Each field
-        contributes (null-rank, value): nulls sort first ascending and last
-        descending, matching _sort_key/_NegKey semantics; descending inverts
-        exactly via ~int / -float."""
+        """np.lexsort keys (last = most significant) for typed columns —
+        plus ASCENDING str object columns, which sort vectorized as
+        numpy 'U' keys (code-point order == UTF-8 byte order == the
+        memcomparable text order). Returns None for descending text or
+        mixed-type object fields (python key sort handles them). Each
+        field contributes (null-rank, value): nulls sort first ascending
+        and last descending, matching _sort_key/_NegKey semantics;
+        descending inverts exactly via ~int / -float."""
         keys = []
         # tombstone-free rowid-sorted candidate sets are contiguous:
         # slice instead of fancy-index (8ms -> ~0 on a 1M-row scan). Index
@@ -929,9 +934,32 @@ class QueryExecutor:
         contiguous = rowid_sorted and int(rows[-1]) - lo + 1 == len(rows)
         for f, desc in reversed(order):
             col = store.pk_col if f == pk_name else store.columns.get(f)
-            if col is None or col.np_type is None:
+            if col is None:
                 return None
             col._grow(store.high)
+            if col.np_type is None:
+                if desc:
+                    return None  # byte order has no vectorized inverse
+                v = (
+                    col.data[lo : lo + len(rows)]
+                    if contiguous
+                    else col.data[rows]
+                )
+                lst = v.tolist()
+                if not all(x is None or isinstance(x, str) for x in lst):
+                    return None  # mixed types rank via _sort_key
+                nulls = np.fromiter(
+                    (x is None for x in lst), np.bool_, count=len(lst)
+                )
+                try:
+                    vk = np.asarray(
+                        ["" if x is None else x for x in lst], dtype="U"
+                    )
+                except (TypeError, ValueError):
+                    return None
+                keys.append(vk)
+                keys.append((~nulls).astype(np.int8))
+                continue
             if contiguous:
                 vals = col.data[lo : lo + len(rows)]
                 nulls = col.null[lo : lo + len(rows)]
