@@ -46,7 +46,16 @@ class Logger:
             return
         ts = time.strftime("%H:%M:%S")
         with Logger._lock:
-            print(f"[{ts}] {level.upper():7s} {self.tag}: {msg}", file=LogConfig.stream)
+            try:
+                print(
+                    f"[{ts}] {level.upper():7s} {self.tag}: {msg}",
+                    file=LogConfig.stream,
+                )
+            except ValueError:
+                # the stream was closed under us (interpreter teardown,
+                # pytest capture exit): logging must never crash a
+                # background thread
+                pass
 
     def debug(self, msg: str):
         self._log("debug", msg)
