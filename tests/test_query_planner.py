@@ -624,10 +624,10 @@ class TestCursorFastPath:
             db.close()
 
     @pytest.mark.parametrize("desc", [False, True])
-    def test_cursor_walk_object_column_fallback_parity(self, desc):
+    def test_cursor_walk_text_column_parity(self, desc):
         db = self._db(200)
         try:
-            got = self._walk(db, "s", desc)  # text column: fallback path
+            got = self._walk(db, "s", desc)  # text: U-dtype cursor mask
             assert sorted(got) == list(range(200))
             svals = [
                 db.get_by_pk("t", pk)["s"] for pk in got

@@ -988,8 +988,10 @@ class QueryExecutor:
         path): `after` = strictly greater, `equal` = the cursor row
         itself; strictly-before (backward pages) = ~(after | equal).
         Null ranks match _sort_key/_NegKey: nulls first ascending, last
-        descending. Returns None when any order field (or the pk) lives
-        in an object column — caller falls back to the exact path."""
+        descending. str object columns compare vectorized (python str
+        comparison is code-point order, exactly numpy 'U' order); mixed
+        object fields return None — caller falls back to the exact
+        path."""
         m = len(rows)
         if m == 0:
             z = np.zeros(0, np.bool_)
@@ -1002,23 +1004,36 @@ class QueryExecutor:
         levels.append((pk_name, False, last_pk))
         for f, desc, cval in levels:
             col = store.pk_col if f == pk_name else store.columns.get(f)
-            if col is None or col.np_type is None:
+            if col is None:
                 return None
             col._grow(store.high)
-            v = col.data[rows]
-            nl = col.null[rows]
-            if v.dtype == np.bool_:
-                v = v.astype(np.int8)
-            if isinstance(cval, bool):
-                cval = int(cval)
+            if col.np_type is None:
+                if cval is not None and not isinstance(cval, str):
+                    return None
+                raw = col.data[rows].tolist()
+                if not all(x is None or isinstance(x, str) for x in raw):
+                    return None
+                nl = np.fromiter(
+                    (x is None for x in raw), np.bool_, count=m
+                )
+                v = np.asarray(
+                    ["" if x is None else x for x in raw], dtype="U"
+                )
+            else:
+                v = col.data[rows]
+                nl = col.null[rows]
+                if v.dtype == np.bool_:
+                    v = v.astype(np.int8)
+                if isinstance(cval, bool):
+                    cval = int(cval)
+                elif isinstance(cval, str):
+                    return None  # typed numeric column vs string cursor
             nn = ~nl
             if cval is None:
                 gt_asc = nn  # any non-null sorts after a null cursor value
                 lt_asc = np.zeros(m, np.bool_)
                 eq = nl
             else:
-                if isinstance(cval, str):
-                    return None  # typed numeric column vs string cursor
                 gt_asc = nn & (v > cval)
                 lt_asc = nl | (nn & (v < cval))
                 eq = nn & (v == cval)
