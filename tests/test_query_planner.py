@@ -941,3 +941,36 @@ class TestBackwardCursor:
             assert len(ids) == 5
         finally:
             db.close()
+
+
+class TestBackwardCursorNullsTies:
+    @pytest.mark.parametrize("desc", [False, True])
+    def test_backward_walk_matches_offset_oracle(self, desc):
+        s = TableSchema(
+            name="t",
+            fields=(FieldSchema("a", DataType.integer),),
+        )
+        db = ToStoreTPU.memory(schemas=[s])
+        try:
+            db.batch_insert("t", [
+                {"id": i, "a": None if i % 9 == 0 else i % 4}
+                for i in range(60)
+            ])
+            # walk forward to the end, then all the way back
+            pages = []
+            res = db.query("t").order_by("a", desc=desc).limit(7).no_cache().fetch()
+            pages.append([r["id"] for r in res])
+            while res.next_cursor:
+                res = res.next()
+                if res.records:
+                    pages.append([r["id"] for r in res])
+            back = []
+            while res.prev_cursor:
+                res = res.prev()
+                if not res.records:
+                    break
+                back.append([r["id"] for r in res])
+            # backward pages mirror the forward pages (excluding the last)
+            assert back == pages[-2::-1], (desc, pages, back)
+        finally:
+            db.close()
