@@ -713,3 +713,90 @@ def test_differential_fk_cascade_chain(seed):
         assert db.check_integrity()["ok"]
     finally:
         db.close()
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_differential_navigation_and_reduction_under_writes(seed):
+    """Cursor walks (forward AND backward), DISTINCT projections, and
+    group_by aggregates checked against the naive model while random
+    writes land between checks — guards the vectorized fast paths
+    end-to-end in a mutating database."""
+    rng = np.random.default_rng(seed)
+    db = ToStoreTPU.memory(schemas=[schema()])
+    model = NaiveModel()
+    fields = ["a", "b", "s", "flag"]
+    for _ in range(60):
+        rec = {f: random_value(rng, f) for f in fields}
+        db.insert("t", rec)
+        model.insert(rec)
+    for rnd in range(10):
+        # a few writes
+        for _ in range(4):
+            roll = rng.random()
+            if roll < 0.5 or not model.rows:
+                rec = {f: random_value(rng, f) for f in fields}
+                db.insert("t", rec)
+                model.insert(rec)
+            elif roll < 0.75:
+                cond = random_condition(rng)
+                ups = {"a": int(rng.integers(-20, 20))}
+                db.update("t", ups).condition(cond).execute()
+                model.update(cond, ups)
+            else:
+                cond = random_condition(rng)
+                db.delete("t").condition(cond).execute()
+                model.delete(cond)
+
+        # forward cursor walk + immediate backward re-walk on a typed field
+        page_sz = int(rng.integers(2, 6))
+        res = db.query("t").order_by("a").limit(page_sz).no_cache().fetch()
+        pages = [[r["id"] for r in res]]
+        while res.next_cursor:
+            res = res.next()
+            if res.records:
+                pages.append([r["id"] for r in res])
+        walked = [pk for p in pages for pk in p]
+        want = model.query(None)
+        assert sorted(walked) == sorted(r["id"] for r in want), rnd
+        a_of = {r["id"]: r.get("a") for r in want}
+        keys = [(a_of[pk] is not None, a_of[pk] if a_of[pk] is not None else 0)
+                for pk in walked]
+        assert keys == sorted(keys), rnd  # nulls first, then ascending a
+        back = []
+        while res.prev_cursor:
+            res = res.prev()
+            if not res.records:
+                break
+            back.append([r["id"] for r in res])
+        assert back == pages[-2::-1], rnd
+
+        # distinct projection vs model
+        got = {
+            r["s"]
+            for r in db.query("t").select("s").distinct().order_by("s")
+            .limit(1000).no_cache().fetch()
+        }
+        assert got == {r.get("s") for r in want}, rnd
+
+        # group_by aggregate vs model
+        from tostore_tpu.models.aggregation import Agg
+        from tostore_tpu.query.executor import QuerySpec
+
+        spec = QuerySpec(
+            group_by=["s"],
+            aggregates=[Agg.count(alias="n"), Agg.sum("a", alias="sa")],
+        )
+        rows = db.engine.query("t", spec).records
+        gm: dict = {}
+        for r in want:
+            g = gm.setdefault(r.get("s"), [0, 0, 0])
+            g[0] += 1
+            if r.get("a") is not None:
+                g[1] += r["a"]
+                g[2] += 1
+        assert len(rows) == len(gm), rnd
+        for row in rows:
+            n, sa, na = gm[row["s"]]
+            assert row["n"] == n, (rnd, row)
+            assert row["sa"] == (sa if na else None), (rnd, row)
+    db.close()

@@ -974,3 +974,61 @@ class TestBackwardCursorNullsTies:
             assert back == pages[-2::-1], (desc, pages, back)
         finally:
             db.close()
+
+
+class TestCursorTieTotalOrder:
+    def test_walk_complete_after_rowid_reuse(self):
+        """Rowid reuse breaks arrival-order == pk-order within equal-key
+        ties; the cursor total order is (key, pk), so every path must
+        emit ties pk-ASC or walks skip rows (found by the navigation
+        differential fuzz, seed 33)."""
+        s = TableSchema(
+            name="t",
+            fields=(FieldSchema("a", DataType.integer),),
+            indexes=(IndexSchema(fields=("a",)),),
+        )
+        db = ToStoreTPU.memory(schemas=[s])
+        try:
+            # 60 filler rows (a=0) keep the a>=1 arm selective enough for
+            # the ORDERED index-span fast path; 40 tied rows are the walk
+            db.batch_insert(
+                "t",
+                [{"id": i, "a": 0} for i in range(60)]
+                + [{"id": 100 + i, "a": 1} for i in range(40)],
+            )
+            # build the index, then free rowids and reinsert HIGH pks
+            # into them — arrival order now diverges from pk order
+            db.query("t").where("a", ">=", 1).no_cache().fetch()
+            for pk in range(100, 120, 2):
+                db.delete_by_pk("t", pk)
+            db.batch_insert("t", [{"id": 200 + i, "a": 1} for i in range(10)])
+            expected = sorted(
+                r["id"]
+                for r in db.query("t").where("a", ">=", 1).limit(1000)
+                .no_cache().fetch()
+            )
+            plan = db.engine.executor.choose_plan(
+                db.engine._table("t"),
+                QuerySpec(
+                    condition=QueryCondition().where("a", ">=", 1),
+                    order_by=[("a", False)],
+                ),
+            )
+            assert plan.ordered  # the raw-span fast path is under test
+            for source in ("indexed", "scan"):
+                q = db.query("t").order_by("a")
+                if source == "indexed":
+                    q = q.where("a", ">=", 1)
+                walked = []
+                res = q.limit(3).no_cache().fetch()
+                walked.extend(r["id"] for r in res)
+                while res.next_cursor:
+                    res = res.next()
+                    walked.extend(r["id"] for r in res)
+                if source == "indexed":
+                    assert sorted(walked) == expected, source
+                    assert walked == sorted(walked), source  # pk-ASC ties
+                else:
+                    assert len(walked) == len(set(walked)) == 110 - 10
+        finally:
+            db.close()

@@ -124,12 +124,31 @@ class SortedIndex:
         byte-identical to what _build produces for the same values."""
         return b"".join(self._encode(record.get(f)) for f in self.fields)
 
+    @staticmethod
+    def _pk_sortable(store: ColumnStore, rows: np.ndarray):
+        """pk values of `rows` as a numpy-sortable array (int64 direct;
+        str pks as 'U'), or None for exotic pk types."""
+        col = store.pk_col
+        if col.np_type is not None:
+            return col.data[rows]
+        v = col.data[rows].tolist()
+        if all(isinstance(x, str) for x in v):
+            return np.asarray(v, dtype="U")
+        return None
+
     def _build(self, store: ColumnStore):
         from ..native import get as get_native
 
         rows = np.flatnonzero(store.valid_view())
         sorted_keys = None
         if len(rows):
+            # pre-order candidates by PK: the stable key sort then leaves
+            # every equal-key tie group in pk-ASC order — the index tie
+            # contract cursor pagination depends on (rowid/arrival order
+            # diverges from pk order after rowid reuse)
+            pkv = self._pk_sortable(store, rows)
+            if pkv is not None:
+                rows = rows[np.argsort(pkv, kind="stable")]
             cols = [store.column_view(f)[rows] for f in self.fields]
             native = get_native()
             if native is not None and hasattr(native, "mc_sort_rows"):
@@ -280,7 +299,7 @@ class SortedIndex:
                     return None  # another thread rebuilt
                 if self._cache_gen == store.generation:
                     return self._cache
-                return self._replay(store.generation)
+                return self._replay(store, store.generation)
         with self._build_lock:
             g = store.generation
             if self._gen == g:
@@ -292,14 +311,15 @@ class SortedIndex:
             ):
                 if self._cache_gen == g:
                     return self._cache
-                return self._replay(g)
+                return self._replay(store, g)
             self._build(store)
             return None
 
-    def _replay(self, g: int):
+    def _replay(self, store: ColumnStore, g: int):
         """Fold the ordered log into (pending adds, base deletions).
         Correct under rowid reuse: a remove cancels a pending add of the
-        same rowid; otherwise it tombstones the base row."""
+        same rowid; otherwise it tombstones the base row. Adds sort by
+        (key, pk) — the index-wide tie contract (_build)."""
         adds: dict[int, bytes] = {}
         dels: dict[int, bytes] = {}
         for key, row, is_add in self._log:
@@ -309,11 +329,11 @@ class SortedIndex:
                 del adds[row]
             else:
                 dels[row] = key
-        ak = np.asarray(list(adds.values()), dtype=object)
-        ar = np.asarray(list(adds.keys()), dtype=np.int64)
-        if len(ak):
-            o = np.argsort(ak, kind="stable")
-            ak, ar = ak[o], ar[o]
+        items = sorted(
+            adds.items(), key=lambda kv: (kv[1], store.pk_col.get(int(kv[0])))
+        )
+        ak = np.asarray([k for _, k in items], dtype=object)
+        ar = np.asarray([r for r, _ in items], dtype=np.int64)
         dk = np.asarray(list(dels.values()), dtype=object)
         dr = np.asarray(list(dels.keys()), dtype=np.int64)
         if len(dk):
@@ -396,7 +416,9 @@ class SortedIndex:
             hi = len(ak) if kh is None else int(np.searchsorted(ak, kh, side="left"))
             if hi > lo:
                 if ordered:
-                    pos = np.searchsorted(keys, ak[lo:hi], side="right")
+                    pos = self._merge_positions(
+                        store, keys, rows, ak[lo:hi], ar[lo:hi]
+                    )
                     rows = np.insert(rows, pos, ar[lo:hi])
                     if desc:
                         keys = np.insert(keys, pos, ak[lo:hi])
@@ -405,6 +427,33 @@ class SortedIndex:
         if ordered and desc:
             rows = self._group_reverse(rows, keys)
         return rows
+
+    @staticmethod
+    def _merge_positions(
+        store: ColumnStore, keys: np.ndarray, rows: np.ndarray,
+        ak: np.ndarray, ar: np.ndarray,
+    ) -> np.ndarray:
+        """Insert positions for (key,pk)-sorted delta adds against a
+        key-sorted base whose equal-key ties are pk-ASC (_build): each add
+        lands inside its tie group at its pk position, so merged order
+        keeps the (key, pk) total order cursor pagination depends on.
+        Equal positions preserve `ar` order (already pk-sorted)."""
+        left = np.searchsorted(keys, ak, side="left")
+        pos = np.searchsorted(keys, ak, side="right").astype(np.int64)
+        pkc = store.pk_col
+        for i in range(len(ak)):
+            l, r = int(left[i]), int(pos[i])
+            if l >= r:
+                continue  # no base ties: position is exact already
+            apk = pkc.get(int(ar[i]))
+            while l < r:  # bisect the tie group by pk
+                mid = (l + r) // 2
+                if pkc.get(int(rows[mid])) > apk:
+                    r = mid
+                else:
+                    l = mid + 1
+            pos[i] = l
+        return pos
 
     def ordered_rows(self, store: ColumnStore, desc: bool = False) -> np.ndarray:
         d = self._ensure(store)
@@ -424,7 +473,7 @@ class SortedIndex:
                         keep = ~np.isin(order, dr)
                         keys, order = keys[keep], order[keep]
                     if len(ak):
-                        pos = np.searchsorted(keys, ak, side="right")
+                        pos = self._merge_positions(store, keys, order, ak, ar)
                         order = np.insert(order, pos, ar)
                         keys = np.insert(keys, pos, ak)
                     self._merged = order

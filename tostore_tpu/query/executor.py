@@ -208,12 +208,12 @@ def _copy_record(r: dict) -> dict:
     }
 
 
-def _partial_first(rows, vk, nk, want):
-    """First `want` rows of the stable sort by (nk, vk) without sorting the
+def _partial_first(rows, vk, nk, pkv, want):
+    """First `want` rows of the sort by (nk, vk, pk) without sorting the
     full candidate set: argpartition finds a value boundary per null-rank
-    group, then only the <=boundary subset (a stable-order superset of the
-    answer, ties included) is exact-sorted. Returns None when boundary ties
-    explode (full sort is cheaper)."""
+    group, then only the <=boundary subset (a superset of the answer,
+    ties included) is exact-sorted with the pk tie-break. Returns None
+    when boundary ties explode (full sort is cheaper)."""
     out = []
     taken = 0
     for grp in (0, 1):
@@ -221,11 +221,11 @@ def _partial_first(rows, vk, nk, want):
         if need <= 0:
             break
         m = nk == grp
-        g_rows, g_vk = rows[m], vk[m]
+        g_rows, g_vk, g_pk = rows[m], vk[m], pkv[m]
         if not len(g_rows):
             continue
         if len(g_rows) <= need:
-            out.append(g_rows[np.argsort(g_vk, kind="stable")])
+            out.append(g_rows[np.lexsort((g_pk, g_vk))])
             taken += len(g_rows)
             continue
         part = np.argpartition(g_vk, need - 1)[:need]
@@ -236,7 +236,7 @@ def _partial_first(rows, vk, nk, want):
         if int(sel.sum()) > 4 * need + 1024:
             return None  # massive ties at the boundary
         s_rows = g_rows[sel]
-        idx = np.argsort(g_vk[sel], kind="stable")[:need]
+        idx = np.lexsort((g_pk[sel], g_vk[sel]))[:need]
         out.append(s_rows[idx])
         taken += len(idx)
     return np.concatenate(out) if out else rows[:0]
@@ -738,12 +738,14 @@ class QueryExecutor:
         if spec.aggregates or spec.group_by:
             return self._aggregate(records, spec)
 
-        # 5. ordering
+        # 5. ordering (pk-ASC final tie-break: the same (order, pk) total
+        # order as the row-id paths — cursor walks must agree across them)
         records.sort(
             key=lambda r: tuple(
                 _sort_key(r.get(f)) if not desc else _NegKey(_sort_key(r.get(f)))
                 for f, desc in order
             )
+            + (_sort_key(r.get(pk_name)),)
         )
 
         if spec.distinct:
@@ -898,6 +900,7 @@ class QueryExecutor:
         keys = self._lex_keys(store, rows, order, pk_name, rowid_sorted)
         if keys is None:
             views = {f: store.column_view(f) for f, _ in order}
+            pkc = store.pk_col
             return np.asarray(
                 sorted(
                     rows.tolist(),
@@ -906,12 +909,13 @@ class QueryExecutor:
                         if not d
                         else _NegKey(_sort_key(views[f][r]))
                         for f, d in order
-                    ),
+                    )
+                    + (_sort_key(pkc.get(int(r))),),
                 ),
                 np.int64,
             )
         if len(order) == 1 and want >= 0 and want * 4 < len(rows) and len(rows) >= 8192:
-            res = _partial_first(rows, keys[-2], keys[-1], want)
+            res = _partial_first(rows, keys[-2], keys[-1], keys[0], want)
             if res is not None:
                 return res
         return rows[np.lexsort(keys)]
@@ -932,6 +936,18 @@ class QueryExecutor:
         # pass on a permutation — hence the rowid_sorted gate.
         lo = int(rows[0])
         contiguous = rowid_sorted and int(rows[-1]) - lo + 1 == len(rows)
+        # pk-ASC final tie-break, least significant (appended first):
+        # every sort path must emit the same (order fields, pk) total
+        # order or cursor pagination skips/duplicates tied rows
+        pkc = store.pk_col
+        pkc._grow(store.high)
+        pk_raw = pkc.data[lo : lo + len(rows)] if contiguous else pkc.data[rows]
+        if pkc.np_type is None:
+            pk_lst = pk_raw.tolist()
+            if not all(isinstance(x, str) for x in pk_lst):
+                return None
+            pk_raw = np.asarray(pk_lst, dtype="U")
+        keys.append(pk_raw)
         for f, desc in reversed(order):
             col = store.pk_col if f == pk_name else store.columns.get(f)
             if col is None:
