@@ -1111,6 +1111,15 @@ def config14_relational_query():
     cursor_ms = (time.time() - t0) / 10 * 1e3
     t0 = time.time(); [q_agg() for _ in range(5)]
     agg_ms = (time.time() - t0) / 5 * 1e3
+    t0 = time.time()
+    for k in range(3000):
+        db.insert("t", {"id": n + 10 + k, "grp": int(k % 1000),
+                        "ts": int(k), "city": "cX", "x": 0.0})
+    ins_per_s = 3000 / (time.time() - t0)
+    t0 = time.time()
+    for k in range(3000):
+        db.update_by_pk("t", k, {"x": 1.0})
+    upd_per_s = 3000 / (time.time() - t0)
     db.close()
     return {
         "config": "relational_query_1M_rows",
@@ -1119,9 +1128,13 @@ def config14_relational_query():
         "eq_order_limit_qps": round(1e3 / page_ms, 0),
         "cursor_page_ms": round(cursor_ms, 2),
         "group_by_text_agg_ms": round(agg_ms, 1),
+        "single_insert_per_s": round(ins_per_s, 0),
+        "single_update_per_s": round(upd_per_s, 0),
         "note": "single host thread; order-serving arm skips the sort, "
                 "cursor pages filter vectorized, aggregates reduce via "
-                "group codes + bincount (no record materialization)",
+                "group codes + bincount (no record materialization); "
+                "writes are memory-mode singles (delta-log index notes, "
+                "no WAL fsync)",
     }
 
 
