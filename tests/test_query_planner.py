@@ -1032,3 +1032,24 @@ class TestCursorTieTotalOrder:
                     assert len(walked) == len(set(walked)) == 110 - 10
         finally:
             db.close()
+
+
+class TestChainExplain:
+    def test_builder_explain_reflects_chain(self):
+        s = TableSchema(
+            name="t",
+            fields=(FieldSchema("a", DataType.integer),
+                    FieldSchema("b", DataType.integer)),
+            indexes=(IndexSchema(fields=("a", "b")),),
+        )
+        db = ToStoreTPU.memory(schemas=[s])
+        try:
+            db.batch_insert("t", [{"id": i, "a": i % 50, "b": i} for i in range(1000)])
+            ex = db.query("t").where("a", "=", 3).order_by("b").explain()
+            assert ex == {
+                "plan": "indexScan", "index": "idx_a_b",
+                "estimated_rows": 20, "ordered": True,
+            }
+            assert db.query("t").explain()["plan"] == "tableScan"
+        finally:
+            db.close()

@@ -199,6 +199,13 @@ class QueryBuilder(_ConditionMixin):
     def count(self) -> int:
         return self._db.count(self._table, self._cond)
 
+    def explain(self) -> dict:
+        """Plan description for THIS chain's condition + ordering
+        (reference query_plan.dart explain()): plan kind, chosen index,
+        exact estimated rows, and whether the slice serves the order_by
+        pre-sorted."""
+        return self._db.explain(self._table, self._spec)
+
     def exists(self) -> bool:
         return self.first() is not None
 

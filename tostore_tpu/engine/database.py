@@ -2057,7 +2057,12 @@ class Database:
 
         t = self._table(table)
         info = self.executor.choose_plan(t, spec or QuerySpec())
-        return {"plan": info.plan, "index": info.index, "estimated_rows": info.estimated_rows}
+        return {
+            "plan": info.plan,
+            "index": info.index,
+            "estimated_rows": info.estimated_rows,
+            "ordered": bool(info.ordered or info.ordered_rev),
+        }
 
     WEIGHT_SAMPLE = 32  # result-pks recorded per query (weights are sampled)
 
