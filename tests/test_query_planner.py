@@ -1053,3 +1053,114 @@ class TestChainExplain:
             assert db.query("t").explain()["plan"] == "tableScan"
         finally:
             db.close()
+
+
+class TestJoinFastPath:
+    """Vectorized single-join row-id path must be record-identical to the
+    record-path merge (tie order of multi-matches included)."""
+
+    def _db(self):
+        left = TableSchema(
+            name="l",
+            fields=(
+                FieldSchema("k", DataType.integer),
+                FieldSchema("ks", DataType.text),
+                FieldSchema("v", DataType.integer),
+            ),
+        )
+        right = TableSchema(
+            name="r",
+            fields=(
+                FieldSchema("k", DataType.integer),
+                FieldSchema("tag", DataType.text),
+            ),
+        )
+        db = ToStoreTPU.memory(schemas=[left, right])
+        rng = np.random.default_rng(6)
+        db.batch_insert("l", [
+            {
+                "id": i,
+                "k": None if i % 11 == 0 else int(rng.integers(0, 12)),
+                "ks": None if i % 9 == 0 else f"s{int(rng.integers(0, 8))}",
+                "v": int(rng.integers(0, 100)),
+            }
+            for i in range(120)
+        ])
+        db.batch_insert("r", [
+            {
+                "id": i,
+                "k": None if i % 7 == 0 else int(rng.integers(0, 12)),
+                "tag": f"t{i}",
+            }
+            for i in range(40)
+        ])
+        return db
+
+    def _both(self, db, build):
+        exe = db.engine.executor
+        fast = build().fetch()
+        real = type(exe)._join_rows
+        type(exe)._join_rows = lambda self, *a, **kw: None
+        try:
+            slow = build().fetch()
+        finally:
+            type(exe)._join_rows = real
+        return fast, slow
+
+    @pytest.mark.parametrize("kind", ["inner", "left"])
+    def test_join_parity_with_order_and_paging(self, kind):
+        db = self._db()
+        try:
+            def build():
+                q = db.query("l")
+                q = (
+                    q.join("r", "k", "k") if kind == "inner"
+                    else q.left_join("r", "k", "k")
+                )
+                return (
+                    q.where("v", "<", 80).order_by("v").offset(5).limit(25)
+                    .no_cache()
+                )
+            fast, slow = self._both(db, build)
+            assert fast.records == slow.records
+            assert fast.total == slow.total
+            assert fast.has_more == slow.has_more
+        finally:
+            db.close()
+
+    def test_join_on_pk_and_default_order(self, db=None):
+        db = self._db()
+        try:
+            def build():
+                return db.query("r").join("l", "id", "id").no_cache()
+            fast, slow = self._both(db, build)
+            assert fast.records == slow.records
+        finally:
+            db.close()
+
+    def test_order_on_joined_field_falls_back(self):
+        db = self._db()
+        try:
+            def build():
+                return (
+                    db.query("l").join("r", "k", "k")
+                    .order_by("tag").limit(10).no_cache()
+                )
+            # tag lives on the RIGHT table: the fast path must decline
+            exe = db.engine.executor
+            calls = []
+            real = type(exe)._join_rows
+            def spy(self, *a, **kw):
+                out = real(self, *a, **kw)
+                calls.append(out is None)
+                return out
+            type(exe)._join_rows = spy
+            try:
+                res = build().fetch()
+            finally:
+                type(exe)._join_rows = real
+            assert calls == [True]
+            tags = [r["tag"] for r in res.records]
+            assert tags == sorted(tags)
+        finally:
+            db.close()

@@ -600,6 +600,28 @@ class QueryExecutor:
 
         if (
             overlay is None
+            and len(spec.joins) == 1
+            and spec.joins[0].kind in ("inner", "left")
+            and not spec.aggregates
+            and not spec.group_by
+            and not spec.distinct
+            and spec.cursor is None
+        ):
+            # vectorized hash join on ROWIDS: sort the right key column,
+            # searchsorted the left keys into it, expand (left, right)
+            # pairs, sort pairs by the base order spec, materialize only
+            # the page — a limit-20 join over 500k rows must not merge
+            # 30k record dicts. Ineligible shapes (right joins, order on
+            # joined-in fields, mixed key dtypes) take the record path.
+            res = self._join_rows(
+                space, table, store, rows, spec, order, pk_name,
+                cache_key, table_name,
+            )
+            if res is not None:
+                return res
+
+        if (
+            overlay is None
             and not spec.joins
             and not spec.aggregates
             and not spec.group_by
@@ -1221,6 +1243,125 @@ class QueryExecutor:
                 codes = codes * (int(f.max(initial=0)) + 1) + f
                 _, codes = np.unique(codes, return_inverse=True)
         return codes
+
+    @staticmethod
+    def _join_sortable(col, rr: np.ndarray):
+        """(values, null mask) of a join-key column as a numpy-comparable
+        array; None for mixed-type object columns."""
+        col._grow(int(rr.max()) + 1 if len(rr) else 0)
+        v = col.data[rr]
+        if col.np_type is None:
+            lst = v.tolist()
+            if not all(x is None or isinstance(x, str) for x in lst):
+                return None, None
+            nl = np.fromiter((x is None for x in lst), np.bool_, count=len(lst))
+            return np.asarray(["" if x is None else x for x in lst], "U"), nl
+        nl = col.null[rr]
+        if v.dtype == np.bool_:
+            v = v.astype(np.int64)
+        return v, nl
+
+    def _join_rows(
+        self, space, table, store, rows: np.ndarray, spec: QuerySpec,
+        order, pk_name, cache_key, table_name,
+    ):
+        """Row-id fast path for ONE inner/left equality join. Matching =
+        argsort the right key column + searchsorted the left keys (ties
+        keep right-rowid order, same as the record path's match-list
+        order); pairs sort by the base-table order spec with the pk
+        tie-break, and only the page materializes + merges. Returns None
+        for shapes the record path must handle (order on joined-in
+        fields, mixed key dtypes, exotic columns)."""
+        j = spec.joins[0]
+        right = self.db._table(j.table, space)
+        rstore = right.store
+        lcol = (
+            store.pk_col if j.left_field == pk_name
+            else store.columns.get(j.left_field)
+        )
+        rpk = right.schema.primary_key.name
+        rcol = (
+            rstore.pk_col if j.right_field == rpk
+            else rstore.columns.get(j.right_field)
+        )
+        if lcol is None or rcol is None:
+            return None
+        lv, lnl = self._join_sortable(lcol, rows)
+        if lv is None:
+            return None
+        rrows = np.flatnonzero(rstore.valid_view())
+        rv, rnl = self._join_sortable(rcol, rrows)
+        if rv is None:
+            return None
+        if lv.dtype.kind != rv.dtype.kind:
+            return None  # int-vs-float equality differs from numpy casts
+        rgood = ~rnl
+        rr2, rv2 = rrows[rgood], rv[rgood]
+        order_r = np.argsort(rv2, kind="stable")  # ties: right rowid ASC
+        rv_sorted, rr_sorted = rv2[order_r], rr2[order_r]
+        lo = np.searchsorted(rv_sorted, lv, side="left")
+        hi = np.searchsorted(rv_sorted, lv, side="right")
+        counts = (hi - lo).astype(np.int64)
+        counts[lnl] = 0  # null keys never join (record-path semantics)
+        if j.kind == "inner":
+            sel = counts > 0
+            rows_m, lo_m, cnt_m = rows[sel], lo[sel], counts[sel]
+            total = int(cnt_m.sum())
+            exp_left = np.repeat(rows_m, cnt_m)
+            base = np.repeat(np.cumsum(cnt_m) - cnt_m, cnt_m)
+            within = np.arange(total, dtype=np.int64) - base
+            exp_right = (
+                rr_sorted[np.repeat(lo_m, cnt_m) + within]
+                if total
+                else np.zeros(0, np.int64)
+            )
+        else:  # left join: unmatched rows emit once with no right fields
+            cnt2 = np.maximum(counts, 1)
+            total = int(cnt2.sum())
+            exp_left = np.repeat(rows, cnt2)
+            base = np.repeat(np.cumsum(cnt2) - cnt2, cnt2)
+            within = np.arange(total, dtype=np.int64) - base
+            matched = np.repeat(counts > 0, cnt2)
+            if len(rr_sorted):
+                rpos = np.minimum(
+                    np.repeat(lo, cnt2) + within, len(rr_sorted) - 1
+                )
+                exp_right = np.where(matched, rr_sorted[rpos], -1)
+            else:
+                exp_right = np.full(total, -1, np.int64)
+        if total:
+            keys = self._lex_keys(store, exp_left, order, pk_name)
+            if keys is None:
+                return None  # order fields not base-resolvable
+            perm = np.lexsort(keys)  # stable: pair order survives pk ties
+            exp_left, exp_right = exp_left[perm], exp_right[perm]
+        start = (
+            min(spec.offset, self.db.config.max_query_offset)
+            if spec.offset
+            else 0
+        )
+        limit = (
+            spec.limit
+            if spec.limit is not None
+            else self.db.config.default_query_limit
+        )
+        pl = exp_left[start : start + limit]
+        pr = exp_right[start : start + limit]
+        page = store.read_rows(pl)
+        for rec, rr_ in zip(page, pr.tolist()):
+            rec.pop("_system_ingest_ts_ms", None)
+            if rr_ < 0:
+                continue
+            rrec = rstore.read_row(int(rr_))
+            rrec.pop("_system_ingest_ts_ms", None)
+            for k, v in rrec.items():
+                rec.setdefault(k, v)
+                rec[f"{j.table}.{k}"] = v
+        has_more = start + limit < total
+        return self._finish(
+            space, table_name, spec, cache_key, page, order, pk_name,
+            total, has_more, start,
+        )
 
     def _distinct_rows(
         self, store, rows: np.ndarray, spec: QuerySpec, order, pk_name,
