@@ -672,3 +672,154 @@ class TestRound4SelfReviewFindings:
             assert db.engine._storage is st
         finally:
             db.close()
+
+
+class TestConditionalUpdateColumnarRoute:
+    """Large literal conditional updates route through the columnar
+    batch_update machinery (one coerce pass, one WAL frame)."""
+
+    def _schema(self):
+        return TableSchema(
+            name="t",
+            fields=(
+                FieldSchema("a", DataType.integer),
+                FieldSchema("s", DataType.text),
+                FieldSchema("u", DataType.integer, unique=True),
+            ),
+            indexes=(IndexSchema(fields=("a",)),),
+        )
+
+    def test_routed_update_durable_and_watched(self, tmp_path):
+        db = ToStoreTPU.open(str(tmp_path), schemas=[self._schema()])
+        db.batch_insert("t", [
+            {"id": i, "a": i % 4, "s": "x", "u": i} for i in range(400)
+        ])
+        events = []
+        db.query("t").where("a", "=", 1).watch(lambda recs: events.append(len(recs)))
+        r = db.update("t", {"s": "big"}).where("a", "=", 1).execute()
+        assert r.is_success and len(r.success_keys) == 100
+        assert db.query("t").where("s", "=", "big").count() == 100
+        assert events == [100]  # ONE coalesced live-watch emission
+        # crash before checkpoint: WAL frame must replay
+        db.engine._wal.close()
+        db.engine._crontab.stop()
+        db2 = ToStoreTPU.open(str(tmp_path), schemas=[self._schema()])
+        assert db2.query("t").where("s", "=", "big").count() == 100
+        assert db2.get_by_pk("t", 1)["s"] == "big"
+        assert db2.get_by_pk("t", 2)["s"] == "x"
+        db2.close()
+
+    def test_expr_and_unique_updates_keep_per_row_semantics(self):
+        db = ToStoreTPU.memory(schemas=[self._schema()])
+        try:
+            db.batch_insert("t", [
+                {"id": i, "a": i % 2, "s": "x", "u": i} for i in range(200)
+            ])
+            from tostore_tpu import Expr
+
+            r = db.update("t", {"a": Expr.field("a") + 10}).where(
+                "a", "=", 1
+            ).execute()
+            assert len(r.success_keys) == 100
+            assert db.query("t").where("a", "=", 11).count() == 100
+            # unique column update declines the columnar path but applies
+            r2 = db.update("t", {"u": Expr.field("u") + 1000}).where(
+                "a", "=", 0
+            ).execute()
+            assert len(r2.success_keys) == 100
+            assert db.get_by_pk("t", 0)["u"] == 1000
+        finally:
+            db.close()
+
+
+class TestConditionalDeleteColumnarRoute:
+    """Large conditional deletes run columnar (one store patch, one WAL
+    frame); FK-referenced tables and transactions keep per-row
+    semantics."""
+
+    def test_bulk_delete_durable_unique_released(self, tmp_path):
+        s = TableSchema(
+            name="t",
+            fields=(
+                FieldSchema("a", DataType.integer),
+                FieldSchema("u", DataType.integer, unique=True),
+            ),
+            indexes=(IndexSchema(fields=("a",)),),
+        )
+        db = ToStoreTPU.open(str(tmp_path), schemas=[s])
+        db.batch_insert("t", [{"id": i, "a": i % 3, "u": i} for i in range(300)])
+        events = []
+        db.watch("t", callback=lambda ev: events.append(ev.record["u"]))
+        r = db.delete("t").where("a", "=", 1).execute()
+        assert len(r.success_keys) == 100
+        assert len(events) == 100 and events[0] is not None
+        # unique slots released: reinsert the same u values
+        assert db.insert("t", {"id": 9001, "a": 9, "u": 1}).is_success
+        # crash: the batch_delete WAL frame must replay
+        db.engine._wal.close()
+        db.engine._crontab.stop()
+        db2 = ToStoreTPU.open(str(tmp_path), schemas=[s])
+        assert db2.count("t") == 201
+        assert db2.query("t").where("a", "=", 1).count() == 0
+        assert db2.get_by_pk("t", 9001)["u"] == 1
+        db2.close()
+
+    def test_fk_referenced_table_keeps_cascades(self):
+        from tostore_tpu.models.schema import (
+            ForeignKeyAction, ForeignKeySchema,
+        )
+
+        parent = TableSchema(
+            name="p", fields=(FieldSchema("a", DataType.integer),),
+        )
+        child = TableSchema(
+            name="c",
+            fields=(FieldSchema("pid", DataType.integer),),
+            foreign_keys=(
+                ForeignKeySchema(field="pid", references_table="p",
+                                 on_delete=ForeignKeyAction.cascade),
+            ),
+        )
+        db = ToStoreTPU.memory(schemas=[parent, child])
+        try:
+            db.batch_insert("p", [{"id": i, "a": i % 2} for i in range(200)])
+            db.batch_insert("c", [{"id": i, "pid": i % 200} for i in range(200)])
+            r = db.delete("p").where("a", "=", 0).execute()
+            assert len(r.success_keys) == 100
+            # cascade removed the children of every deleted parent
+            assert db.query("c").count() == 100
+            assert all(
+                rec["pid"] % 2 == 1 for rec in db.query("c").limit(500).fetch()
+            )
+        finally:
+            db.close()
+
+    def test_bulk_delete_tombstones_vectors(self):
+        from tostore_tpu.models.schema import (
+            VectorFieldConfig, VectorIndexConfig,
+        )
+
+        s = TableSchema(
+            name="docs",
+            fields=(
+                FieldSchema("n", DataType.integer),
+                FieldSchema("emb", DataType.vector,
+                            vector_config=VectorFieldConfig(dimensions=8)),
+            ),
+            indexes=(IndexSchema(fields=("emb",), type="vector",
+                                 vector_config=VectorIndexConfig(index_type="flat")),),
+        )
+        db = ToStoreTPU.memory(schemas=[s])
+        try:
+            db.batch_insert("docs", [
+                {"id": i, "n": i, "emb": [float(i)] * 8} for i in range(128)
+            ])
+            db.vector_search("docs", "emb", np.zeros(8, np.float32), top_k=1)
+            r = db.delete("docs").where("n", "<", 100).execute()
+            assert len(r.success_keys) == 100
+            hits = db.vector_search(
+                "docs", "emb", np.zeros(8, np.float32), top_k=20
+            )
+            assert all(h.primary_key >= 100 for h in hits)
+        finally:
+            db.close()

@@ -314,6 +314,16 @@ class ColumnStore:
         self.generation += 1
         return True
 
+    def bulk_delete(self, pks: list, rows: np.ndarray) -> None:
+        """Columnar delete of pre-resolved (pk, rowid) pairs: ONE
+        generation bump, so callers note every index exactly once."""
+        pop = self._pk_row.pop
+        for pk in pks:
+            pop(pk, None)
+        self.valid[rows] = False
+        self._free.extend(int(r) for r in rows)
+        self.generation += 1
+
     def clear(self):
         self.__init__(self.schema)
 

@@ -1183,6 +1183,10 @@ class Database:
                 t = self._tables.get((e["space"], e["table"]))
                 if t is not None:
                     t.apply_delete(e["pk"])
+            elif op == "batch_delete":
+                t = self._tables.get((e["space"], e["table"]))
+                if t is not None:
+                    t.bulk_apply_delete(e["pks"])
             elif op == "clear":
                 t = self._tables.get((e["space"], e["table"]))
                 if t is not None:
@@ -1282,6 +1286,9 @@ class Database:
                 )
 
     LARGE_OP_THRESHOLD = 10_000
+    # conditional updates at/above this many matched rows take the
+    # columnar batch path (one coerce pass per field, one WAL frame)
+    BULK_UPDATE_MIN_ROWS = 64
 
     def _resume_large_delete(self, entry: dict) -> int:
         """Re-execute an unfinished large delete after WAL replay."""
@@ -1887,6 +1894,24 @@ class Database:
                         ResultType.validationFailed,
                         "update without condition requires allow_update_all",
                     )
+                if (
+                    len(pks) >= self.BULK_UPDATE_MIN_ROWS
+                    and pk is None
+                    and self._txn is None
+                    and self._buffering_txn() is None
+                    and updates
+                    and not any(isinstance(v, Expr) for v in updates.values())
+                ):
+                    # large literal conditional update: one columnar pass +
+                    # one WAL frame via the batch_update machinery
+                    # (_bulk_update_fast re-checks FK/unique/unknown-field
+                    # eligibility and returns None to fall back here)
+                    pk_name = t.schema.primary_key.name
+                    fast = self._bulk_update_fast(
+                        t, [{pk_name: p, **updates} for p in pks]
+                    )
+                    if fast is not None:
+                        return fast
                 ok, failed, errors = [], [], {}
                 for p in pks:
                     try:
@@ -1973,6 +1998,35 @@ class Database:
                          "cond": condition.to_map() if condition is not None else None,
                          "all": bool(allow_delete_all)}
                     )
+                if (
+                    len(targets) >= self.BULK_UPDATE_MIN_ROWS
+                    and self._txn is None
+                    and self._buffering_txn() is None
+                    and not list(self._fk_referencing(t.schema.name))
+                ):
+                    # columnar bulk delete: one store patch, one WAL
+                    # frame; olds materialize only when watchers exist
+                    need_olds = bool(self._subs)
+                    kept, olds = t.bulk_apply_delete(
+                        list(targets), need_olds
+                    )
+                    if kept:
+                        self._wal_append(
+                            {"op": "batch_delete", "space": space,
+                             "table": t.schema.name, "pks": kept}
+                        )
+                        self._counters["deletes"] += len(kept)
+                        if self._active_txns:
+                            self._record_commit({(tkey, p) for p in kept})
+                        if need_olds:
+                            for p, old in zip(kept, olds):
+                                old.pop(INGEST_TS_FIELD, None)
+                                self._notify(ChangeEvent(
+                                    "delete", space, t.schema.name, p, old
+                                ))
+                    if op_id is not None:
+                        self._wal_append({"op": "large_op_done", "id": op_id})
+                    return DbResult.success(kept)
                 ok = [p for p in targets if self._delete_pk(t, space, p)]
                 if op_id is not None:
                     self._wal_append({"op": "large_op_done", "id": op_id})

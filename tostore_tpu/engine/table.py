@@ -264,6 +264,20 @@ class SortedIndex:
             self._log.append((self.key_of(rec), int(r), True))
         self._cache_gen = -2
 
+    def note_bulk_delete(self, store: ColumnStore, rowids, olds_or_none):
+        """Bulk delete (per-row old key dicts) — or None to invalidate
+        when the batch exceeds the log budget."""
+        if not self._advance(store):
+            return
+        if olds_or_none is None:
+            self.invalidate()
+            return
+        if not self._room_for(len(rowids)):
+            return
+        for r, old in zip(rowids, olds_or_none):
+            self._log.append((self.key_of(old), int(r), False))
+        self._cache_gen = -2
+
     def note_bulk_update(self, store: ColumnStore, rowids, olds, news):
         """Bulk patch of existing rows; olds/news are per-row dicts of
         this index's fields (olds=None to just invalidate)."""
@@ -956,6 +970,54 @@ class Table:
         for pk, rec in zip(pks, records):
             self._unique_apply(pk, rec, None)
             self._vector_stage(pk, rec)
+
+    def bulk_apply_delete(self, pks: list, need_olds: bool = False):
+        """Columnar delete — the batch analogue of apply_delete. The
+        caller gates FK involvement (no referencing tables) and handles
+        WAL/notifications. Returns (deleted_pks, old records when
+        `need_olds` — skipping materialization entirely otherwise)."""
+        store = self.store
+        kept: list = []
+        rows: list[int] = []
+        for pk in pks:
+            r = store.rowid(pk)
+            if r is not None:
+                kept.append(pk)
+                rows.append(int(r))
+        if not kept:
+            return [], ([] if need_olds else None)
+        rows_arr = np.asarray(rows, np.int64)
+        olds = store.read_rows(rows_arr) if need_olds else None
+        ufields = set(self._unique_field_names)
+        for _, fl in self._unique_index_specs:
+            ufields.update(fl)
+        if ufields:
+            views = {f: store.column_view(f) for f in ufields}
+            for pk, r in zip(kept, rows):
+                rec_u = {f: views[f][r] for f in ufields}
+                for name, key in self._unique_entries(pk, rec_u):
+                    if self.unique_maps[name].get(key) == pk:
+                        del self.unique_maps[name][key]
+        # capture old index keys BEFORE the store patch
+        small = len(rows) <= SortedIndex.LOG_MIN
+        caps: dict[str, list | None] = {}
+        for name, sidx in self.sorted_indexes.items():
+            if not small:
+                caps[name] = None
+                continue
+            vws = {f: store.column_view(f) for f in sidx.fields}
+            caps[name] = [
+                {f: vws[f][r] for f in sidx.fields} for r in rows
+            ]
+        store.bulk_delete(kept, rows_arr)
+        for name, sidx in self.sorted_indexes.items():
+            sidx.note_bulk_delete(store, rows_arr, caps[name])
+        for field in self.vector_indexes:
+            self._vec_pend_since.setdefault(field, time.monotonic())
+            pend = self._vec_pending[field]
+            for pk in kept:
+                pend[pk] = None
+        return kept, olds
 
     def bulk_apply_update_cols(self, pks: list, rows, col_values: dict[str, list]):
         """Columnar update of pre-validated fields on existing rows — the
