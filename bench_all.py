@@ -1120,6 +1120,12 @@ def config14_relational_query():
     for k in range(3000):
         db.update_by_pk("t", k, {"x": 1.0})
     upd_per_s = 3000 / (time.time() - t0)
+    t0 = time.time()
+    rr = db.update("t", {"city": "cU"}).where("grp", "<", 100).execute()
+    cond_upd = len(rr.success_keys) / (time.time() - t0)
+    t0 = time.time()
+    rd = db.delete("t").where("grp", ">=", 900).execute()
+    cond_del = len(rd.success_keys) / (time.time() - t0)
     db.close()
     return {
         "config": "relational_query_1M_rows",
@@ -1130,6 +1136,8 @@ def config14_relational_query():
         "group_by_text_agg_ms": round(agg_ms, 1),
         "single_insert_per_s": round(ins_per_s, 0),
         "single_update_per_s": round(upd_per_s, 0),
+        "cond_update_rows_per_s": round(cond_upd, 0),
+        "cond_delete_rows_per_s": round(cond_del, 0),
         "note": "single host thread; order-serving arm skips the sort, "
                 "cursor pages filter vectorized, aggregates reduce via "
                 "group codes + bincount (no record materialization); "
