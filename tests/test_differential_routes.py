@@ -1,0 +1,254 @@
+"""Differential fuzz over the vectorized fast ROUTES vs the record paths.
+
+Two route families gained columnar/vectorized fast paths in round 4:
+  - the single-equality-join row-id path (query/executor.py:_join_rows),
+  - conditional bulk update/delete (engine/database.py BULK_UPDATE_MIN_ROWS
+    gating into the batch_update/batch_delete machinery).
+The record paths are the semantic reference (reference parity:
+query_executor.dart joins, data_store_impl.dart updateInternal/
+deleteInternal); the fast paths must be RESULT-IDENTICAL including
+multi-match tie order, pagination boundaries, and watch events. These
+fuzzes force both routes over random data/queries and diff everything.
+"""
+
+import numpy as np
+import pytest
+
+from tostore_tpu import (
+    DataType,
+    FieldSchema,
+    IndexSchema,
+    QueryCondition,
+    TableSchema,
+    ToStoreTPU,
+)
+
+
+# --------------------------------------------------------------------------
+# Join fast path vs record path
+# --------------------------------------------------------------------------
+
+
+def _join_db(rng):
+    left = TableSchema(
+        name="l",
+        fields=(
+            FieldSchema("k", DataType.integer),
+            FieldSchema("ks", DataType.text),
+            FieldSchema("kf", DataType.double),
+            FieldSchema("v", DataType.integer),
+            FieldSchema("flag", DataType.boolean),
+        ),
+        indexes=(IndexSchema(fields=("v",)),),
+    )
+    right = TableSchema(
+        name="r",
+        fields=(
+            FieldSchema("k", DataType.integer),
+            FieldSchema("ks", DataType.text),
+            FieldSchema("w", DataType.integer),
+            FieldSchema("tag", DataType.text),
+        ),
+    )
+    db = ToStoreTPU.memory(schemas=[left, right])
+    nl = int(rng.integers(20, 150))
+    nr = int(rng.integers(5, 60))
+    # narrow key ranges force heavy duplication (multi-match tie order)
+    db.batch_insert("l", [
+        {
+            "k": None if rng.random() < 0.12 else int(rng.integers(0, 9)),
+            "ks": None if rng.random() < 0.12 else f"s{int(rng.integers(0, 6))}",
+            "kf": None if rng.random() < 0.12 else float(rng.integers(0, 5)),
+            "v": int(rng.integers(0, 50)),
+            "flag": bool(rng.random() < 0.5),
+        }
+        for _ in range(nl)
+    ])
+    db.batch_insert("r", [
+        {
+            "k": None if rng.random() < 0.15 else int(rng.integers(0, 9)),
+            "ks": None if rng.random() < 0.15 else f"s{int(rng.integers(0, 6))}",
+            "w": int(rng.integers(0, 30)),
+            "tag": f"t{i}",
+        }
+        for i in range(nr)
+    ])
+    # deletes free rowids; later writes reuse them (tie-order stress)
+    db.delete("l").condition(QueryCondition().where("v", ">", 45)).execute()
+    db.batch_insert("l", [
+        {"k": int(rng.integers(0, 9)), "ks": f"s{int(rng.integers(0, 6))}",
+         "kf": float(rng.integers(0, 5)), "v": int(rng.integers(0, 50)),
+         "flag": True}
+        for _ in range(int(rng.integers(0, 10)))
+    ])
+    return db
+
+
+def _random_join_query(db, rng):
+    q = db.query("l").no_cache()
+    key = rng.choice(["k", "ks", "id", "mixed"]).item()
+    lf, rf = {
+        "k": ("k", "k"),
+        "ks": ("ks", "ks"),
+        "id": ("id", "id"),
+        "mixed": ("k", "w"),
+    }[key]
+    kind = rng.choice(["inner", "left", "right"], p=[0.45, 0.45, 0.1]).item()
+    q = q.join("r", lf, rf, kind=kind)
+    if rng.random() < 0.6:
+        c = QueryCondition()
+        f = rng.choice(["v", "k", "flag"]).item()
+        op = rng.choice(["<", ">", "=", "!="]).item()
+        c.where(f, op, int(rng.integers(0, 40)) if f != "flag" else True)
+        q = q.condition(c)
+    n_order = int(rng.integers(0, 3))
+    fields = list(rng.choice(["v", "k", "ks", "kf", "flag"], n_order, replace=False))
+    for f in fields:
+        q = q.order_by(f, desc=bool(rng.random() < 0.4))
+    if rng.random() < 0.5:
+        q = q.offset(int(rng.integers(0, 20)))
+    if rng.random() < 0.8:
+        q = q.limit(int(rng.integers(1, 40)))
+    if rng.random() < 0.3:
+        sel = ["id", "v", "r.tag"] if rng.random() < 0.5 else ["id", "k", "r.w"]
+        q = q.select(*sel)
+    return q
+
+
+@pytest.mark.parametrize("seed", list(range(1, 21)))
+def test_differential_join_routes(seed):
+    rng = np.random.default_rng(seed)
+    db = _join_db(rng)
+    try:
+        exe = db.engine.executor
+        real = type(exe)._join_rows
+        for _ in range(12):
+            build_rng_state = rng.bit_generator.state
+            q_fast = _random_join_query(db, rng)
+            fast = q_fast.fetch()
+            rng.bit_generator.state = build_rng_state
+            type(exe)._join_rows = lambda self, *a, **kw: None
+            try:
+                slow = _random_join_query(db, rng).fetch()
+            finally:
+                type(exe)._join_rows = real
+            assert fast.records == slow.records, f"seed={seed}"
+            assert fast.total == slow.total
+            assert fast.has_more == slow.has_more
+            # mutate between queries so lazy index/delta state varies
+            if rng.random() < 0.5:
+                db.insert("l", {
+                    "k": int(rng.integers(0, 9)), "ks": "s1",
+                    "kf": 1.0, "v": int(rng.integers(0, 50)), "flag": False,
+                })
+            if rng.random() < 0.25:
+                db.delete("l").condition(QueryCondition().where(
+                    "v", "=", int(rng.integers(0, 50)))).execute()
+    finally:
+        db.close()
+
+
+# --------------------------------------------------------------------------
+# Conditional bulk update/delete routes vs per-row routes
+# --------------------------------------------------------------------------
+
+
+def _write_schema():
+    return TableSchema(
+        name="t",
+        fields=(
+            FieldSchema("a", DataType.integer),
+            FieldSchema("b", DataType.double),
+            FieldSchema("s", DataType.text),
+            FieldSchema("flag", DataType.boolean),
+            FieldSchema("u", DataType.integer, unique=True, nullable=True),
+        ),
+        indexes=(IndexSchema(fields=("a",)),),
+    )
+
+
+def _snapshot(db):
+    res = db.query("t").no_cache().fetch()
+    return sorted(res.records, key=lambda r: r["id"])
+
+
+def _rand_cond(rng):
+    c = QueryCondition()
+    f = rng.choice(["a", "b", "s", "flag"]).item()
+    if f == "flag":
+        c.where("flag", "=", bool(rng.random() < 0.5))
+    elif f == "s":
+        c.where("s", rng.choice(["=", "!=", "like"]).item(),
+                "x%" if rng.random() < 0.3 else f"x{int(rng.integers(0, 5))}")
+    else:
+        c.where(f, rng.choice(["<", ">", ">=", "<="]).item(),
+                int(rng.integers(-5, 25)))
+    return c
+
+
+@pytest.mark.parametrize("seed", list(range(1, 13)))
+def test_differential_bulk_write_routes(seed):
+    rng = np.random.default_rng(100 + seed)
+
+    def fresh(bulk_min):
+        db = ToStoreTPU.memory(schemas=[_write_schema()])
+        db.engine.BULK_UPDATE_MIN_ROWS = bulk_min
+        recs = [
+            {
+                "a": int(rng.integers(-5, 25)),
+                "b": float(np.round(rng.normal() * 5, 3)),
+                "s": f"x{int(rng.integers(0, 5))}",
+                "flag": bool(rng.random() < 0.5),
+                "u": None if rng.random() < 0.5 else int(i),
+            }
+            for i in range(int(rng.integers(40, 200)))
+        ]
+        return db, recs
+
+    state = rng.bit_generator.state
+    db_bulk, recs = fresh(1)          # every conditional write goes columnar
+    rng.bit_generator.state = state
+    db_row, recs2 = fresh(10**9)      # every conditional write stays per-row
+    assert recs == recs2
+    db_bulk.batch_insert("t", [dict(r) for r in recs])
+    db_row.batch_insert("t", [dict(r) for r in recs])
+
+    ev_bulk, ev_row = [], []
+    db_bulk.watch("t", lambda e: ev_bulk.append((e.type, e.pk)))
+    db_row.watch("t", lambda e: ev_row.append((e.type, e.pk)))
+
+    try:
+        for _ in range(15):
+            op = rng.choice(["update", "delete", "update_all"]).item()
+            cond = _rand_cond(rng)
+            if op == "delete":
+                r1 = db_bulk.delete("t").condition(cond).execute()
+                r2 = db_row.delete("t").condition(cond).execute()
+            else:
+                updates = {}
+                for f in rng.choice(["a", "b", "s", "flag"],
+                                    int(rng.integers(1, 4)), replace=False):
+                    updates[f] = (
+                        int(rng.integers(-5, 25)) if f == "a"
+                        else float(np.round(rng.normal(), 3)) if f == "b"
+                        else f"x{int(rng.integers(0, 5))}" if f == "s"
+                        else bool(rng.random() < 0.5)
+                    )
+                if rng.random() < 0.2:  # unique-collision probe: both
+                    updates["u"] = 1    # routes must fail identically
+                if op == "update_all":
+                    r1 = db_bulk.update("t", updates).allow_update_all().execute()
+                    r2 = db_row.update("t", updates).allow_update_all().execute()
+                else:
+                    r1 = db_bulk.update("t", updates).condition(cond).execute()
+                    r2 = db_row.update("t", updates).condition(cond).execute()
+            assert sorted(r1.success_keys) == sorted(r2.success_keys)
+            assert r1.is_success == r2.is_success
+            assert _snapshot(db_bulk) == _snapshot(db_row)
+            if rng.random() < 0.4:  # interleave inserts (rowid churn)
+                db_bulk.insert("t", {"a": 1, "b": 1.0, "s": "x1", "flag": True})
+                db_row.insert("t", {"a": 1, "b": 1.0, "s": "x1", "flag": True})
+        assert sorted(ev_bulk) == sorted(ev_row)
+    finally:
+        db_bulk.close()
+        db_row.close()
