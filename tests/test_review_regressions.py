@@ -823,3 +823,195 @@ class TestConditionalDeleteColumnarRoute:
             assert all(h.primary_key >= 100 for h in hits)
         finally:
             db.close()
+
+
+class TestRound4LateReviewFindings:
+    """Second self-review over the late-round diff (joins, cursors,
+    distinct/aggregate vectorization, bulk write routes)."""
+
+    def test_suffix_index_never_serves_order(self):
+        # index (a, b) must NOT serve order_by('a'): the slice orders ties
+        # by b, not the pk — cursor walks then drop rows entirely
+        s = TableSchema(
+            name="t",
+            fields=(FieldSchema("a", DataType.integer),
+                    FieldSchema("b", DataType.integer)),
+            indexes=(IndexSchema(fields=("a", "b")),),
+        )
+        db = ToStoreTPU.memory(schemas=[s])
+        try:
+            for b in (9, 1, 5):
+                db.insert("t", {"a": 1, "b": b})
+            r = db.query("t").order_by("a").limit(1).no_cache().fetch()
+            walk = [x["id"] for x in r.records]
+            while r.has_more:
+                r = r.next()
+                walk += [x["id"] for x in r.records]
+            assert walk == [1, 2, 3]  # pk tie order, nothing skipped
+            # with a condition: the ordered flag must not be granted either
+            r2 = db.query("t").where("a", "=", 1).order_by("a").limit(1) \
+                .no_cache().fetch()
+            walk2 = [x["id"] for x in r2.records]
+            while r2.has_more:
+                r2 = r2.next()
+                walk2 += [x["id"] for x in r2.records]
+            assert walk2 == [1, 2, 3]
+            # exact composite (eq prefix + order field) still serves sorted
+            info = db.query("t").where("a", "=", 1).order_by("b").limit(2) \
+                .explain()
+            assert info["ordered"] is True
+        finally:
+            db.close()
+
+    def test_bulk_delete_duplicate_pks_single_free(self):
+        # a duplicate pk in a bulk delete must not double-free the rowid
+        # (two later inserts would share one physical row)
+        s = TableSchema(name="t", fields=(FieldSchema("a", DataType.integer),))
+        db = ToStoreTPU.memory(schemas=[s])
+        try:
+            db.engine.BULK_UPDATE_MIN_ROWS = 1
+            db.batch_insert("t", [{"a": i} for i in range(10)])
+            r = db.engine.delete("t", pks=[1, 2, 2, 3])
+            assert r.success_keys == [1, 2, 3]  # per-row route parity
+            for v in (100, 101, 102):
+                db.insert("t", {"a": v})
+            rows = {x["id"]: x["a"]
+                    for x in db.query("t").no_cache().fetch().records}
+            assert len(rows) == 10
+            assert {100, 101, 102} <= set(rows.values())
+        finally:
+            db.close()
+
+    def test_conditional_update_ignores_pk_in_payload(self):
+        # {pk: ..., field: ...} payload: the pk key must not override the
+        # row selector on the columnar route (per-row route ignores it)
+        s = TableSchema(name="t", fields=(FieldSchema("a", DataType.integer),))
+        db = ToStoreTPU.memory(schemas=[s])
+        try:
+            db.engine.BULK_UPDATE_MIN_ROWS = 1
+            db.batch_insert("t", [{"a": i} for i in range(6)])
+            r = db.engine.update(
+                "t", {"id": 999, "a": 77},
+                condition=QueryCondition().where("a", "<", 3))
+            assert r.success_keys == [1, 2, 3]
+            rows = {x["id"]: x["a"]
+                    for x in db.query("t").no_cache().fetch().records}
+            assert rows == {1: 77, 2: 77, 3: 77, 4: 3, 5: 4, 6: 5}
+        finally:
+            db.close()
+
+    def test_backward_cursor_has_more_short_before_set(self):
+        # before-cursor count < limit with limit >= total: has_more must
+        # still report rows at/after the cursor (record-path semantics)
+        from tostore_tpu.query.executor import _encode_cursor
+
+        s = TableSchema(name="t", fields=(FieldSchema("a", DataType.integer),))
+        db = ToStoreTPU.memory(schemas=[s])
+        try:
+            db.batch_insert("t", [{"a": i} for i in range(5)])
+            tok = _encode_cursor([2], 3)
+            exe = db.engine.executor
+            out = []
+            for disable_fast in (False, True):
+                q = db.query("t").order_by("a").limit(10).no_cache()
+                q._spec.cursor = tok
+                q._spec.cursor_backward = True
+                if disable_fast:
+                    real = type(exe)._after_cursor_mask
+                    type(exe)._after_cursor_mask = (
+                        lambda self, *a, **kw: None)
+                    try:
+                        r = q.fetch()
+                    finally:
+                        type(exe)._after_cursor_mask = real
+                else:
+                    r = q.fetch()
+                out.append(([x["id"] for x in r.records], r.has_more))
+            assert out[0] == out[1]
+            assert out[0][1] is True  # pks 3..5 sit at/after the cursor
+        finally:
+            db.close()
+
+    def test_distinct_object_order_pk_tie_break(self):
+        # distinct with object (text) order fields: tied groups order by
+        # their representative's pk, matching the record path
+        s = TableSchema(
+            name="t",
+            fields=(FieldSchema("name", DataType.text),
+                    FieldSchema("tag", DataType.text)),
+        )
+        db = ToStoreTPU.memory(schemas=[s])
+        try:
+            db.batch_insert("t", [
+                {"name": "x", "tag": "b"},   # pk 1
+                {"name": "x", "tag": "a"},   # pk 2
+                {"name": "w", "tag": "c"},   # pk 3
+                {"name": "x", "tag": "b"},   # pk 4 (dup combo of pk 1)
+            ])
+            exe = db.engine.executor
+
+            def run(disable):
+                q = (db.query("t").select("name", "tag").order_by("name")
+                     .limit(10).no_cache().distinct())
+                if disable:
+                    real = type(exe)._distinct_rows
+                    type(exe)._distinct_rows = lambda self, *a, **kw: None
+                    try:
+                        return q.fetch()
+                    finally:
+                        type(exe)._distinct_rows = real
+                return q.fetch()
+
+            fast, slow = run(False), run(True)
+            assert fast.records == slow.records
+            assert fast.records == [
+                {"name": "w", "tag": "c"},
+                {"name": "x", "tag": "b"},  # rep pk 1 beats ("x","a") pk 2
+                {"name": "x", "tag": "a"},
+            ]
+        finally:
+            db.close()
+
+    def test_distinct_json_column_unhashable(self):
+        # json cells are unhashable: distinct must not crash and must
+        # dedup on str(value), the record path's identity
+        s = TableSchema(
+            name="t",
+            fields=(FieldSchema("j", DataType.json),
+                    FieldSchema("s", DataType.text)),
+        )
+        db = ToStoreTPU.memory(schemas=[s])
+        try:
+            db.batch_insert("t", [
+                {"j": {"x": i % 2}, "s": f"g{i % 3}"} for i in range(12)
+            ])
+            fast = (db.query("t").select("j").order_by("s").limit(20)
+                    .no_cache().distinct().fetch())
+            exe = db.engine.executor
+            real = type(exe)._distinct_rows
+            type(exe)._distinct_rows = lambda self, *a, **kw: None
+            try:
+                slow = (db.query("t").select("j").order_by("s").limit(20)
+                        .no_cache().distinct().fetch())
+            finally:
+                type(exe)._distinct_rows = real
+            assert fast.records == slow.records
+            assert fast.total == slow.total == 2
+        finally:
+            db.close()
+
+    def test_int_sum_overflow_exact(self):
+        # sums that would wrap int64 fall back to the record path's
+        # arbitrary-precision accumulation
+        s = TableSchema(name="t", fields=(FieldSchema("a", DataType.integer),))
+        db = ToStoreTPU.memory(schemas=[s])
+        try:
+            big = 2**62
+            db.batch_insert("t", [{"a": big} for _ in range(4)])
+            assert db.query("t").no_cache().sum("a") == 4 * big
+            db2 = ToStoreTPU.memory(schemas=[s])
+            db2.batch_insert("t", [{"a": -big}, {"a": -big}, {"a": -big}])
+            assert db2.query("t").no_cache().sum("a") == -3 * big
+            db2.close()
+        finally:
+            db.close()

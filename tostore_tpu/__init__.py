@@ -34,15 +34,23 @@ from .models.schema import (
     ForeignKeyAction,
     TableTtlConfig,
 )
-from .models.config import DataStoreConfig, DistributedNodeConfig, EncryptionConfig
+from .models.config import (
+    DataStoreConfig,
+    DistributedNodeConfig,
+    EncryptionConfig,
+    SpaceConfig,
+)
 from .models.results import (
+    BusinessError,
     DbResult,
     ResultType,
     QueryResult,
     VectorSearchResult,
     TransactionResult,
 )
+from .models.aggregation import Agg
 from .models.expr import Expr
+from .utils.crypto import ToCrypto
 from .utils.logging import LogConfig
 from .query.condition import QueryCondition
 from .api import ToStoreTPU
@@ -76,4 +84,8 @@ __all__ = [
     "TransactionResult",
     "Expr",
     "QueryCondition",
+    "Agg",
+    "BusinessError",
+    "SpaceConfig",
+    "ToCrypto",
 ]

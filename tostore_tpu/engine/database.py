@@ -1905,10 +1905,18 @@ class Database:
                     # large literal conditional update: one columnar pass +
                     # one WAL frame via the batch_update machinery
                     # (_bulk_update_fast re-checks FK/unique/unknown-field
-                    # eligibility and returns None to fall back here)
+                    # eligibility and returns None to fall back here).
+                    # Strip the pk from the payload: the per-row path
+                    # ignores it, and {pk_name: p, **updates} would let it
+                    # override the row selector.
                     pk_name = t.schema.primary_key.name
-                    fast = self._bulk_update_fast(
-                        t, [{pk_name: p, **updates} for p in pks]
+                    ups = {k: v for k, v in updates.items() if k != pk_name}
+                    fast = (
+                        self._bulk_update_fast(
+                            t, [{pk_name: p, **ups} for p in pks]
+                        )
+                        if ups
+                        else None
                     )
                     if fast is not None:
                         return fast

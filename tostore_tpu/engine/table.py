@@ -979,9 +979,13 @@ class Table:
         store = self.store
         kept: list = []
         rows: list[int] = []
+        seen: set = set()  # a duplicate pk would double-free its rowid
         for pk in pks:
+            if pk in seen:
+                continue
             r = store.rowid(pk)
             if r is not None:
+                seen.add(pk)
                 kept.append(pk)
                 rows.append(int(r))
         if not kept:

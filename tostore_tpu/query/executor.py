@@ -320,7 +320,14 @@ class QueryExecutor:
                     if eq_len is not None and spec.order_by:
                         sidx = table.sorted_indexes[arms[0][0]]
                         want = tuple(f for f, _ in spec.order_by)
-                        if sidx.fields[eq_len : eq_len + len(want)] == want:
+                        # the index must END at the order fields: suffix
+                        # fields would order ties by the suffix instead of
+                        # the pk-ASC cursor contract (rows vanish from
+                        # cursor walks)
+                        if (
+                            sidx.fields[eq_len : eq_len + len(want)] == want
+                            and len(sidx.fields) == eq_len + len(want)
+                        ):
                             ordered = dirs == {False}
                             # DESC pays an uncached O(est) group-reverse
                             # over object keys; below the measured
@@ -341,7 +348,9 @@ class QueryExecutor:
         if spec.order_by:
             fields_ = tuple(f for f, _ in spec.order_by)
             for name, sidx in table.sorted_indexes.items():
-                if sidx.fields[: len(fields_)] == fields_:
+                # exact match only: a longer index orders ties by its
+                # suffix fields, not the pk — see serves_order
+                if sidx.fields == fields_:
                     return ExplainInfo("indexOrder", name, n)
         return ExplainInfo("tableScan", None, n)
 
@@ -393,9 +402,12 @@ class QueryExecutor:
         store = table.store
 
         def serves_order(sidx, neq):
+            # exact end required: suffix fields past the order spec would
+            # break the (order values, pk) tie contract cursor walks need
             return (
                 want_order is not None
                 and sidx.fields[neq : neq + len(want_order)] == want_order
+                and len(sidx.fields) == neq + len(want_order)
             )
 
         for name, sidx in table.sorted_indexes.items():
@@ -702,6 +714,9 @@ class QueryExecutor:
                         page_lo = max(0, int(len(rows)) - limit)
                         start = page_lo
                         want = -1  # tail page: partial first-k invalid
+                        # rows at/after the cursor exist (record-path
+                        # semantics: has_more = pos < total)
+                        back_has_more = int(len(rows)) < total
                     else:
                         start = total - int(len(rows))
                         want = limit
@@ -730,7 +745,11 @@ class QueryExecutor:
                 page = store.read_rows(page_rows)
                 for rec in page:
                     rec.pop("_system_ingest_ts_ms", None)
-                has_more = start + limit < total
+                has_more = (
+                    back_has_more
+                    if cmask is not None and spec.cursor_backward
+                    else start + limit < total
+                )
                 return self._finish(
                     space, table_name, spec, cache_key, page, order, pk_name,
                     total, has_more, start,
@@ -1210,13 +1229,18 @@ class QueryExecutor:
         return QueryResult(records=out, total=total)
 
     @staticmethod
-    def _factorize(rows: np.ndarray, cols: list) -> np.ndarray:
+    def _factorize(
+        rows: np.ndarray, cols: list, str_objects: bool = False
+    ) -> np.ndarray:
         """Dense int64 codes for the value combinations of `cols` over
         `rows` (codes may include empty buckets; bucket 0 = null). Typed
         columns factorize with one np.unique sort; object (text) columns
         use dict factorization — ~10x cheaper than an object-compare sort
         at 1M rows. Multi-column combines by mixed radix, re-densified
-        per step."""
+        per step. `str_objects` keys object cells on str(value) — the
+        record path's DISTINCT identity (which also makes unhashable
+        json/array cells factorizable); group_by keeps raw-value identity
+        (the record path groups on raw tuples)."""
         m = len(rows)
         codes = None
         for c in cols:
@@ -1227,8 +1251,17 @@ class QueryExecutor:
                 if nn.any():
                     _, inv = np.unique(v[nn], return_inverse=True)
                     f[nn] = inv + 1
-            else:
+            elif str_objects:
                 tbl: dict = {}
+                get = tbl.setdefault
+                # record-path key is str(v) with NO null special-case
+                # (None collapses with the string "None" there too)
+                f = np.asarray(
+                    [get(str(x), len(tbl) + 1) for x in v.tolist()],
+                    np.int64,
+                )
+            else:
+                tbl = {}
                 get = tbl.setdefault
                 f = np.asarray(
                     [
@@ -1408,7 +1441,7 @@ class QueryExecutor:
             # representative and result position
             if not pre_sorted:
                 rows = self._sort_rows(store, rows, order, pk_name, -1)
-            codes = self._factorize(rows, cols)
+            codes = self._factorize(rows, cols, str_objects=True)
             g0 = int(codes.max()) + 1
             first_idx = np.full(g0, m, np.int64)
             np.minimum.at(first_idx, codes, np.arange(m))
@@ -1418,11 +1451,24 @@ class QueryExecutor:
             page = store.read_rows(page_rows)
         elif {f for f, _ in order} <= set(sel):
             # object order fields, but all of them are PROJECTED: every
-            # row of a combination shares the sort key, so any
+            # row of a combination shares the sort key, so a
             # representative projects identically — factorize WITHOUT
             # sorting (a python key-sort of 1M rowids costs seconds) and
-            # sort only the G representatives as records
-            codes = self._factorize(rows, cols)
+            # sort only the G representatives as records. Rows pre-order
+            # by pk so each combination's representative is its min-pk
+            # row, and the rep sort appends the pk tie-break — both match
+            # the record path's keep-first after the (order, pk) sort.
+            pkc = store.pk_col
+            pkv = pkc.data[rows]
+            if pkc.np_type is not None:
+                perm = np.argsort(pkv, kind="stable")
+            else:
+                perm = np.argsort(
+                    np.asarray([str(x) for x in pkv.tolist()], "U"),
+                    kind="stable",
+                )
+            rows = rows[perm]
+            codes = self._factorize(rows, cols, str_objects=True)
             g0 = int(codes.max()) + 1
             first_idx = np.full(g0, m, np.int64)
             np.minimum.at(first_idx, codes, np.arange(m))
@@ -1433,6 +1479,7 @@ class QueryExecutor:
                     _sort_key(r.get(f)) if not d else _NegKey(_sort_key(r.get(f)))
                     for f, d in order
                 )
+                + (_sort_key(r.get(pk_name)),)
             )
             total = len(recs)
             page = recs[start : start + limit]
@@ -1520,6 +1567,14 @@ class QueryExecutor:
             if a.op == "count":
                 vals = [int(x) for x in cnt]
             elif a.op in ("sum", "avg"):
+                if not is_float and len(vv):
+                    # int64 accumulation wraps silently; the record path
+                    # sums in arbitrary-precision Python ints — bail to it
+                    # when the worst-case magnitude could overflow
+                    # python-int abs: np.abs(int64 min) wraps negative
+                    peak = max(abs(int(vv.min())), abs(int(vv.max())))
+                    if peak * len(vv) >= 2**62:
+                        return None
                 acc = np.zeros(G, np.float64 if is_float else np.int64)
                 np.add.at(acc, ck, vv)
                 if a.op == "sum":
