@@ -1015,3 +1015,107 @@ class TestRound4LateReviewFindings:
             db2.close()
         finally:
             db.close()
+
+
+class TestDescTextOrdering:
+    """DESC text order_by vectorizes via np.unique rank codes; finding
+    it exposed a record-fallback bug where numpy scalars from column
+    views stringified in _sort_key (np.int64 is not an int)."""
+
+    @staticmethod
+    def _run(db, descs, disable, limit=300):
+        exe = db.engine.executor
+        q = db.query("t").limit(limit).no_cache()
+        for f, d in descs:
+            q = q.order_by(f, desc=d)
+        if disable:
+            real = type(exe)._lex_keys
+            type(exe)._lex_keys = lambda self, *a, **kw: None
+            try:
+                return q.fetch()
+            finally:
+                type(exe)._lex_keys = real
+        return q.fetch()
+
+    def _db(self):
+        import random
+        s = TableSchema(name="t", fields=(
+            FieldSchema("name", DataType.text),
+            FieldSchema("v", DataType.integer),
+            FieldSchema("flag", DataType.boolean)))
+        db = ToStoreTPU.memory(schemas=[s])
+        rng = random.Random(7)
+        words = ["", "a", "ab", "abc", "b", "zz", "Ω", "é", None]
+        db.batch_insert("t", [
+            {"name": rng.choice(words), "v": rng.randint(0, 500),
+             "flag": rng.random() < 0.5} for _ in range(3000)
+        ])
+        return db
+
+    def test_desc_text_matches_record_fallback(self):
+        db = self._db()
+        try:
+            for descs in ([("name", True)], [("name", True), ("v", False)],
+                          [("v", True), ("name", True)],
+                          [("flag", True), ("name", True)],
+                          [("name", False), ("v", True)],
+                          [("name", True), ("flag", False)]):
+                fast = self._run(db, descs, False)
+                slow = self._run(db, descs, True)
+                assert fast.records == slow.records, descs
+        finally:
+            db.close()
+
+    def test_desc_text_matches_python_oracle(self):
+        # name DESC (nulls last), v ASC, pk ASC — exact tuple oracle over
+        # materialized records, independent of both engine sort paths
+        import functools
+        db = self._db()
+        try:
+            allr = db.query("t").limit(3000).no_cache().fetch().records
+
+            def cmp(a, b):
+                ar = (0 if a["name"] is None else 1, a["name"] or "")
+                br = (0 if b["name"] is None else 1, b["name"] or "")
+                if ar != br:
+                    return -1 if ar > br else 1  # desc
+                if a["v"] != b["v"]:
+                    return -1 if a["v"] < b["v"] else 1
+                return -1 if a["id"] < b["id"] else 1
+
+            oracle = sorted(allr, key=functools.cmp_to_key(cmp))
+            got = self._run(db, [("name", True), ("v", False)], False)
+            assert got.records == oracle[:300]
+        finally:
+            db.close()
+
+    def test_desc_text_cursor_walk_complete(self):
+        db = self._db()
+        try:
+            r = (db.query("t").order_by("name", desc=True).order_by("v")
+                 .limit(37).no_cache().fetch())
+            walk = [x["id"] for x in r.records]
+            while r.has_more:
+                r = r.next()
+                walk += [x["id"] for x in r.records]
+            assert sorted(walk) == list(range(1, 3001))
+        finally:
+            db.close()
+
+    def test_record_fallback_numpy_scalar_sort_key(self):
+        # pre-fix, the rowid Python-sort fallback ranked np.int64 tie
+        # fields as strings: v=1004 sorted before v=13. Force the
+        # fallback (no _lex_keys) and check numeric tie order.
+        s = TableSchema(name="t", fields=(
+            FieldSchema("name", DataType.text),
+            FieldSchema("v", DataType.integer)))
+        db = ToStoreTPU.memory(schemas=[s])
+        try:
+            db.batch_insert("t", [
+                {"name": "x", "v": 13}, {"name": "x", "v": 1004},
+                {"name": "x", "v": 2}, {"name": None, "v": 5}])
+            slow = self._run(db, [("name", True), ("v", False)], True,
+                             limit=10)
+            assert [r["v"] for r in slow.records] == [2, 13, 1004, 5]
+        finally:
+            db.close()

@@ -243,12 +243,15 @@ def _partial_first(rows, vk, nk, pkv, want):
 
 
 def _sort_key(v):
-    # None sorts first; mixed types compare via (typeclass, value)
+    # None sorts first; mixed types compare via (typeclass, value).
+    # numpy scalars (column views feed rowid-sort fallbacks) must rank
+    # with their Python equivalents — np.int64 is NOT an int and would
+    # otherwise stringify into typeclass 3
     if v is None:
         return (0, 0)
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return (1, int(v))
-    if isinstance(v, (int, float)):
+    if isinstance(v, (int, float, np.integer, np.floating)):
         return (2, v)
     return (3, str(v))
 
@@ -963,10 +966,12 @@ class QueryExecutor:
 
     def _lex_keys(self, store, rows, order, pk_name, rowid_sorted=False):
         """np.lexsort keys (last = most significant) for typed columns —
-        plus ASCENDING str object columns, which sort vectorized as
+        plus str object columns, which sort vectorized: ascending as
         numpy 'U' keys (code-point order == UTF-8 byte order == the
-        memcomparable text order). Returns None for descending text or
-        mixed-type object fields (python key sort handles them). Each
+        memcomparable text order), descending as complemented np.unique
+        rank codes (one vectorized 'U' sort; byte order itself has no
+        elementwise inverse). Returns None for mixed-type object fields
+        (python key sort handles them). Each
         field contributes (null-rank, value): nulls sort first ascending
         and last descending, matching _sort_key/_NegKey semantics;
         descending inverts exactly via ~int / -float."""
@@ -995,8 +1000,6 @@ class QueryExecutor:
                 return None
             col._grow(store.high)
             if col.np_type is None:
-                if desc:
-                    return None  # byte order has no vectorized inverse
                 v = (
                     col.data[lo : lo + len(rows)]
                     if contiguous
@@ -1014,8 +1017,16 @@ class QueryExecutor:
                     )
                 except (TypeError, ValueError):
                     return None
-                keys.append(vk)
-                keys.append((~nulls).astype(np.int8))
+                if desc:
+                    # rank codes invert where raw bytes can't: one 'U'
+                    # sort, then ~rank sorts descending (nk dominates
+                    # for nulls, whose ""-placeholder rank is harmless)
+                    _, inv = np.unique(vk, return_inverse=True)
+                    keys.append(~inv.astype(np.int64))
+                    keys.append(nulls.astype(np.int8))  # nulls last
+                else:
+                    keys.append(vk)
+                    keys.append((~nulls).astype(np.int8))
                 continue
             if contiguous:
                 vals = col.data[lo : lo + len(rows)]
