@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 from tostore_tpu import (
+    Agg,
     DataStoreConfig,
     DataType,
     FieldSchema,
@@ -1117,5 +1118,159 @@ class TestDescTextOrdering:
             slow = self._run(db, [("name", True), ("v", False)], True,
                              limit=10)
             assert [r["v"] for r in slow.records] == [2, 13, 1004, 5]
+        finally:
+            db.close()
+
+
+class TestJoinAggregateFastPath:
+    """Vectorized join+aggregate: expand rowid pairs, group + reduce on
+    column arrays (executor._aggregate_pairs)."""
+
+    def _db(self):
+        import random
+        users = TableSchema(name="users", fields=(
+            FieldSchema("region", DataType.text),
+            FieldSchema("score", DataType.integer)))
+        orders = TableSchema(name="orders", fields=(
+            FieldSchema("user_id", DataType.integer),
+            FieldSchema("amount", DataType.double),
+            FieldSchema("status", DataType.text)))
+        db = ToStoreTPU.memory(schemas=[users, orders])
+        rng = random.Random(11)
+        db.batch_insert("users", [
+            {"region": rng.choice(["na", "eu", None]),
+             "score": rng.randint(0, 9)} for _ in range(400)])
+        db.batch_insert("orders", [
+            {"user_id": rng.randint(1, 500) if rng.random() > 0.05 else None,
+             "amount": (round(rng.uniform(1, 100), 2)
+                        if rng.random() > 0.1 else None),
+             "status": rng.choice(["open", "done"])} for _ in range(2500)])
+        return db
+
+    @staticmethod
+    def _both(db, build):
+        exe = db.engine.executor
+        taken = {"n": 0}
+        real = type(exe)._aggregate_pairs
+
+        def spy(self, *a, **kw):
+            r = real(self, *a, **kw)
+            if r is not None:
+                taken["n"] += 1
+            return r
+
+        type(exe)._aggregate_pairs = spy
+        try:
+            fast = build().fetch()
+        finally:
+            type(exe)._aggregate_pairs = real
+        type(exe)._aggregate_pairs = lambda self, *a, **kw: None
+        try:
+            slow = build().fetch()
+        finally:
+            type(exe)._aggregate_pairs = real
+        return fast, slow, taken["n"]
+
+    @staticmethod
+    def _close(a, b):
+        import math
+        if isinstance(a, float) and isinstance(b, float):
+            return math.isclose(a, b, rel_tol=1e-9)
+        return a == b
+
+    def _assert_parity(self, fast, slow, expect_taken, taken):
+        assert taken == expect_taken
+        assert fast.total == slow.total
+        assert len(fast.records) == len(slow.records)
+        for x, y in zip(fast.records, slow.records):
+            assert x.keys() == y.keys()
+            for k in x:
+                assert self._close(x[k], y[k]), (k, x, y)
+
+    def test_shapes_match_record_path(self):
+        db = self._db()
+        try:
+            cases = [
+                (1, lambda k: (db.query("users")
+                               .join("orders", "id", "user_id", kind=k)
+                               .group_by("region")
+                               .aggregate(Agg.count(), Agg.sum("amount"),
+                                          Agg.avg("amount"), Agg.max("score"))
+                               .no_cache())),
+                (1, lambda k: (db.query("users")
+                               .join("orders", "id", "user_id", kind=k)
+                               .group_by("status")
+                               .aggregate(Agg.count("amount"),
+                                          Agg.min("amount")).no_cache())),
+                (1, lambda k: (db.query("users")
+                               .join("orders", "id", "user_id", kind=k)
+                               .group_by("region", "orders.status")
+                               .aggregate(Agg.count(), Agg.sum("score"))
+                               .no_cache())),
+                (1, lambda k: (db.query("users")
+                               .join("orders", "id", "user_id", kind=k)
+                               .aggregate(Agg.count(), Agg.sum("amount"))
+                               .no_cache())),
+                (1, lambda k: (db.query("users").where("score", ">", 3)
+                               .join("orders", "id", "user_id", kind=k)
+                               .group_by("region").aggregate(Agg.count())
+                               .having("count", ">", 2)
+                               .order_by("count", desc=True).limit(3)
+                               .no_cache())),
+                # base pk as group key: must bail (record merge keeps the
+                # base pk even when the right table has a same-named field)
+                (0, lambda k: (db.query("users")
+                               .join("orders", "id", "user_id", kind=k)
+                               .group_by("id").aggregate(Agg.count())
+                               .no_cache())),
+            ]
+            for expect_taken, case in cases:
+                for kind in ("inner", "left"):
+                    fast, slow, taken = self._both(db, lambda: case(kind))
+                    self._assert_parity(fast, slow, expect_taken, taken)
+        finally:
+            db.close()
+
+    def test_left_join_unmatched_nulls(self):
+        users = TableSchema(name="users", fields=(
+            FieldSchema("region", DataType.text),))
+        orders = TableSchema(name="orders", fields=(
+            FieldSchema("user_id", DataType.integer),
+            FieldSchema("amount", DataType.double)))
+        db = ToStoreTPU.memory(schemas=[users, orders])
+        try:
+            db.batch_insert("users", [{"region": "na"}, {"region": "eu"}])
+            db.batch_insert("orders", [{"user_id": 1, "amount": 5.0}])
+            fast, slow, taken = self._both(
+                db, lambda: (db.query("users")
+                             .join("orders", "id", "user_id", kind="left")
+                             .group_by("region")
+                             .aggregate(Agg.count(), Agg.count("amount"),
+                                        Agg.sum("amount")).no_cache()))
+            self._assert_parity(fast, slow, 1, taken)
+            by_region = {r["region"]: r for r in fast.records}
+            # eu is unmatched: the pair still counts, right fields are null
+            assert by_region["eu"]["count"] == 1
+            assert by_region["eu"]["count_amount"] == 0
+            assert by_region["eu"]["sum_amount"] is None
+            # grouping BY a right field: unmatched rows group under null
+            fast2, slow2, taken2 = self._both(
+                db, lambda: (db.query("users")
+                             .join("orders", "id", "user_id", kind="left")
+                             .group_by("amount").aggregate(Agg.count())
+                             .no_cache()))
+            self._assert_parity(fast2, slow2, 1, taken2)
+            assert {r["amount"] for r in fast2.records} == {5.0, None}
+        finally:
+            db.close()
+
+    def test_count_star_counts_rows(self):
+        # Agg.count("*") is the count-all spelling, not a field lookup
+        s = TableSchema(name="t", fields=(FieldSchema("a", DataType.integer),))
+        db = ToStoreTPU.memory(schemas=[s])
+        try:
+            db.batch_insert("t", [{"a": i} for i in range(7)])
+            r = db.query("t").aggregate(Agg.count("*")).no_cache().fetch()
+            assert r.records == [{"count": 7}]
         finally:
             db.close()

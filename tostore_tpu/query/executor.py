@@ -617,6 +617,20 @@ class QueryExecutor:
             overlay is None
             and len(spec.joins) == 1
             and spec.joins[0].kind in ("inner", "left")
+            and (spec.aggregates or spec.group_by)
+            and not spec.distinct
+        ):
+            # vectorized join + aggregate: expand rowid pairs, group +
+            # reduce on column arrays — an order-count per user over a
+            # 500k-pair join must not merge 500k record dicts first
+            res = self._aggregate_pairs(space, table, store, rows, spec)
+            if res is not None:
+                return res
+
+        if (
+            overlay is None
+            and len(spec.joins) == 1
+            and spec.joins[0].kind in ("inner", "left")
             and not spec.aggregates
             and not spec.group_by
             and not spec.distinct
@@ -1252,12 +1266,27 @@ class QueryExecutor:
         record path's DISTINCT identity (which also makes unhashable
         json/array cells factorizable); group_by keeps raw-value identity
         (the record path groups on raw tuples)."""
-        m = len(rows)
+        pairs = [
+            (
+                c.data[rows],
+                c.null[rows] if c.np_type is not None else None,
+            )
+            for c in cols
+        ]
+        return QueryExecutor._factorize_arrays(pairs, len(rows), str_objects)
+
+    @staticmethod
+    def _factorize_arrays(
+        pairs: list, m: int, str_objects: bool = False
+    ) -> np.ndarray:
+        """_factorize over explicit (values, nulls) arrays — nulls is a
+        bool mask for typed arrays, None for object arrays (which carry
+        None sentinels inline). Join-pair aggregation resolves its
+        columns across two stores and feeds them here."""
         codes = None
-        for c in cols:
-            v = c.data[rows]
-            if c.np_type is not None:
-                nn = ~c.null[rows]
+        for v, nulls in pairs:
+            if nulls is not None:
+                nn = ~nulls
                 f = np.zeros(m, np.int64)
                 if nn.any():
                     _, inv = np.unique(v[nn], return_inverse=True)
@@ -1305,18 +1334,14 @@ class QueryExecutor:
             v = v.astype(np.int64)
         return v, nl
 
-    def _join_rows(
-        self, space, table, store, rows: np.ndarray, spec: QuerySpec,
-        order, pk_name, cache_key, table_name,
-    ):
-        """Row-id fast path for ONE inner/left equality join. Matching =
+    def _expand_pairs(self, space, table, store, rows: np.ndarray, j):
+        """Vectorized pair expansion for ONE inner/left equality join:
         argsort the right key column + searchsorted the left keys (ties
-        keep right-rowid order, same as the record path's match-list
-        order); pairs sort by the base-table order spec with the pk
-        tie-break, and only the page materializes + merges. Returns None
-        for shapes the record path must handle (order on joined-in
-        fields, mixed key dtypes, exotic columns)."""
-        j = spec.joins[0]
+        keep right-rowid order, same as the record path's rmap insertion
+        order). Returns (right_table, exp_left, exp_right, total) with
+        exp_right = -1 for a left join's unmatched rows; None for shapes
+        the record path must handle (mixed key dtypes, exotic columns)."""
+        pk_name = table.schema.primary_key.name
         right = self.db._table(j.table, space)
         rstore = right.store
         lcol = (
@@ -1373,6 +1398,23 @@ class QueryExecutor:
                 exp_right = np.where(matched, rr_sorted[rpos], -1)
             else:
                 exp_right = np.full(total, -1, np.int64)
+        return right, exp_left, exp_right, total
+
+    def _join_rows(
+        self, space, table, store, rows: np.ndarray, spec: QuerySpec,
+        order, pk_name, cache_key, table_name,
+    ):
+        """Row-id fast path for ONE inner/left equality join: expand
+        (left, right) rowid pairs, sort them by the base-table order spec
+        with the pk tie-break, and materialize + merge only the page.
+        Returns None for shapes the record path must handle (order on
+        joined-in fields, mixed key dtypes, exotic columns)."""
+        j = spec.joins[0]
+        exp = self._expand_pairs(space, table, store, rows, j)
+        if exp is None:
+            return None
+        right, exp_left, exp_right, total = exp
+        rstore = right.store
         if total:
             keys = self._lex_keys(store, exp_left, order, pk_name)
             if keys is None:
@@ -1559,17 +1601,30 @@ class QueryExecutor:
             {g: c.get(int(rp)) for g, c in gcols}
             for rp in reps
         ]
+        aarrs = {
+            f: (c.data[rows], c.null[rows], c.np_type is np.float64)
+            for f, c in acols.items()
+        }
+        if not self._reduce_aggs(aggs, aarrs, codes, G, out):
+            return None
+        return self._agg_tail(out, spec)
+
+    @staticmethod
+    def _reduce_aggs(aggs, aarrs, codes, G, out) -> bool:
+        """Shared vectorized reducers (bincount / add.at / minimum.at)
+        writing each aggregate's per-group values into `out`. `aarrs`
+        maps field -> (values, null mask, is_float) aligned with `codes`.
+        Returns False when an int sum could overflow int64 — the record
+        path's arbitrary-precision accumulation must handle it."""
         counts_all = np.bincount(codes, minlength=G)
         for a in aggs:
             if not a.field:
                 for gi in range(G):
                     out[gi][a.name] = int(counts_all[gi])
                 continue
-            c = acols[a.field]
-            v = c.data[rows]
-            nn = ~c.null[rows]
+            v, nl, is_float = aarrs[a.field]
+            nn = ~nl
             cnt = np.bincount(codes[nn], minlength=G)
-            is_float = c.np_type is np.float64
             is_bool = v.dtype == np.bool_
             vv = v[nn]
             if is_bool:
@@ -1585,7 +1640,7 @@ class QueryExecutor:
                     # python-int abs: np.abs(int64 min) wraps negative
                     peak = max(abs(int(vv.min())), abs(int(vv.max())))
                     if peak * len(vv) >= 2**62:
-                        return None
+                        return False
                 acc = np.zeros(G, np.float64 if is_float else np.int64)
                 np.add.at(acc, ck, vv)
                 if a.op == "sum":
@@ -1618,6 +1673,131 @@ class QueryExecutor:
                 ]
             for gi in range(G):
                 out[gi][a.name] = vals[gi]
+        return True
+
+    def _pair_field(
+        self, store, rstore, jtable, pk_name, exp_left, rclip, unmatched,
+        field,
+    ):
+        """Resolve `field` over join pairs the way the record merge does:
+        base-table fields win, right fields fill absent names, and the
+        '<table>.<field>' qualified form addresses the right side
+        explicitly. Returns (col, side_rows, values, nulls) — nulls is a
+        mask for typed columns, None for object columns (None sentinels
+        inline; a left join's unmatched rows are nulled either way) — or
+        None when the field resolves to neither side (record path). pk
+        fields on either side bail like the single-table fast path does —
+        and the base pk name must NOT fall through to a same-named right
+        column (the record merge keeps the base value)."""
+        if field == pk_name:
+            return None
+        col = store.columns.get(field)
+        if col is not None:
+            rows_, unm = exp_left, None
+            high = store.high
+        else:
+            fname = (
+                field[len(jtable) + 1:]
+                if field.startswith(jtable + ".")
+                else field
+            )
+            col = rstore.columns.get(fname)
+            if col is None:
+                return None
+            rows_, unm = rclip, unmatched
+            high = rstore.high
+        col._grow(high)
+        vals = col.data[rows_]
+        if col.np_type is None:
+            if unm is not None and unm.any():
+                vals = vals.copy()
+                vals[unm] = None
+            return col, rows_, vals, None
+        nulls = col.null[rows_]
+        if unm is not None:
+            nulls = nulls | unm
+        return col, rows_, vals, nulls
+
+    def _aggregate_pairs(self, space, table, store, rows, spec):
+        """Vectorized _aggregate over ONE inner/left equality join:
+        expand (left, right) rowid pairs, resolve group/aggregate fields
+        against the correct side, then run the shared factorize+reduce
+        machinery — a count-per-group over 500k join pairs must not
+        merge 500k record dicts first. Returns None for shapes the
+        record path must handle (unresolvable fields, object aggregate
+        columns, mixed join-key dtypes, pk fields)."""
+        j = spec.joins[0]
+        aggs = spec.aggregates or [Agg.count()]
+        # resolvability pre-checks are cheap; expansion is not — order
+        # matters when this returns None
+        exp = self._expand_pairs(space, table, store, rows, j)
+        if exp is None:
+            return None
+        right, exp_left, exp_right, total = exp
+        rstore = right.store
+        pk_name = table.schema.primary_key.name
+        unmatched = (exp_right < 0) if j.kind == "left" else None
+        rclip = np.maximum(exp_right, 0)
+
+        gfields = []
+        for g in spec.group_by:
+            r = self._pair_field(
+                store, rstore, j.table, pk_name, exp_left, rclip,
+                unmatched, g,
+            )
+            if r is None:
+                return None
+            gfields.append((g,) + r)
+        aarrs = {}
+        for a in aggs:
+            if not a.field:
+                continue
+            r = self._pair_field(
+                store, rstore, j.table, pk_name, exp_left, rclip,
+                unmatched, a.field,
+            )
+            if r is None:
+                return None
+            col, _, vals, nulls = r
+            if col.np_type is None:
+                return None  # object aggregate values rank via Agg.apply
+            aarrs[a.field] = (vals, nulls, col.np_type is np.float64)
+
+        if total == 0:
+            return self._agg_tail([], spec)
+        if gfields:
+            codes = self._factorize_arrays(
+                [(vals, nulls) for _, _, _, vals, nulls in gfields], total,
+            )
+            g0 = int(codes.max()) + 1
+            first_idx = np.full(g0, total, np.int64)
+            np.minimum.at(first_idx, codes, np.arange(total))
+            live = np.flatnonzero(first_idx < total)
+            enc = live[np.argsort(first_idx[live], kind="stable")]
+            remap = np.empty(g0, np.int64)
+            remap[enc] = np.arange(len(enc))
+            codes = remap[codes]
+            rep_idx = first_idx[enc]  # representative PAIR per group
+            G = len(enc)
+            out = []
+            for ri in rep_idx:
+                rec = {}
+                for g, col, rows_, _, _ in gfields:
+                    if (
+                        unmatched is not None
+                        and rows_ is rclip
+                        and unmatched[ri]
+                    ):
+                        rec[g] = None
+                    else:
+                        rec[g] = col.get(int(rows_[ri]))
+                out.append(rec)
+        else:
+            codes = np.zeros(total, np.int64)
+            out = [{}]
+            G = 1
+        if not self._reduce_aggs(aggs, aarrs, codes, G, out):
+            return None
         return self._agg_tail(out, spec)
 
 
