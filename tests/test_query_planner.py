@@ -1138,7 +1138,7 @@ class TestJoinFastPath:
         finally:
             db.close()
 
-    def test_order_on_joined_field_falls_back(self):
+    def test_order_on_joined_field_served_fast(self):
         db = self._db()
         try:
             def build():
@@ -1146,7 +1146,9 @@ class TestJoinFastPath:
                     db.query("l").join("r", "k", "k")
                     .order_by("tag").limit(10).no_cache()
                 )
-            # tag lives on the RIGHT table: the fast path must decline
+            # tag lives on the RIGHT table: pair-resolved lexsort keys
+            # serve it on the fast path (r4 — previously a record-path
+            # fallback), record-identical
             exe = db.engine.executor
             calls = []
             real = type(exe)._join_rows
@@ -1159,8 +1161,14 @@ class TestJoinFastPath:
                 res = build().fetch()
             finally:
                 type(exe)._join_rows = real
-            assert calls == [True]
+            assert calls == [False]
             tags = [r["tag"] for r in res.records]
             assert tags == sorted(tags)
+            type(exe)._join_rows = lambda self, *a, **kw: None
+            try:
+                slow = build().fetch()
+            finally:
+                type(exe)._join_rows = real
+            assert res.records == slow.records
         finally:
             db.close()

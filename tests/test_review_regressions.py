@@ -1274,3 +1274,84 @@ class TestJoinAggregateFastPath:
             assert r.records == [{"count": 7}]
         finally:
             db.close()
+
+
+class TestJoinOrderByJoinedField:
+    """_join_rows serves ordering on joined-in fields via pair-resolved
+    lexsort keys (previously a full record-path materialization)."""
+
+    def _db(self):
+        import random
+        users = TableSchema(name="users", fields=(
+            FieldSchema("region", DataType.text),
+            FieldSchema("score", DataType.integer)))
+        orders = TableSchema(name="orders", fields=(
+            FieldSchema("user_id", DataType.integer),
+            FieldSchema("amount", DataType.double),
+            FieldSchema("status", DataType.text)))
+        db = ToStoreTPU.memory(schemas=[users, orders])
+        rng = random.Random(5)
+        db.batch_insert("users", [
+            {"region": rng.choice(["na", "eu", None]),
+             "score": rng.randint(0, 9)} for _ in range(300)])
+        db.batch_insert("orders", [
+            {"user_id": rng.randint(1, 360) if rng.random() > 0.05 else None,
+             "amount": (round(rng.uniform(1, 50), 1)
+                        if rng.random() > 0.1 else None),
+             "status": rng.choice(["open", "done", None])}
+            for _ in range(2000)])
+        return db
+
+    def test_matches_record_path(self):
+        db = self._db()
+        exe = db.engine.executor
+        real = type(exe)._join_rows
+        taken = {"n": 0}
+
+        def spy(self, *a, **kw):
+            r = real(self, *a, **kw)
+            if r is not None:
+                taken["n"] += 1
+            return r
+
+        cases = [
+            lambda k: (db.query("users").join("orders", "id", "user_id",
+                                              kind=k)
+                       .order_by("amount").limit(25).no_cache()),
+            lambda k: (db.query("users").join("orders", "id", "user_id",
+                                              kind=k)
+                       .order_by("amount", desc=True).limit(25).offset(7)
+                       .no_cache()),
+            lambda k: (db.query("users").join("orders", "id", "user_id",
+                                              kind=k)
+                       .order_by("status").order_by("score", desc=True)
+                       .limit(40).no_cache()),
+            lambda k: (db.query("users").join("orders", "id", "user_id",
+                                              kind=k)
+                       .order_by("orders.status", desc=True)
+                       .order_by("amount").limit(30).no_cache()),
+            lambda k: (db.query("users").join("orders", "id", "user_id",
+                                              kind=k)
+                       .order_by("id", desc=True).limit(25).no_cache()),
+        ]
+        try:
+            for ci, case in enumerate(cases):
+                for kind in ("inner", "left"):
+                    taken["n"] = 0
+                    type(exe)._join_rows = spy
+                    try:
+                        fast = case(kind).fetch()
+                    finally:
+                        type(exe)._join_rows = real
+                    assert taken["n"] == 1, (ci, kind)
+                    type(exe)._join_rows = lambda self, *a, **kw: None
+                    try:
+                        slow = case(kind).fetch()
+                    finally:
+                        type(exe)._join_rows = real
+                    assert fast.records == slow.records, (ci, kind)
+                    assert fast.total == slow.total
+                    assert fast.has_more == slow.has_more
+        finally:
+            type(exe)._join_rows = real
+            db.close()

@@ -638,10 +638,10 @@ class QueryExecutor:
         ):
             # vectorized hash join on ROWIDS: sort the right key column,
             # searchsorted the left keys into it, expand (left, right)
-            # pairs, sort pairs by the base order spec, materialize only
-            # the page — a limit-20 join over 500k rows must not merge
-            # 30k record dicts. Ineligible shapes (right joins, order on
-            # joined-in fields, mixed key dtypes) take the record path.
+            # pairs, sort pairs by the order spec (either side's fields),
+            # materialize only the page — a limit-20 join over 500k rows
+            # must not merge 30k record dicts. Ineligible shapes (right
+            # joins, mixed key dtypes) take the record path.
             res = self._join_rows(
                 space, table, store, rows, spec, order, pk_name,
                 cache_key, table_name,
@@ -1019,46 +1019,56 @@ class QueryExecutor:
                     if contiguous
                     else col.data[rows]
                 )
-                lst = v.tolist()
-                if not all(x is None or isinstance(x, str) for x in lst):
-                    return None  # mixed types rank via _sort_key
-                nulls = np.fromiter(
-                    (x is None for x in lst), np.bool_, count=len(lst)
+                ks = self._field_keys(v, None, desc)
+            elif contiguous:
+                ks = self._field_keys(
+                    col.data[lo : lo + len(rows)],
+                    col.null[lo : lo + len(rows)],
+                    desc,
                 )
-                try:
-                    vk = np.asarray(
-                        ["" if x is None else x for x in lst], dtype="U"
-                    )
-                except (TypeError, ValueError):
-                    return None
-                if desc:
-                    # rank codes invert where raw bytes can't: one 'U'
-                    # sort, then ~rank sorts descending (nk dominates
-                    # for nulls, whose ""-placeholder rank is harmless)
-                    _, inv = np.unique(vk, return_inverse=True)
-                    keys.append(~inv.astype(np.int64))
-                    keys.append(nulls.astype(np.int8))  # nulls last
-                else:
-                    keys.append(vk)
-                    keys.append((~nulls).astype(np.int8))
-                continue
-            if contiguous:
-                vals = col.data[lo : lo + len(rows)]
-                nulls = col.null[lo : lo + len(rows)]
             else:
-                vals = col.data[rows]
-                nulls = col.null[rows]
-            if vals.dtype == np.bool_:
-                vals = vals.astype(np.int8)
-            if desc:
-                vk = -vals if vals.dtype.kind == "f" else ~vals
-                nk = nulls.astype(np.int8)
-            else:
-                vk = vals
-                nk = (~nulls).astype(np.int8)
-            keys.append(vk)
-            keys.append(nk)
+                ks = self._field_keys(col.data[rows], col.null[rows], desc)
+            if ks is None:
+                return None
+            keys.extend(ks)
         return keys
+
+    @staticmethod
+    def _field_keys(vals, nulls, desc):
+        """One order field's (value key, null-rank key) lexsort
+        contribution. `nulls` is a mask for typed arrays, None for object
+        arrays (None sentinels inline — str-only, or bail). Descending
+        numerics invert exactly via ~int / -float; descending text uses
+        np.unique rank codes (byte order has no elementwise inverse; the
+        nk key dominates for nulls, whose ""-placeholder rank is
+        harmless). Returns None for mixed-type object fields — the
+        python _sort_key path ranks those."""
+        if nulls is None:
+            lst = vals.tolist()
+            if not all(x is None or isinstance(x, str) for x in lst):
+                return None  # mixed types rank via _sort_key
+            nulls = np.fromiter(
+                (x is None for x in lst), np.bool_, count=len(lst)
+            )
+            try:
+                vk = np.asarray(
+                    ["" if x is None else x for x in lst], dtype="U"
+                )
+            except (TypeError, ValueError):
+                return None
+            if desc:
+                _, inv = np.unique(vk, return_inverse=True)
+                return [~inv.astype(np.int64), nulls.astype(np.int8)]
+            return [vk, (~nulls).astype(np.int8)]
+        if vals.dtype == np.bool_:
+            vals = vals.astype(np.int8)
+        if desc:
+            vk = -vals if vals.dtype.kind == "f" else ~vals
+            nk = nulls.astype(np.int8)
+        else:
+            vk = vals
+            nk = (~nulls).astype(np.int8)
+        return [vk, nk]
 
     def _after_cursor_mask(
         self, store, rows: np.ndarray, order: list, pk_name: str,
@@ -1400,15 +1410,63 @@ class QueryExecutor:
                 exp_right = np.full(total, -1, np.int64)
         return right, exp_left, exp_right, total
 
+    def _pair_lex_keys(
+        self, store, rstore, j, pk_name, exp_left, exp_right, order,
+    ):
+        """np.lexsort keys over join PAIRS: each order field resolves
+        against the correct side via _pair_field (base wins, right
+        fills, qualified names address the right), so ordering by a
+        joined-in field stays on the rowid fast path. The final
+        tie-break is the base pk ascending — the record path sorts
+        merged records by (order, base pk) because the base pk survives
+        the setdefault merge. Returns None when a field resolves on
+        neither side or carries mixed object types."""
+        unmatched = exp_right < 0
+        if not unmatched.any():
+            unmatched = None
+        rclip = np.maximum(exp_right, 0)
+        pkc = store.pk_col
+        pkc._grow(store.high)
+        pk_raw = pkc.data[exp_left]
+        if pkc.np_type is None:
+            lst = pk_raw.tolist()
+            if not all(isinstance(x, str) for x in lst):
+                return None
+            pk_raw = np.asarray(lst, dtype="U")
+        keys = [pk_raw]
+        for f, desc in reversed(order):
+            if f == pk_name:
+                vals, nulls = pk_raw, None
+                if pkc.np_type is not None:
+                    vals = pkc.data[exp_left]
+                    nulls = (
+                        pkc.null[exp_left]
+                        if pkc.null is not None
+                        else np.zeros(len(exp_left), np.bool_)
+                    )
+            else:
+                r = self._pair_field(
+                    store, rstore, j.table, pk_name, exp_left, rclip,
+                    unmatched, f,
+                )
+                if r is None:
+                    return None
+                _, _, vals, nulls = r
+            ks = self._field_keys(vals, nulls, desc)
+            if ks is None:
+                return None
+            keys.extend(ks)
+        return keys
+
     def _join_rows(
         self, space, table, store, rows: np.ndarray, spec: QuerySpec,
         order, pk_name, cache_key, table_name,
     ):
         """Row-id fast path for ONE inner/left equality join: expand
-        (left, right) rowid pairs, sort them by the base-table order spec
-        with the pk tie-break, and materialize + merge only the page.
-        Returns None for shapes the record path must handle (order on
-        joined-in fields, mixed key dtypes, exotic columns)."""
+        (left, right) rowid pairs, sort them by the order spec (fields
+        resolve against either side, base pk tie-break), and materialize
+        + merge only the page. Returns None for shapes the record path
+        must handle (mixed key dtypes, unresolvable order fields)."""
         j = spec.joins[0]
         exp = self._expand_pairs(space, table, store, rows, j)
         if exp is None:
@@ -1416,9 +1474,11 @@ class QueryExecutor:
         right, exp_left, exp_right, total = exp
         rstore = right.store
         if total:
-            keys = self._lex_keys(store, exp_left, order, pk_name)
+            keys = self._pair_lex_keys(
+                store, rstore, j, pk_name, exp_left, exp_right, order,
+            )
             if keys is None:
-                return None  # order fields not base-resolvable
+                return None  # order fields resolve on neither side
             perm = np.lexsort(keys)  # stable: pair order survives pk ties
             exp_left, exp_right = exp_left[perm], exp_right[perm]
         start = (
