@@ -252,3 +252,109 @@ def test_differential_bulk_write_routes(seed):
     finally:
         db_bulk.close()
         db_row.close()
+
+
+# --------------------------------------------------------------------------
+# Join + aggregate route and joined-field ordering vs record path
+# --------------------------------------------------------------------------
+
+
+def _random_join_agg_query(db, rng):
+    from tostore_tpu.models.aggregation import Agg
+
+    q = db.query("l").no_cache()
+    key = rng.choice(["k", "ks", "mixed"]).item()
+    lf, rf = {"k": ("k", "k"), "ks": ("ks", "ks"), "mixed": ("k", "w")}[key]
+    kind = rng.choice(["inner", "left"]).item()
+    q = q.join("r", lf, rf, kind=kind)
+    if rng.random() < 0.5:
+        c = QueryCondition()
+        c.where("v", rng.choice(["<", ">"]).item(), int(rng.integers(0, 40)))
+        q = q.condition(c)
+    n_group = int(rng.integers(0, 3))
+    pool = ["ks", "flag", "tag", "r.tag", "w", "kf"]
+    groups = list(rng.choice(pool, n_group, replace=False))
+    if groups:
+        q = q.group_by(*groups)
+    # exact-parity aggregates only: int sum/avg (python float division of
+    # an exact int sum), min/max, count — float SUMS differ in last-ulp
+    # reduction order between np.add.at and the sequential record path
+    aggs = [Agg.count(alias="n")]
+    if rng.random() < 0.7:
+        aggs.append(Agg.sum("v", alias="sv"))
+    if rng.random() < 0.5:
+        aggs.append(Agg.avg("w", alias="aw"))
+    if rng.random() < 0.5:
+        aggs.append(Agg.min("kf", alias="mk"))
+    if rng.random() < 0.5:
+        aggs.append(Agg.max("w", alias="xw"))
+    if rng.random() < 0.3:
+        aggs.append(Agg.count("tag", alias="ct"))
+    q = q.aggregate(*aggs)
+    if rng.random() < 0.4:
+        q = q.having("n", ">", int(rng.integers(0, 4)))
+    if rng.random() < 0.4:
+        q = q.order_by("n", desc=bool(rng.random() < 0.5))
+    if rng.random() < 0.4:
+        q = q.limit(int(rng.integers(1, 8)))
+    return q
+
+
+def _random_joined_order_query(db, rng):
+    q = db.query("l").no_cache()
+    key = rng.choice(["k", "ks"]).item()
+    q = q.join("r", key, key, kind=rng.choice(["inner", "left"]).item())
+    if rng.random() < 0.5:
+        c = QueryCondition()
+        c.where("v", rng.choice(["<", ">"]).item(), int(rng.integers(0, 40)))
+        q = q.condition(c)
+    # at least one RIGHT-side order field, mixed with base fields
+    pool_r = ["w", "tag", "r.w", "r.tag"]
+    pool_l = ["v", "ks", "kf", "flag"]
+    fields = [rng.choice(pool_r).item()]
+    for _ in range(int(rng.integers(0, 2))):
+        fields.append(rng.choice(pool_l).item())
+    rng.shuffle(fields)
+    for f in fields:
+        q = q.order_by(f, desc=bool(rng.random() < 0.4))
+    if rng.random() < 0.5:
+        q = q.offset(int(rng.integers(0, 15)))
+    q = q.limit(int(rng.integers(1, 30)))
+    return q
+
+
+@pytest.mark.parametrize("seed", list(range(1, 13)))
+def test_differential_join_agg_and_joined_order(seed):
+    rng = np.random.default_rng(seed + 100)
+    db = _join_db(rng)
+    try:
+        exe = db.engine.executor
+        real_join = type(exe)._join_rows
+        real_agg = type(exe)._aggregate_pairs
+        for _ in range(10):
+            for gen in (_random_join_agg_query, _random_joined_order_query):
+                state = rng.bit_generator.state
+                fast = gen(db, rng).fetch()
+                rng.bit_generator.state = state
+                type(exe)._join_rows = lambda self, *a, **kw: None
+                type(exe)._aggregate_pairs = lambda self, *a, **kw: None
+                try:
+                    slow = gen(db, rng).fetch()
+                finally:
+                    type(exe)._join_rows = real_join
+                    type(exe)._aggregate_pairs = real_agg
+                assert fast.records == slow.records, f"seed={seed}"
+                assert fast.total == slow.total
+                assert fast.has_more == slow.has_more
+            if rng.random() < 0.5:
+                db.insert("l", {
+                    "k": int(rng.integers(0, 9)), "ks": "s2",
+                    "kf": 2.0, "v": int(rng.integers(0, 50)), "flag": True,
+                })
+            if rng.random() < 0.3:
+                db.insert("r", {
+                    "k": int(rng.integers(0, 9)), "ks": "s3",
+                    "w": int(rng.integers(0, 30)), "tag": "tX",
+                })
+    finally:
+        db.close()

@@ -1623,7 +1623,9 @@ class QueryExecutor:
         for a in aggs:
             if a.field:
                 c = store.columns.get(a.field)
-                if c is None or c.np_type is None:
+                # object columns can COUNT (non-None sentinels) but not
+                # reduce numerically
+                if c is None or (c.np_type is None and a.op != "count"):
                     return None
                 acols[a.field] = c
         gcols = []
@@ -1661,10 +1663,16 @@ class QueryExecutor:
             {g: c.get(int(rp)) for g, c in gcols}
             for rp in reps
         ]
-        aarrs = {
-            f: (c.data[rows], c.null[rows], c.np_type is np.float64)
-            for f, c in acols.items()
-        }
+        aarrs = {}
+        for f, c in acols.items():
+            v = c.data[rows]
+            if c.np_type is None:  # count-only: null mask from sentinels
+                nl = np.fromiter(
+                    (x is None for x in v.tolist()), np.bool_, count=m
+                )
+            else:
+                nl = c.null[rows]
+            aarrs[f] = (v, nl, c.np_type is np.float64)
         if not self._reduce_aggs(aggs, aarrs, codes, G, out):
             return None
         return self._agg_tail(out, spec)
@@ -1820,7 +1828,14 @@ class QueryExecutor:
                 return None
             col, _, vals, nulls = r
             if col.np_type is None:
-                return None  # object aggregate values rank via Agg.apply
+                if a.op != "count":
+                    return None  # numeric reducers need typed columns
+                # count-only: null mask from the None sentinels (unmatched
+                # left-join rows were already nulled by _pair_field)
+                nulls = np.fromiter(
+                    (x is None for x in vals.tolist()), np.bool_,
+                    count=total,
+                )
             aarrs[a.field] = (vals, nulls, col.np_type is np.float64)
 
         if total == 0:
