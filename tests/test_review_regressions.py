@@ -1355,3 +1355,79 @@ class TestJoinOrderByJoinedField:
         finally:
             type(exe)._join_rows = real
             db.close()
+
+
+class TestJoinRouteReviewFindings:
+    """Self-review findings over the r4 join-route diff (both verified
+    failing pre-fix)."""
+
+    def test_left_join_empty_right_table(self):
+        # empty right table: rclip indexes a zero-length column —
+        # pre-fix IndexError on order_by/group_by/aggregate over a
+        # right-side field
+        users = TableSchema(name="users", fields=(
+            FieldSchema("region", DataType.text),))
+        orders = TableSchema(name="orders", fields=(
+            FieldSchema("user_id", DataType.integer),
+            FieldSchema("amount", DataType.double)))
+        db = ToStoreTPU.memory(schemas=[users, orders])
+        try:
+            db.batch_insert("users", [{"region": "na"}, {"region": "eu"}])
+            r = (db.query("users").join("orders", "id", "user_id",
+                                        kind="left")
+                 .order_by("amount").limit(10).no_cache().fetch())
+            assert len(r.records) == 2
+            assert all(x.get("amount") is None for x in r.records)
+            g = (db.query("users").join("orders", "id", "user_id",
+                                        kind="left")
+                 .group_by("amount")
+                 .aggregate(Agg.count(), Agg.sum("amount"))
+                 .no_cache().fetch())
+            assert g.records == [{"amount": None, "count": 2,
+                                  "sum_amount": None}]
+        finally:
+            db.close()
+
+    def test_qualified_name_beats_shadowing_base_column(self):
+        # a base column literally named "r.w": the record merge assigns
+        # qualified keys from the RIGHT side unconditionally, so the
+        # fast paths must resolve "r.w" right-first
+        left = TableSchema(name="l", fields=(
+            FieldSchema("k", DataType.integer),
+            FieldSchema("r.w", DataType.integer)))
+        right = TableSchema(name="r", fields=(
+            FieldSchema("k", DataType.integer),
+            FieldSchema("w", DataType.integer)))
+        db = ToStoreTPU.memory(schemas=[left, right])
+        try:
+            db.batch_insert("l", [{"k": 1, "r.w": 100}, {"k": 2, "r.w": 200}])
+            db.batch_insert("r", [{"k": 1, "w": 5}, {"k": 2, "w": 1}])
+            exe = db.engine.executor
+
+            def run(build, disable):
+                if disable:
+                    rj = type(exe)._join_rows
+                    ra = type(exe)._aggregate_pairs
+                    type(exe)._join_rows = lambda self, *a, **kw: None
+                    type(exe)._aggregate_pairs = (
+                        lambda self, *a, **kw: None)
+                    try:
+                        return build().fetch()
+                    finally:
+                        type(exe)._join_rows = rj
+                        type(exe)._aggregate_pairs = ra
+                return build().fetch()
+
+            build_o = lambda: (db.query("l").join("r", "k", "k")
+                               .order_by("r.w").limit(10).no_cache())
+            fast, slow = run(build_o, False), run(build_o, True)
+            assert fast.records == slow.records
+            assert [x["k"] for x in fast.records] == [2, 1]  # right w order
+            build_g = lambda: (db.query("l").join("r", "k", "k")
+                               .group_by("r.w").aggregate(Agg.count())
+                               .no_cache())
+            fast, slow = run(build_g, False), run(build_g, True)
+            assert fast.records == slow.records
+            assert {x["r.w"] for x in fast.records} == {5, 1}
+        finally:
+            db.close()

@@ -1468,6 +1468,15 @@ class QueryExecutor:
         + merge only the page. Returns None for shapes the record path
         must handle (mixed key dtypes, unresolvable order fields)."""
         j = spec.joins[0]
+        # order-field resolvability is a name lookup — check before the
+        # O(pairs) expansion so unresolvable shapes don't pay for a
+        # discarded expansion on top of the record path's own join
+        rstore0 = self.db._table(j.table, space).store
+        for f, _ in order:
+            if f != pk_name and (
+                self._pair_col(store, rstore0, j.table, pk_name, f) is None
+            ):
+                return None
         exp = self._expand_pairs(space, table, store, rows, j)
         if exp is None:
             return None
@@ -1641,19 +1650,8 @@ class QueryExecutor:
 
         if gcols:
             codes = self._factorize(rows, [c for _, c in gcols])
-            # drop empty buckets + order groups by FIRST ENCOUNTER so the
-            # output matches the record path's dict-insertion order;
-            # minimum.at finds first occurrences without another sort
-            g0 = int(codes.max()) + 1
-            first_idx = np.full(g0, m, np.int64)
-            np.minimum.at(first_idx, codes, np.arange(m))
-            live = np.flatnonzero(first_idx < m)
-            enc = live[np.argsort(first_idx[live], kind="stable")]
-            remap = np.empty(g0, np.int64)
-            remap[enc] = np.arange(len(enc))
-            codes = remap[codes]
-            reps = rows[first_idx[enc]]  # representative rowid per group
-            G = len(enc)
+            codes, rep_idx, G = self._encounter_codes(codes, m)
+            reps = rows[rep_idx]  # representative rowid per group
         else:
             codes = np.zeros(m, np.int64)
             reps = rows[:1]
@@ -1676,6 +1674,22 @@ class QueryExecutor:
         if not self._reduce_aggs(aggs, aarrs, codes, G, out):
             return None
         return self._agg_tail(out, spec)
+
+    @staticmethod
+    def _encounter_codes(codes, m):
+        """Drop empty buckets and renumber group codes by FIRST
+        ENCOUNTER so output groups match the record path's
+        dict-insertion order; minimum.at finds first occurrences without
+        another sort. Returns (renumbered codes, first-occurrence index
+        per group, group count)."""
+        g0 = int(codes.max()) + 1
+        first_idx = np.full(g0, m, np.int64)
+        np.minimum.at(first_idx, codes, np.arange(m))
+        live = np.flatnonzero(first_idx < m)
+        enc = live[np.argsort(first_idx[live], kind="stable")]
+        remap = np.empty(g0, np.int64)
+        remap[enc] = np.arange(len(enc))
+        return remap[codes], first_idx[enc], len(enc)
 
     @staticmethod
     def _reduce_aggs(aggs, aarrs, codes, G, out) -> bool:
@@ -1743,37 +1757,60 @@ class QueryExecutor:
                 out[gi][a.name] = vals[gi]
         return True
 
+    @staticmethod
+    def _pair_col(store, rstore, jtable, pk_name, field):
+        """(column, from_right) per the record-merge resolution rule:
+        the '<table>.<field>' qualified form is assigned from the RIGHT
+        side unconditionally (the merge loop overwrites even a
+        same-named base column); unqualified base fields win (setdefault
+        keeps them); right fields fill absent base names. None when the
+        field resolves to neither side, or is the base pk — which must
+        NOT fall through to a same-named right column (the record merge
+        keeps the base value) and bails like the single-table fast
+        path. Cheap: name lookups only, safe to call before the O(pairs)
+        expansion."""
+        if field == pk_name:
+            return None
+        if field.startswith(jtable + "."):
+            col = rstore.columns.get(field[len(jtable) + 1:])
+            if col is not None:
+                return col, True
+        col = store.columns.get(field)
+        if col is not None:
+            return col, False
+        col = rstore.columns.get(field)
+        if col is None:
+            return None
+        return col, True
+
     def _pair_field(
         self, store, rstore, jtable, pk_name, exp_left, rclip, unmatched,
         field,
     ):
-        """Resolve `field` over join pairs the way the record merge does:
-        base-table fields win, right fields fill absent names, and the
-        '<table>.<field>' qualified form addresses the right side
-        explicitly. Returns (col, side_rows, values, nulls) — nulls is a
-        mask for typed columns, None for object columns (None sentinels
-        inline; a left join's unmatched rows are nulled either way) — or
-        None when the field resolves to neither side (record path). pk
-        fields on either side bail like the single-table fast path does —
-        and the base pk name must NOT fall through to a same-named right
-        column (the record merge keeps the base value)."""
-        if field == pk_name:
+        """Resolve `field` over join pairs (_pair_col rule) and gather
+        its per-pair arrays. Returns (col, side_rows, values, nulls) —
+        nulls is a mask for typed columns, None for object columns (None
+        sentinels inline; a left join's unmatched rows are nulled either
+        way) — or None when the field resolves to neither side (record
+        path)."""
+        pc = self._pair_col(store, rstore, jtable, pk_name, field)
+        if pc is None:
             return None
-        col = store.columns.get(field)
-        if col is not None:
-            rows_, unm = exp_left, None
-            high = store.high
+        col, from_right = pc
+        if from_right:
+            if rstore.high == 0:
+                # left join against an EMPTY right table: every pair is
+                # unmatched and rclip's zeros index nothing — all null
+                m = len(rclip)
+                if col.np_type is None:
+                    return col, rclip, np.full(m, None, object), None
+                return (
+                    col, rclip, np.zeros(m, col.np_type),
+                    np.ones(m, np.bool_),
+                )
+            rows_, unm, high = rclip, unmatched, rstore.high
         else:
-            fname = (
-                field[len(jtable) + 1:]
-                if field.startswith(jtable + ".")
-                else field
-            )
-            col = rstore.columns.get(fname)
-            if col is None:
-                return None
-            rows_, unm = rclip, unmatched
-            high = rstore.high
+            rows_, unm, high = exp_left, None, store.high
         col._grow(high)
         vals = col.data[rows_]
         if col.np_type is None:
@@ -1796,14 +1833,25 @@ class QueryExecutor:
         columns, mixed join-key dtypes, pk fields)."""
         j = spec.joins[0]
         aggs = spec.aggregates or [Agg.count()]
-        # resolvability pre-checks are cheap; expansion is not — order
-        # matters when this returns None
+        # resolvability pre-checks run BEFORE the O(pairs) expansion so
+        # ineligible shapes don't pay for a discarded expansion on top
+        # of the record path's own join
+        rstore = self.db._table(j.table, space).store
+        pk_name = table.schema.primary_key.name
+        for g in spec.group_by:
+            if self._pair_col(store, rstore, j.table, pk_name, g) is None:
+                return None
+        for a in aggs:
+            if not a.field:
+                continue
+            pc = self._pair_col(store, rstore, j.table, pk_name, a.field)
+            if pc is None or (pc[0].np_type is None and a.op != "count"):
+                return None  # numeric reducers need typed columns
         exp = self._expand_pairs(space, table, store, rows, j)
         if exp is None:
             return None
         right, exp_left, exp_right, total = exp
         rstore = right.store
-        pk_name = table.schema.primary_key.name
         unmatched = (exp_right < 0) if j.kind == "left" else None
         rclip = np.maximum(exp_right, 0)
 
@@ -1828,10 +1876,8 @@ class QueryExecutor:
                 return None
             col, _, vals, nulls = r
             if col.np_type is None:
-                if a.op != "count":
-                    return None  # numeric reducers need typed columns
-                # count-only: null mask from the None sentinels (unmatched
-                # left-join rows were already nulled by _pair_field)
+                # count-only (pre-checked): null mask from the None
+                # sentinels (unmatched left-join rows already nulled)
                 nulls = np.fromiter(
                     (x is None for x in vals.tolist()), np.bool_,
                     count=total,
@@ -1844,16 +1890,7 @@ class QueryExecutor:
             codes = self._factorize_arrays(
                 [(vals, nulls) for _, _, _, vals, nulls in gfields], total,
             )
-            g0 = int(codes.max()) + 1
-            first_idx = np.full(g0, total, np.int64)
-            np.minimum.at(first_idx, codes, np.arange(total))
-            live = np.flatnonzero(first_idx < total)
-            enc = live[np.argsort(first_idx[live], kind="stable")]
-            remap = np.empty(g0, np.int64)
-            remap[enc] = np.arange(len(enc))
-            codes = remap[codes]
-            rep_idx = first_idx[enc]  # representative PAIR per group
-            G = len(enc)
+            codes, rep_idx, G = self._encounter_codes(codes, total)
             out = []
             for ri in rep_idx:
                 rec = {}
