@@ -93,7 +93,7 @@ def _random_join_query(db, rng):
         "id": ("id", "id"),
         "mixed": ("k", "w"),
     }[key]
-    kind = rng.choice(["inner", "left", "right"], p=[0.45, 0.45, 0.1]).item()
+    kind = rng.choice(["inner", "left", "right"], p=[0.4, 0.35, 0.25]).item()
     q = q.join("r", lf, rf, kind=kind)
     if rng.random() < 0.6:
         c = QueryCondition()
@@ -265,7 +265,7 @@ def _random_join_agg_query(db, rng):
     q = db.query("l").no_cache()
     key = rng.choice(["k", "ks", "mixed"]).item()
     lf, rf = {"k": ("k", "k"), "ks": ("ks", "ks"), "mixed": ("k", "w")}[key]
-    kind = rng.choice(["inner", "left"]).item()
+    kind = rng.choice(["inner", "left", "right"]).item()
     q = q.join("r", lf, rf, kind=kind)
     if rng.random() < 0.5:
         c = QueryCondition()
@@ -303,7 +303,8 @@ def _random_join_agg_query(db, rng):
 def _random_joined_order_query(db, rng):
     q = db.query("l").no_cache()
     key = rng.choice(["k", "ks"]).item()
-    q = q.join("r", key, key, kind=rng.choice(["inner", "left"]).item())
+    q = q.join("r", key, key,
+               kind=rng.choice(["inner", "left", "right"]).item())
     if rng.random() < 0.5:
         c = QueryCondition()
         c.where("v", rng.choice(["<", ">"]).item(), int(rng.integers(0, 40)))

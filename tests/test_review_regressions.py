@@ -1431,3 +1431,88 @@ class TestJoinRouteReviewFindings:
             assert {x["r.w"] for x in fast.records} == {5, 1}
         finally:
             db.close()
+
+
+class TestRightJoinFastPath:
+    """Right joins on the vectorized path: matched pairs + unmatched
+    right tail, record-identical ordering (incl. the null-group
+    canonical-value fix: tail rows read clipped row 0, not the store's
+    zero fill, so null rows must carry one canonical value key)."""
+
+    def test_right_join_tail_orders_within_null_group(self):
+        users = TableSchema(name="l", fields=(
+            FieldSchema("k", DataType.integer),
+            FieldSchema("kf", DataType.double)))
+        orders = TableSchema(name="r", fields=(
+            FieldSchema("k", DataType.integer),
+            FieldSchema("w", DataType.integer)))
+        db = ToStoreTPU.memory(schemas=[users, orders])
+        try:
+            # base row 0 has kf=2.0: the clipped tail reads it as the
+            # residual value under its null mask
+            db.batch_insert("l", [{"k": 1, "kf": 2.0},
+                                  {"k": 2, "kf": None},
+                                  {"k": 3, "kf": None}])
+            db.batch_insert("r", [{"k": 2, "w": 6}, {"k": 3, "w": 7},
+                                  {"k": None, "w": 5},  # unmatched tail
+                                  {"k": 9, "w": 4}])    # unmatched tail
+            exe = db.engine.executor
+            rj = type(exe)._join_rows
+
+            def run(disable):
+                q = (db.query("l").join("r", "k", "k", kind="right")
+                     .order_by("kf").order_by("r.w").limit(10).no_cache())
+                if disable:
+                    type(exe)._join_rows = lambda self, *a, **kw: None
+                    try:
+                        return q.fetch()
+                    finally:
+                        type(exe)._join_rows = rj
+                return q.fetch()
+
+            fast, slow = run(False), run(True)
+            assert fast.records == slow.records
+            # null-kf group ordered by r.w: tails (4, 5) interleave with
+            # matched rows (6, 7)
+            assert [x.get("w") for x in fast.records] == [4, 5, 6, 7]
+        finally:
+            db.close()
+
+    def test_right_join_shared_unqualified_name_bails(self):
+        # both tables have "k": matched rows show the base k, tail rows
+        # the right k — per-row source switching must take the record
+        # path on order/group shapes
+        users = TableSchema(name="l", fields=(
+            FieldSchema("k", DataType.integer),))
+        orders = TableSchema(name="r", fields=(
+            FieldSchema("k", DataType.integer),
+            FieldSchema("w", DataType.integer)))
+        db = ToStoreTPU.memory(schemas=[users, orders])
+        try:
+            db.batch_insert("l", [{"k": 5}])
+            db.batch_insert("r", [{"k": 5, "w": 1}, {"k": 0, "w": 2}])
+            exe = db.engine.executor
+            taken = []
+            rj = type(exe)._join_rows
+
+            def spy(self, *a, **kw):
+                out = rj(self, *a, **kw)
+                taken.append(out is not None)
+                return out
+
+            type(exe)._join_rows = spy
+            try:
+                fast = (db.query("l").join("r", "k", "k", kind="right")
+                        .order_by("k").limit(10).no_cache().fetch())
+            finally:
+                type(exe)._join_rows = rj
+            assert taken == [False]
+            type(exe)._join_rows = lambda self, *a, **kw: None
+            try:
+                slow = (db.query("l").join("r", "k", "k", kind="right")
+                        .order_by("k").limit(10).no_cache().fetch())
+            finally:
+                type(exe)._join_rows = rj
+            assert fast.records == slow.records
+        finally:
+            db.close()

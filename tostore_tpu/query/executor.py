@@ -616,7 +616,6 @@ class QueryExecutor:
         if (
             overlay is None
             and len(spec.joins) == 1
-            and spec.joins[0].kind in ("inner", "left")
             and (spec.aggregates or spec.group_by)
             and not spec.distinct
         ):
@@ -630,7 +629,6 @@ class QueryExecutor:
         if (
             overlay is None
             and len(spec.joins) == 1
-            and spec.joins[0].kind in ("inner", "left")
             and not spec.aggregates
             and not spec.group_by
             and not spec.distinct
@@ -638,10 +636,11 @@ class QueryExecutor:
         ):
             # vectorized hash join on ROWIDS: sort the right key column,
             # searchsorted the left keys into it, expand (left, right)
-            # pairs, sort pairs by the order spec (either side's fields),
-            # materialize only the page — a limit-20 join over 500k rows
-            # must not merge 30k record dicts. Ineligible shapes (right
-            # joins, mixed key dtypes) take the record path.
+            # pairs (right joins append their unmatched tail), sort
+            # pairs by the order spec (either side's fields), materialize
+            # only the page — a limit-20 join over 500k rows must not
+            # merge 30k record dicts. Ineligible shapes (mixed key
+            # dtypes, unresolvable order fields) take the record path.
             res = self._join_rows(
                 space, table, store, rows, spec, order, pk_name,
                 cache_key, table_name,
@@ -1062,6 +1061,12 @@ class QueryExecutor:
             return [vk, (~nulls).astype(np.int8)]
         if vals.dtype == np.bool_:
             vals = vals.astype(np.int8)
+        if nulls.any():
+            # the value key still participates below the null-rank key:
+            # null rows must carry ONE canonical value or they order by
+            # residual storage values (clipped join-tail rows read row 0,
+            # not the store's zero fill) instead of the next order field
+            vals = np.where(nulls, vals.dtype.type(0), vals)
         if desc:
             vk = -vals if vals.dtype.kind == "f" else ~vals
             nk = nulls.astype(np.int8)
@@ -1345,12 +1350,16 @@ class QueryExecutor:
         return v, nl
 
     def _expand_pairs(self, space, table, store, rows: np.ndarray, j):
-        """Vectorized pair expansion for ONE inner/left equality join:
-        argsort the right key column + searchsorted the left keys (ties
-        keep right-rowid order, same as the record path's rmap insertion
+        """Vectorized pair expansion for ONE equality join: argsort the
+        right key column + searchsorted the left keys (ties keep
+        right-rowid order, same as the record path's rmap insertion
         order). Returns (right_table, exp_left, exp_right, total) with
-        exp_right = -1 for a left join's unmatched rows; None for shapes
-        the record path must handle (mixed key dtypes, exotic columns)."""
+        exp_right = -1 for a left join's unmatched rows; a right join
+        appends its unmatched right rows as (exp_left = -1) entries
+        AFTER the matched pairs in right-rowid order, exactly the record
+        path's append order (stable sorts preserve it through ties).
+        None for shapes the record path must handle (mixed key dtypes,
+        exotic columns)."""
         pk_name = table.schema.primary_key.name
         right = self.db._table(j.table, space)
         rstore = right.store
@@ -1382,7 +1391,7 @@ class QueryExecutor:
         hi = np.searchsorted(rv_sorted, lv, side="right")
         counts = (hi - lo).astype(np.int64)
         counts[lnl] = 0  # null keys never join (record-path semantics)
-        if j.kind == "inner":
+        if j.kind in ("inner", "right"):
             sel = counts > 0
             rows_m, lo_m, cnt_m = rows[sel], lo[sel], counts[sel]
             total = int(cnt_m.sum())
@@ -1394,6 +1403,25 @@ class QueryExecutor:
                 if total
                 else np.zeros(0, np.int64)
             )
+            if j.kind == "right":
+                # unmatched rights (incl. null-keyed ones dropped from
+                # rr_sorted) append once each, right-rowid ASC — the
+                # record path's `for rr in rrows` tail order. Range
+                # coverage marks matched sorted positions.
+                if total:
+                    marks = np.zeros(len(rr_sorted) + 1, np.int64)
+                    np.add.at(marks, lo_m, 1)
+                    np.add.at(marks, lo_m + cnt_m, -1)
+                    matched_rr = rr_sorted[np.cumsum(marks[:-1]) > 0]
+                else:
+                    matched_rr = np.zeros(0, np.int64)
+                tail = np.setdiff1d(rrows, matched_rr)
+                if len(tail):
+                    exp_left = np.concatenate(
+                        [exp_left, np.full(len(tail), -1, np.int64)]
+                    )
+                    exp_right = np.concatenate([exp_right, tail])
+                    total += len(tail)
         else:  # left join: unmatched rows emit once with no right fields
             cnt2 = np.maximum(counts, 1)
             total = int(cnt2.sum())
@@ -1411,47 +1439,84 @@ class QueryExecutor:
         return right, exp_left, exp_right, total
 
     def _pair_lex_keys(
-        self, store, rstore, j, pk_name, exp_left, exp_right, order,
+        self, store, right, j, pk_name, exp_left, exp_right, order,
     ):
         """np.lexsort keys over join PAIRS: each order field resolves
         against the correct side via _pair_field (base wins, right
         fills, qualified names address the right), so ordering by a
         joined-in field stays on the rowid fast path. The final
-        tie-break is the base pk ascending — the record path sorts
-        merged records by (order, base pk) because the base pk survives
-        the setdefault merge. Returns None when a field resolves on
-        neither side or carries mixed object types."""
-        unmatched = exp_right < 0
-        if not unmatched.any():
-            unmatched = None
+        tie-break is the pk-named value ascending — the base pk for
+        matched pairs (it survives the setdefault merge), and for a
+        right join's unmatched tail the right table's pk-named value
+        (its records are right-only dicts), null when the right has no
+        such name. Returns None when a field resolves on neither side
+        or carries mixed object types."""
+        rstore = right.store
+        lunm = exp_left < 0
+        if not lunm.any():
+            lunm = None
+        lclip = np.maximum(exp_left, 0)
+        runm = exp_right < 0
+        if not runm.any():
+            runm = None
         rclip = np.maximum(exp_right, 0)
+        m = len(exp_left)
         pkc = store.pk_col
         pkc._grow(store.high)
-        pk_raw = pkc.data[exp_left]
-        if pkc.np_type is None:
-            lst = pk_raw.tolist()
-            if not all(isinstance(x, str) for x in lst):
+        if lunm is None:
+            pk_raw = pkc.data[exp_left]
+            if pkc.np_type is None:
+                lst = pk_raw.tolist()
+                if not all(isinstance(x, str) for x in lst):
+                    return None
+                pk_raw = np.asarray(lst, dtype="U")
+            keys = [pk_raw]
+            pk_vals, pk_nulls = pk_raw, None
+            if pkc.np_type is not None:
+                pk_vals = pkc.data[exp_left]
+                pk_nulls = (
+                    pkc.null[exp_left]
+                    if pkc.null is not None
+                    else np.zeros(m, np.bool_)
+                )
+        else:
+            # right-join tail present: per-row pk source — keep it to
+            # same-typed NUMERIC pks (string/mixed shapes record-path)
+            if pkc.np_type is None or store.high == 0:
                 return None
-            pk_raw = np.asarray(lst, dtype="U")
-        keys = [pk_raw]
+            pk_vals = pkc.data[lclip].copy()
+            pk_nulls = lunm.copy()
+            rpk = right.schema.primary_key.name
+            rpc = (
+                rstore.pk_col if rpk == pk_name
+                else rstore.columns.get(pk_name)
+            )
+            if rpc is not None and rstore.high > 0:
+                if rpc.np_type is None:
+                    return None
+                rpc._grow(rstore.high)
+                rv = rpc.data[rclip]
+                if rv.dtype.kind != pk_vals.dtype.kind:
+                    return None
+                np.copyto(pk_vals, rv.astype(pk_vals.dtype), where=lunm)
+                rn = (
+                    rpc.null[rclip]
+                    if rpc.null is not None
+                    else np.zeros(m, np.bool_)
+                )
+                pk_nulls = np.where(lunm, rn, np.zeros(m, np.bool_))
+            keys = list(self._field_keys(pk_vals, pk_nulls, False))
         for f, desc in reversed(order):
             if f == pk_name:
-                vals, nulls = pk_raw, None
-                if pkc.np_type is not None:
-                    vals = pkc.data[exp_left]
-                    nulls = (
-                        pkc.null[exp_left]
-                        if pkc.null is not None
-                        else np.zeros(len(exp_left), np.bool_)
-                    )
+                vals, nulls = pk_vals, pk_nulls
             else:
                 r = self._pair_field(
-                    store, rstore, j.table, pk_name, exp_left, rclip,
-                    unmatched, f,
+                    store, rstore, j.table, pk_name, lclip, lunm, rclip,
+                    runm, f, j.kind,
                 )
                 if r is None:
                     return None
-                _, _, vals, nulls = r
+                _, _, _, vals, nulls = r
             ks = self._field_keys(vals, nulls, desc)
             if ks is None:
                 return None
@@ -1462,11 +1527,12 @@ class QueryExecutor:
         self, space, table, store, rows: np.ndarray, spec: QuerySpec,
         order, pk_name, cache_key, table_name,
     ):
-        """Row-id fast path for ONE inner/left equality join: expand
-        (left, right) rowid pairs, sort them by the order spec (fields
-        resolve against either side, base pk tie-break), and materialize
-        + merge only the page. Returns None for shapes the record path
-        must handle (mixed key dtypes, unresolvable order fields)."""
+        """Row-id fast path for ONE equality join (inner, left, or
+        right): expand (left, right) rowid pairs, sort them by the order
+        spec (fields resolve against either side, pk-named tie-break),
+        and materialize + merge only the page. Returns None for shapes
+        the record path must handle (mixed key dtypes, unresolvable
+        order fields)."""
         j = spec.joins[0]
         # order-field resolvability is a name lookup — check before the
         # O(pairs) expansion so unresolvable shapes don't pay for a
@@ -1474,7 +1540,8 @@ class QueryExecutor:
         rstore0 = self.db._table(j.table, space).store
         for f, _ in order:
             if f != pk_name and (
-                self._pair_col(store, rstore0, j.table, pk_name, f) is None
+                self._pair_col(store, rstore0, j.table, pk_name, f, j.kind)
+                is None
             ):
                 return None
         exp = self._expand_pairs(space, table, store, rows, j)
@@ -1484,7 +1551,7 @@ class QueryExecutor:
         rstore = right.store
         if total:
             keys = self._pair_lex_keys(
-                store, rstore, j, pk_name, exp_left, exp_right, order,
+                store, right, j, pk_name, exp_left, exp_right, order,
             )
             if keys is None:
                 return None  # order fields resolve on neither side
@@ -1502,8 +1569,19 @@ class QueryExecutor:
         )
         pl = exp_left[start : start + limit]
         pr = exp_right[start : start + limit]
-        page = store.read_rows(pl)
-        for rec, rr_ in zip(page, pr.tolist()):
+        page = store.read_rows(np.maximum(pl, 0))
+        for i, (ll, rr_) in enumerate(zip(pl.tolist(), pr.tolist())):
+            if ll < 0:
+                # right-join unmatched tail: a right-only record with
+                # qualified duplicates (record path's dict(rrec) merge)
+                rrec = rstore.read_row(int(rr_))
+                rrec.pop("_system_ingest_ts_ms", None)
+                merged = dict(rrec)
+                for k, v in rrec.items():
+                    merged[f"{j.table}.{k}"] = v
+                page[i] = merged
+                continue
+            rec = page[i]
             rec.pop("_system_ingest_ts_ms", None)
             if rr_ < 0:
                 continue
@@ -1758,7 +1836,7 @@ class QueryExecutor:
         return True
 
     @staticmethod
-    def _pair_col(store, rstore, jtable, pk_name, field):
+    def _pair_col(store, rstore, jtable, pk_name, field, kind="inner"):
         """(column, from_right) per the record-merge resolution rule:
         the '<table>.<field>' qualified form is assigned from the RIGHT
         side unconditionally (the merge loop overwrites even a
@@ -1767,8 +1845,10 @@ class QueryExecutor:
         field resolves to neither side, or is the base pk — which must
         NOT fall through to a same-named right column (the record merge
         keeps the base value) and bails like the single-table fast
-        path. Cheap: name lookups only, safe to call before the O(pairs)
-        expansion."""
+        path. A RIGHT join's unqualified shared names also bail: its
+        unmatched tail records are right-only dicts, so the value source
+        switches per row (base for matched, right for tail). Cheap: name
+        lookups only, safe to call before the O(pairs) expansion."""
         if field == pk_name:
             return None
         if field.startswith(jtable + "."):
@@ -1777,6 +1857,8 @@ class QueryExecutor:
                 return col, True
         col = store.columns.get(field)
         if col is not None:
+            if kind == "right" and rstore.columns.get(field) is not None:
+                return None
             return col, False
         col = rstore.columns.get(field)
         if col is None:
@@ -1784,53 +1866,56 @@ class QueryExecutor:
         return col, True
 
     def _pair_field(
-        self, store, rstore, jtable, pk_name, exp_left, rclip, unmatched,
-        field,
+        self, store, rstore, jtable, pk_name, lclip, lunm, rclip, runm,
+        field, kind,
     ):
         """Resolve `field` over join pairs (_pair_col rule) and gather
-        its per-pair arrays. Returns (col, side_rows, values, nulls) —
-        nulls is a mask for typed columns, None for object columns (None
-        sentinels inline; a left join's unmatched rows are nulled either
-        way) — or None when the field resolves to neither side (record
-        path)."""
-        pc = self._pair_col(store, rstore, jtable, pk_name, field)
+        its per-pair arrays. Returns (col, side_rows, side_unmatched,
+        values, nulls) — nulls is a mask for typed columns, None for
+        object columns (None sentinels inline); rows unmatched on the
+        resolving side (a left join's right-side misses, a right join's
+        tail on base fields) are nulled either way. None when the field
+        resolves to neither side (record path)."""
+        pc = self._pair_col(store, rstore, jtable, pk_name, field, kind)
         if pc is None:
             return None
         col, from_right = pc
         if from_right:
-            if rstore.high == 0:
-                # left join against an EMPTY right table: every pair is
-                # unmatched and rclip's zeros index nothing — all null
-                m = len(rclip)
-                if col.np_type is None:
-                    return col, rclip, np.full(m, None, object), None
-                return (
-                    col, rclip, np.zeros(m, col.np_type),
-                    np.ones(m, np.bool_),
-                )
-            rows_, unm, high = rclip, unmatched, rstore.high
+            owner_high, rows_, unm = rstore.high, rclip, runm
         else:
-            rows_, unm, high = exp_left, None, store.high
-        col._grow(high)
+            owner_high, rows_, unm = store.high, lclip, lunm
+        m = len(rows_)
+        if owner_high == 0:
+            # the resolving side has no rows at all (empty right table,
+            # or a right-join tail over an empty base): every pair is
+            # null there and the clipped zeros index nothing
+            unm = np.ones(m, np.bool_)
+            if col.np_type is None:
+                return col, rows_, unm, np.full(m, None, object), None
+            return (
+                col, rows_, unm, np.zeros(m, col.np_type),
+                np.ones(m, np.bool_),
+            )
+        col._grow(owner_high)
         vals = col.data[rows_]
         if col.np_type is None:
             if unm is not None and unm.any():
                 vals = vals.copy()
                 vals[unm] = None
-            return col, rows_, vals, None
+            return col, rows_, unm, vals, None
         nulls = col.null[rows_]
         if unm is not None:
             nulls = nulls | unm
-        return col, rows_, vals, nulls
+        return col, rows_, unm, vals, nulls
 
     def _aggregate_pairs(self, space, table, store, rows, spec):
-        """Vectorized _aggregate over ONE inner/left equality join:
-        expand (left, right) rowid pairs, resolve group/aggregate fields
-        against the correct side, then run the shared factorize+reduce
-        machinery — a count-per-group over 500k join pairs must not
-        merge 500k record dicts first. Returns None for shapes the
-        record path must handle (unresolvable fields, object aggregate
-        columns, mixed join-key dtypes, pk fields)."""
+        """Vectorized _aggregate over ONE equality join (inner, left, or
+        right): expand (left, right) rowid pairs, resolve group/aggregate
+        fields against the correct side, then run the shared
+        factorize+reduce machinery — a count-per-group over 500k join
+        pairs must not merge 500k record dicts first. Returns None for
+        shapes the record path must handle (unresolvable fields, object
+        aggregate columns, mixed join-key dtypes, pk fields)."""
         j = spec.joins[0]
         aggs = spec.aggregates or [Agg.count()]
         # resolvability pre-checks run BEFORE the O(pairs) expansion so
@@ -1839,12 +1924,17 @@ class QueryExecutor:
         rstore = self.db._table(j.table, space).store
         pk_name = table.schema.primary_key.name
         for g in spec.group_by:
-            if self._pair_col(store, rstore, j.table, pk_name, g) is None:
+            if (
+                self._pair_col(store, rstore, j.table, pk_name, g, j.kind)
+                is None
+            ):
                 return None
         for a in aggs:
             if not a.field:
                 continue
-            pc = self._pair_col(store, rstore, j.table, pk_name, a.field)
+            pc = self._pair_col(
+                store, rstore, j.table, pk_name, a.field, j.kind,
+            )
             if pc is None or (pc[0].np_type is None and a.op != "count"):
                 return None  # numeric reducers need typed columns
         exp = self._expand_pairs(space, table, store, rows, j)
@@ -1852,14 +1942,20 @@ class QueryExecutor:
             return None
         right, exp_left, exp_right, total = exp
         rstore = right.store
-        unmatched = (exp_right < 0) if j.kind == "left" else None
+        lunm = exp_left < 0
+        if not lunm.any():
+            lunm = None
+        lclip = np.maximum(exp_left, 0)
+        runm = exp_right < 0
+        if not runm.any():
+            runm = None
         rclip = np.maximum(exp_right, 0)
 
         gfields = []
         for g in spec.group_by:
             r = self._pair_field(
-                store, rstore, j.table, pk_name, exp_left, rclip,
-                unmatched, g,
+                store, rstore, j.table, pk_name, lclip, lunm, rclip,
+                runm, g, j.kind,
             )
             if r is None:
                 return None
@@ -1869,15 +1965,15 @@ class QueryExecutor:
             if not a.field:
                 continue
             r = self._pair_field(
-                store, rstore, j.table, pk_name, exp_left, rclip,
-                unmatched, a.field,
+                store, rstore, j.table, pk_name, lclip, lunm, rclip,
+                runm, a.field, j.kind,
             )
             if r is None:
                 return None
-            col, _, vals, nulls = r
+            col, _, _, vals, nulls = r
             if col.np_type is None:
                 # count-only (pre-checked): null mask from the None
-                # sentinels (unmatched left-join rows already nulled)
+                # sentinels (side-unmatched rows already nulled)
                 nulls = np.fromiter(
                     (x is None for x in vals.tolist()), np.bool_,
                     count=total,
@@ -1888,18 +1984,15 @@ class QueryExecutor:
             return self._agg_tail([], spec)
         if gfields:
             codes = self._factorize_arrays(
-                [(vals, nulls) for _, _, _, vals, nulls in gfields], total,
+                [(vals, nulls) for _, _, _, _, vals, nulls in gfields],
+                total,
             )
             codes, rep_idx, G = self._encounter_codes(codes, total)
             out = []
             for ri in rep_idx:
                 rec = {}
-                for g, col, rows_, _, _ in gfields:
-                    if (
-                        unmatched is not None
-                        and rows_ is rclip
-                        and unmatched[ri]
-                    ):
+                for g, col, rows_, unm, _, _ in gfields:
+                    if unm is not None and unm[ri]:
                         rec[g] = None
                     else:
                         rec[g] = col.get(int(rows_[ri]))
