@@ -359,3 +359,122 @@ def test_differential_join_agg_and_joined_order(seed):
                 })
     finally:
         db.close()
+
+
+# --------------------------------------------------------------------------
+# Multi-join (2 joins) vs sequential record-path joins
+# --------------------------------------------------------------------------
+
+
+def _multi_db(rng):
+    base = TableSchema(
+        name="l",
+        fields=(
+            FieldSchema("k", DataType.integer),
+            FieldSchema("c", DataType.integer),
+            FieldSchema("v", DataType.integer),
+        ),
+    )
+    r1 = TableSchema(
+        name="r1",
+        fields=(
+            FieldSchema("k1", DataType.integer),
+            FieldSchema("w1", DataType.integer),
+            FieldSchema("t1", DataType.text),
+        ),
+    )
+    r2 = TableSchema(
+        name="r2",
+        fields=(
+            FieldSchema("k2", DataType.integer),
+            FieldSchema("w2", DataType.double),
+        ),
+    )
+    db = ToStoreTPU.memory(schemas=[base, r1, r2])
+    db.batch_insert("l", [
+        {"k": None if rng.random() < 0.1 else int(rng.integers(0, 8)),
+         "c": int(rng.integers(0, 6)),
+         "v": int(rng.integers(0, 40))}
+        for _ in range(int(rng.integers(20, 90)))
+    ])
+    db.batch_insert("r1", [
+        {"k1": None if rng.random() < 0.15 else int(rng.integers(0, 8)),
+         "w1": int(rng.integers(0, 20)),
+         "t1": f"s{int(rng.integers(0, 4))}"}
+        for _ in range(int(rng.integers(5, 40)))
+    ])
+    db.batch_insert("r2", [
+        {"k2": int(rng.integers(0, 6)),
+         "w2": None if rng.random() < 0.1 else float(rng.integers(0, 9))}
+        for _ in range(int(rng.integers(3, 25)))
+    ])
+    return db
+
+
+def _random_multi_query(db, rng):
+    from tostore_tpu.models.aggregation import Agg
+
+    q = db.query("l").no_cache()
+    k1 = rng.choice(["inner", "left"]).item()
+    k2 = rng.choice(["inner", "left"]).item()
+    if rng.random() < 0.5:
+        q = q.join("r1", "k", "k1", kind=k1).join("r2", "c", "k2", kind=k2)
+    else:
+        q = q.join("r2", "c", "k2", kind=k2).join("r1", "k", "k1", kind=k1)
+    if rng.random() < 0.5:
+        c = QueryCondition()
+        c.where("v", rng.choice(["<", ">"]).item(), int(rng.integers(0, 30)))
+        q = q.condition(c)
+    if rng.random() < 0.45:
+        groups = list(rng.choice(
+            ["t1", "w1", "k2", "r2.w2", "c"],
+            int(rng.integers(1, 3)), replace=False))
+        q = q.group_by(*groups).aggregate(
+            Agg.count(alias="n"), Agg.sum("v", alias="sv"),
+            Agg.max("w1", alias="xw"), Agg.count("t1", alias="ct"))
+        if rng.random() < 0.4:
+            q = q.order_by("n", desc=True)
+        return q
+    n_order = int(rng.integers(0, 3))
+    for f in rng.choice(["v", "w1", "t1", "w2", "r1.t1", "id"],
+                        n_order, replace=False):
+        q = q.order_by(f.item() if hasattr(f, "item") else f,
+                       desc=bool(rng.random() < 0.4))
+    if rng.random() < 0.5:
+        q = q.offset(int(rng.integers(0, 12)))
+    q = q.limit(int(rng.integers(1, 30)))
+    return q
+
+
+@pytest.mark.parametrize("seed", list(range(1, 13)))
+def test_differential_multi_join(seed):
+    rng = np.random.default_rng(seed + 300)
+    db = _multi_db(rng)
+    try:
+        exe = db.engine.executor
+        rj = type(exe)._join_rows
+        ra = type(exe)._aggregate_pairs
+        for _ in range(10):
+            state = rng.bit_generator.state
+            fast = _random_multi_query(db, rng).fetch()
+            rng.bit_generator.state = state
+            type(exe)._join_rows = lambda self, *a, **kw: None
+            type(exe)._aggregate_pairs = lambda self, *a, **kw: None
+            try:
+                slow = _random_multi_query(db, rng).fetch()
+            finally:
+                type(exe)._join_rows = rj
+                type(exe)._aggregate_pairs = ra
+            assert fast.records == slow.records, f"seed={seed}"
+            assert fast.total == slow.total
+            assert fast.has_more == slow.has_more
+            if rng.random() < 0.4:
+                db.insert("l", {"k": int(rng.integers(0, 8)),
+                                "c": int(rng.integers(0, 6)),
+                                "v": int(rng.integers(0, 40))})
+            if rng.random() < 0.25:
+                db.insert("r1", {"k1": int(rng.integers(0, 8)),
+                                 "w1": int(rng.integers(0, 20)),
+                                 "t1": "sX"})
+    finally:
+        db.close()

@@ -615,7 +615,7 @@ class QueryExecutor:
 
         if (
             overlay is None
-            and len(spec.joins) == 1
+            and spec.joins
             and (spec.aggregates or spec.group_by)
             and not spec.distinct
         ):
@@ -628,7 +628,7 @@ class QueryExecutor:
 
         if (
             overlay is None
-            and len(spec.joins) == 1
+            and spec.joins
             and not spec.aggregates
             and not spec.group_by
             and not spec.distinct
@@ -1532,7 +1532,12 @@ class QueryExecutor:
         spec (fields resolve against either side, pk-named tie-break),
         and materialize + merge only the page. Returns None for shapes
         the record path must handle (mixed key dtypes, unresolvable
-        order fields)."""
+        order fields). 2+ joins route to the mixed-radix multi path."""
+        if len(spec.joins) > 1:
+            return self._join_rows_multi(
+                space, table, store, rows, spec, order, pk_name,
+                cache_key, table_name,
+            )
         j = spec.joins[0]
         # order-field resolvability is a name lookup — check before the
         # O(pairs) expansion so unresolvable shapes don't pay for a
@@ -1896,17 +1901,349 @@ class QueryExecutor:
                 col, rows_, unm, np.zeros(m, col.np_type),
                 np.ones(m, np.bool_),
             )
+        return (col,) + self._side_arrays(col, owner_high, rows_, unm)
+
+    @staticmethod
+    def _side_arrays(col, owner_high, rows_, unm):
+        """(side_rows, side_unmatched, values, nulls) for one resolved
+        join-side column — the shared gather behind _pair_field and
+        _multi_field. An empty owning side (0 rows) nulls every entry;
+        clipped sentinel rows are nulled via `unm`."""
+        m = len(rows_)
+        if owner_high == 0:
+            unm = np.ones(m, np.bool_)
+            if col.np_type is None:
+                return rows_, unm, np.full(m, None, object), None
+            return (
+                rows_, unm, np.zeros(m, col.np_type), np.ones(m, np.bool_),
+            )
         col._grow(owner_high)
         vals = col.data[rows_]
         if col.np_type is None:
             if unm is not None and unm.any():
                 vals = vals.copy()
                 vals[unm] = None
-            return col, rows_, unm, vals, None
+            return rows_, unm, vals, None
         nulls = col.null[rows_]
         if unm is not None:
             nulls = nulls | unm
-        return col, rows_, unm, vals, nulls
+        return rows_, unm, vals, nulls
+
+    # -- multi-join (2+ inner/left equality joins keyed off base fields) --
+
+    def _multi_plan(self, space, table, spec):
+        """Cheap eligibility for the multi-join fast path, mirroring the
+        shapes _order_joins can soundly reorder: every join inner/left
+        and keyed off a base field, right tables' field names pairwise
+        disjoint (the record merge's first-writer-wins makes shared
+        names order-dependent). Returns (ordered joins, right tables) —
+        the SAME reordered sequence the record path applies, so pair
+        enumeration order matches — or None."""
+        base_fields = set(table.schema.field_map) | {
+            table.schema.primary_key.name
+        }
+        seen: set = set()
+        for j in spec.joins:
+            if j.kind not in ("inner", "left"):
+                return None
+            if j.left_field not in base_fields:
+                return None
+            fields = set(
+                self.db._table(j.table, space).schema.field_map
+            )
+            if seen & fields:
+                return None
+            seen |= fields
+        joins = self._order_joins(space, table, spec.joins)
+        rights = [self.db._table(j.table, space) for j in joins]
+        return joins, rights
+
+    def _multi_col(self, store, joins, rights, pk_name, field):
+        """(column, side) resolving `field` across base + N right
+        tables per the sequential record merge: qualified
+        '<table>.<field>' from that join's right side, unqualified base
+        fields win, right fields fill absent names (unique among rights
+        by the disjointness precondition). side = -1 for base, else the
+        join index. None when unresolvable or the base pk."""
+        if field == pk_name:
+            return None
+        for k, j in enumerate(joins):
+            if field.startswith(j.table + "."):
+                col = rights[k].store.columns.get(
+                    field[len(j.table) + 1:]
+                )
+                if col is not None:
+                    return col, k
+        col = store.columns.get(field)
+        if col is not None:
+            return col, -1
+        for k in range(len(joins)):
+            col = rights[k].store.columns.get(field)
+            if col is not None:
+                return col, k
+        return None
+
+    def _expand_multi(self, store, rows, joins, rights, pk_name):
+        """Mixed-radix pair expansion for N inner/left joins keyed off
+        base fields: per base row, the record path's sequential joins
+        enumerate the cartesian product of each join's match list with
+        the LAST join varying fastest — suffix-stride indexing
+        reproduces that order exactly. Returns (exp_left, [exp_right_k],
+        total); left-join misses hold -1. None for mixed key dtypes."""
+        R = len(rows)
+        slots, los, rsorted, raw_counts = [], [], [], []
+        for j, rt in zip(joins, rights):
+            rstore = rt.store
+            lcol = (
+                store.pk_col if j.left_field == pk_name
+                else store.columns.get(j.left_field)
+            )
+            rpk = rt.schema.primary_key.name
+            rcol = (
+                rstore.pk_col if j.right_field == rpk
+                else rstore.columns.get(j.right_field)
+            )
+            if lcol is None or rcol is None:
+                return None
+            lv, lnl = self._join_sortable(lcol, rows)
+            if lv is None:
+                return None
+            rrows = np.flatnonzero(rstore.valid_view())
+            rv, rnl = self._join_sortable(rcol, rrows)
+            if rv is None:
+                return None
+            if lv.dtype.kind != rv.dtype.kind:
+                return None
+            rgood = ~rnl
+            rr2, rv2 = rrows[rgood], rv[rgood]
+            order_r = np.argsort(rv2, kind="stable")
+            rv_s, rr_s = rv2[order_r], rr2[order_r]
+            lo = np.searchsorted(rv_s, lv, side="left")
+            hi = np.searchsorted(rv_s, lv, side="right")
+            cnt = (hi - lo).astype(np.int64)
+            cnt[lnl] = 0
+            slots.append(cnt if j.kind == "inner" else np.maximum(cnt, 1))
+            los.append(lo)
+            rsorted.append(rr_s)
+            raw_counts.append(cnt)
+        P = slots[0].copy()
+        for s in slots[1:]:
+            P = P * s
+        total = int(P.sum())
+        if total == 0:
+            z = np.zeros(0, np.int64)
+            return z, [z for _ in joins], 0
+        base_idx = np.repeat(np.arange(R), P)
+        w = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(P) - P, P
+        )
+        exp_left = rows[base_idx]
+        exp_rights: list = []
+        suf = np.ones(R, np.int64)
+        for k in range(len(joins) - 1, -1, -1):
+            idx = (w // suf[base_idx]) % slots[k][base_idx]
+            pos = los[k][base_idx] + idx
+            if len(rsorted[k]):
+                er = rsorted[k][np.minimum(pos, len(rsorted[k]) - 1)]
+            else:
+                er = np.zeros(total, np.int64)
+            if joins[k].kind == "left":
+                er = np.where(raw_counts[k][base_idx] > 0, er, -1)
+            exp_rights.append(er)
+            suf = suf * slots[k]
+        exp_rights.reverse()
+        return exp_left, exp_rights, total
+
+    def _multi_field(
+        self, store, joins, rights, pk_name, exp_left, rclips, runms,
+        field,
+    ):
+        """_pair_field generalized over N joins (exp_left never holds
+        sentinels: right joins are single-join only)."""
+        mc = self._multi_col(store, joins, rights, pk_name, field)
+        if mc is None:
+            return None
+        col, side = mc
+        if side < 0:
+            owner_high, rows_, unm = store.high, exp_left, None
+        else:
+            owner_high, rows_, unm = (
+                rights[side].store.high, rclips[side], runms[side],
+            )
+        return (col,) + self._side_arrays(col, owner_high, rows_, unm)
+
+    def _join_rows_multi(
+        self, space, table, store, rows, spec, order, pk_name,
+        cache_key, table_name,
+    ):
+        """_join_rows for 2+ inner/left joins: mixed-radix expansion,
+        lexsort by order fields resolved across all tables (base pk
+        tie-break — it survives every setdefault merge), materialize +
+        merge only the page in the record path's reordered join
+        sequence."""
+        plan = self._multi_plan(space, table, spec)
+        if plan is None:
+            return None
+        joins, rights = plan
+        for f, _ in order:
+            if f != pk_name and (
+                self._multi_col(store, joins, rights, pk_name, f) is None
+            ):
+                return None
+        exp = self._expand_multi(store, rows, joins, rights, pk_name)
+        if exp is None:
+            return None
+        exp_left, exp_rights, total = exp
+        if total:
+            rclips = [np.maximum(er, 0) for er in exp_rights]
+            runms = []
+            for er in exp_rights:
+                u = er < 0
+                runms.append(u if u.any() else None)
+            pkc = store.pk_col
+            pkc._grow(store.high)
+            pk_raw = pkc.data[exp_left]
+            if pkc.np_type is None:
+                lst = pk_raw.tolist()
+                if not all(isinstance(x, str) for x in lst):
+                    return None
+                pk_raw = np.asarray(lst, dtype="U")
+            keys = [pk_raw]
+            for f, desc in reversed(order):
+                if f == pk_name:
+                    vals, nulls = pk_raw, None
+                    if pkc.np_type is not None:
+                        vals = pkc.data[exp_left]
+                        nulls = (
+                            pkc.null[exp_left]
+                            if pkc.null is not None
+                            else np.zeros(total, np.bool_)
+                        )
+                else:
+                    r = self._multi_field(
+                        store, joins, rights, pk_name, exp_left, rclips,
+                        runms, f,
+                    )
+                    if r is None:
+                        return None
+                    _, _, _, vals, nulls = r
+                ks = self._field_keys(vals, nulls, desc)
+                if ks is None:
+                    return None
+                keys.extend(ks)
+            perm = np.lexsort(keys)
+            exp_left = exp_left[perm]
+            exp_rights = [er[perm] for er in exp_rights]
+        start = (
+            min(spec.offset, self.db.config.max_query_offset)
+            if spec.offset
+            else 0
+        )
+        limit = (
+            spec.limit
+            if spec.limit is not None
+            else self.db.config.default_query_limit
+        )
+        pl = exp_left[start : start + limit]
+        prs = [er[start : start + limit] for er in exp_rights]
+        page = store.read_rows(pl)
+        for rec in page:
+            rec.pop("_system_ingest_ts_ms", None)
+        for j, rt, pr in zip(joins, rights, prs):
+            rstore = rt.store
+            for i, rr_ in enumerate(pr.tolist()):
+                if rr_ < 0:
+                    continue
+                rrec = rstore.read_row(int(rr_))
+                rrec.pop("_system_ingest_ts_ms", None)
+                rec = page[i]
+                for k, v in rrec.items():
+                    rec.setdefault(k, v)
+                    rec[f"{j.table}.{k}"] = v
+        has_more = start + limit < total
+        return self._finish(
+            space, table_name, spec, cache_key, page, order, pk_name,
+            total, has_more, start,
+        )
+
+    def _aggregate_multi(self, space, table, store, rows, spec):
+        """_aggregate_pairs for 2+ inner/left joins: group/aggregate
+        directly over the mixed-radix expansion."""
+        plan = self._multi_plan(space, table, spec)
+        if plan is None:
+            return None
+        joins, rights = plan
+        aggs = spec.aggregates or [Agg.count()]
+        pk_name = table.schema.primary_key.name
+        for g in spec.group_by:
+            if self._multi_col(store, joins, rights, pk_name, g) is None:
+                return None
+        for a in aggs:
+            if not a.field:
+                continue
+            mc = self._multi_col(store, joins, rights, pk_name, a.field)
+            if mc is None or (mc[0].np_type is None and a.op != "count"):
+                return None
+        exp = self._expand_multi(store, rows, joins, rights, pk_name)
+        if exp is None:
+            return None
+        exp_left, exp_rights, total = exp
+        rclips = [np.maximum(er, 0) for er in exp_rights]
+        runms = []
+        for er in exp_rights:
+            u = er < 0
+            runms.append(u if u.any() else None)
+
+        gfields = []
+        for g in spec.group_by:
+            r = self._multi_field(
+                store, joins, rights, pk_name, exp_left, rclips, runms, g,
+            )
+            if r is None:
+                return None
+            gfields.append((g,) + r)
+        aarrs = {}
+        for a in aggs:
+            if not a.field:
+                continue
+            r = self._multi_field(
+                store, joins, rights, pk_name, exp_left, rclips, runms,
+                a.field,
+            )
+            if r is None:
+                return None
+            col, _, _, vals, nulls = r
+            if col.np_type is None:
+                nulls = np.fromiter(
+                    (x is None for x in vals.tolist()), np.bool_,
+                    count=total,
+                )
+            aarrs[a.field] = (vals, nulls, col.np_type is np.float64)
+
+        if total == 0:
+            return self._agg_tail([], spec)
+        if gfields:
+            codes = self._factorize_arrays(
+                [(vals, nulls) for _, _, _, _, vals, nulls in gfields],
+                total,
+            )
+            codes, rep_idx, G = self._encounter_codes(codes, total)
+            out = []
+            for ri in rep_idx:
+                rec = {}
+                for g, col, rows_, unm, _, _ in gfields:
+                    if unm is not None and unm[ri]:
+                        rec[g] = None
+                    else:
+                        rec[g] = col.get(int(rows_[ri]))
+                out.append(rec)
+        else:
+            codes = np.zeros(total, np.int64)
+            out = [{}]
+            G = 1
+        if not self._reduce_aggs(aggs, aarrs, codes, G, out):
+            return None
+        return self._agg_tail(out, spec)
 
     def _aggregate_pairs(self, space, table, store, rows, spec):
         """Vectorized _aggregate over ONE equality join (inner, left, or
@@ -1915,7 +2252,10 @@ class QueryExecutor:
         factorize+reduce machinery — a count-per-group over 500k join
         pairs must not merge 500k record dicts first. Returns None for
         shapes the record path must handle (unresolvable fields, object
-        aggregate columns, mixed join-key dtypes, pk fields)."""
+        aggregate columns, mixed join-key dtypes, pk fields). 2+ joins
+        route to the mixed-radix multi path."""
+        if len(spec.joins) > 1:
+            return self._aggregate_multi(space, table, store, rows, spec)
         j = spec.joins[0]
         aggs = spec.aggregates or [Agg.count()]
         # resolvability pre-checks run BEFORE the O(pairs) expansion so
