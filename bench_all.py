@@ -1199,7 +1199,22 @@ def config15_joins():
         db.query("users").order_by("name", desc=True).limit(20)
         .no_cache().fetch()
     )
-    for f in (q_base, q_joined, q_agg, q_desc_text):
+    cats = TableSchema(
+        name="cats",
+        fields=(FieldSchema("uid", DataType.integer),
+                FieldSchema("tag", DataType.text)),
+    )
+    db.create_table(cats)
+    db.batch_insert("cats", [
+        {"uid": int(x), "tag": f"t{i % 5}"}
+        for i, x in enumerate(rng.integers(1, nu + 1, 50_000))
+    ])
+    q_multi = lambda: (
+        db.query("users").join("orders", "id", "user_id")
+        .join("cats", "id", "uid")
+        .order_by("amount", desc=True).limit(20).no_cache().fetch()
+    )
+    for f in (q_base, q_joined, q_agg, q_desc_text, q_multi):
         f()
     t0 = time.time(); [q_base() for _ in range(20)]
     base_ms = (time.time() - t0) / 20 * 1e3
@@ -1209,6 +1224,8 @@ def config15_joins():
     agg_ms = (time.time() - t0) / 10 * 1e3
     t0 = time.time(); [q_desc_text() for _ in range(10)]
     dt_ms = (time.time() - t0) / 10 * 1e3
+    t0 = time.time(); [q_multi() for _ in range(10)]
+    multi_ms = (time.time() - t0) / 10 * 1e3
     db.close()
     return {
         "config": "join_exec_100kx500k",
@@ -1216,9 +1233,11 @@ def config15_joins():
         "join_page_joined_order_ms": round(joined_ms, 1),
         "join_group_agg_ms": round(agg_ms, 1),
         "desc_text_order_100k_ms": round(dt_ms, 1),
+        "multi_join_page_ms": round(multi_ms, 1),
         "note": "rowid pair expansion + pair-resolved lexsort keys + "
                 "group-code reducers; record path measured 28x/67x/34x "
-                "slower on these shapes (single host thread)",
+                "slower on these shapes, 63x on the 3-table chain "
+                "(single host thread)",
     }
 
 
