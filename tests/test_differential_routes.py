@@ -478,3 +478,53 @@ def test_differential_multi_join(seed):
                                  "t1": "sX"})
     finally:
         db.close()
+
+
+@pytest.mark.parametrize("seed", list(range(1, 9)))
+def test_differential_join_cursor_walks(seed):
+    """Full forward cursor walks + one prev() inversion over join
+    queries, fast path vs record path (cursor pages over joins
+    vectorized in r4)."""
+    rng = np.random.default_rng(seed + 500)
+    db = _join_db(rng)
+    try:
+        exe = db.engine.executor
+        rj = type(exe)._join_rows
+
+        def walk(q0, use_fast):
+            if not use_fast:
+                type(exe)._join_rows = lambda self, *a, **kw: None
+            try:
+                r = q0().fetch()
+                out = [tuple(sorted(x.items(), key=lambda kv: kv[0]))
+                       for x in r.records]
+                pages = 0
+                while r.has_more and pages < 100:
+                    r = r.next()
+                    out += [tuple(sorted(x.items(), key=lambda kv: kv[0]))
+                            for x in r.records]
+                    pages += 1
+                return out
+            finally:
+                type(exe)._join_rows = rj
+
+        for _ in range(6):
+            state = rng.bit_generator.state
+
+            def mk():
+                return _random_joined_order_query(db, rng)
+
+            fast = walk(mk, True)
+            rng.bit_generator.state = state
+            slow = walk(mk, False)
+            assert fast == slow, f"seed={seed}"
+            # prev() inverts next() on both paths
+            rng.bit_generator.state = state
+            q = mk()
+            r1 = q.fetch()
+            if r1.has_more:
+                r2 = r1.next()
+                r3 = r2.prev()
+                assert r3.records == r1.records
+    finally:
+        db.close()

@@ -632,7 +632,6 @@ class QueryExecutor:
             and not spec.aggregates
             and not spec.group_by
             and not spec.distinct
-            and spec.cursor is None
         ):
             # vectorized hash join on ROWIDS: sort the right key column,
             # searchsorted the left keys into it, expand (left, right)
@@ -1450,7 +1449,10 @@ class QueryExecutor:
         right join's unmatched tail the right table's pk-named value
         (its records are right-only dicts), null when the right has no
         such name. Returns None when a field resolves on neither side
-        or carries mixed object types."""
+        or carries mixed object types. Returns (keys, levels) where
+        `levels` = [(vals, nulls, desc)] in order-spec order + the pk
+        level last — the cursor-mask inputs for cursor pages over
+        joins."""
         rstore = right.store
         lunm = exp_left < 0
         if not lunm.any():
@@ -1506,6 +1508,7 @@ class QueryExecutor:
                 )
                 pk_nulls = np.where(lunm, rn, np.zeros(m, np.bool_))
             keys = list(self._field_keys(pk_vals, pk_nulls, False))
+        levels = []
         for f, desc in reversed(order):
             if f == pk_name:
                 vals, nulls = pk_vals, pk_nulls
@@ -1521,7 +1524,10 @@ class QueryExecutor:
             if ks is None:
                 return None
             keys.extend(ks)
-        return keys
+            levels.append((vals, nulls, desc))
+        levels.reverse()
+        levels.append((pk_vals, pk_nulls, False))
+        return keys, levels
 
     def _join_rows(
         self, space, table, store, rows: np.ndarray, spec: QuerySpec,
@@ -1554,26 +1560,22 @@ class QueryExecutor:
             return None
         right, exp_left, exp_right, total = exp
         rstore = right.store
+        levels = None
         if total:
-            keys = self._pair_lex_keys(
+            kl = self._pair_lex_keys(
                 store, right, j, pk_name, exp_left, exp_right, order,
             )
-            if keys is None:
+            if kl is None:
                 return None  # order fields resolve on neither side
+            keys, levels = kl
             perm = np.lexsort(keys)  # stable: pair order survives pk ties
             exp_left, exp_right = exp_left[perm], exp_right[perm]
-        start = (
-            min(spec.offset, self.db.config.max_query_offset)
-            if spec.offset
-            else 0
-        )
-        limit = (
-            spec.limit
-            if spec.limit is not None
-            else self.db.config.default_query_limit
-        )
-        pl = exp_left[start : start + limit]
-        pr = exp_right[start : start + limit]
+        sl = self._pair_page_slice(spec, order, levels, total)
+        if sl is None:
+            return None
+        start, stop, has_more = sl
+        pl = exp_left[start:stop]
+        pr = exp_right[start:stop]
         page = store.read_rows(np.maximum(pl, 0))
         for i, (ll, rr_) in enumerate(zip(pl.tolist(), pr.tolist())):
             if ll < 0:
@@ -1595,11 +1597,52 @@ class QueryExecutor:
             for k, v in rrec.items():
                 rec.setdefault(k, v)
                 rec[f"{j.table}.{k}"] = v
-        has_more = start + limit < total
         return self._finish(
             space, table_name, spec, cache_key, page, order, pk_name,
             total, has_more, start,
         )
+
+    def _pair_page_slice(self, spec, order, levels, total):
+        """(start, stop, has_more) for a join page over `total` sorted
+        pairs: offset/limit normally; with a cursor, count the
+        strictly-after (forward) or strictly-before (backward) pairs via
+        _cursor_masks_from_arrays over the sort-key `levels` — counts
+        equal positions because the mask rules and the sort keys rank
+        identically, so the after-set is a contiguous suffix. None =
+        record path (undecodable cursor, mismatched arity, mixed
+        types)."""
+        limit = (
+            spec.limit
+            if spec.limit is not None
+            else self.db.config.default_query_limit
+        )
+        if spec.cursor is not None:
+            if total == 0:
+                return 0, 0, False
+            try:
+                cvals, last_pk = _decode_cursor(spec.cursor)
+            except Exception:
+                return None
+            if levels is None or len(cvals) != len(order):
+                return None
+            marr = self._cursor_masks_from_arrays([
+                (v, nl, d, cv)
+                for (v, nl, d), cv in zip(levels, list(cvals) + [last_pk])
+            ])
+            if marr is None:
+                return None
+            after, eq = marr
+            if spec.cursor_backward:
+                pos = int((~(after | eq)).sum())
+                return max(0, pos - limit), pos, pos < total
+            start = total - int(after.sum())
+            return start, start + limit, start + limit < total
+        start = (
+            min(spec.offset, self.db.config.max_query_offset)
+            if spec.offset
+            else 0
+        )
+        return start, start + limit, start + limit < total
 
     def _distinct_rows(
         self, store, rows: np.ndarray, spec: QuerySpec, order, pk_name,
@@ -1839,6 +1882,55 @@ class QueryExecutor:
             for gi in range(G):
                 out[gi][a.name] = vals[gi]
         return True
+
+    @staticmethod
+    def _cursor_masks_from_arrays(levels):
+        """(after, equal) cursor masks over pre-gathered key arrays —
+        the array-level core of _after_cursor_mask, reused by the join
+        fast paths where order fields resolve across tables. `levels` =
+        [(vals, nulls_or_None, desc, cursor_value)] most-significant
+        first, INCLUDING the pk level last (desc=False). Null ranks and
+        compare rules match _sort_key/_NegKey; returns None for shapes
+        the record compare must rank (mixed object types, str cursor vs
+        numeric column)."""
+        m = len(levels[0][0])
+        after = np.zeros(m, np.bool_)
+        all_eq = np.ones(m, np.bool_)
+        for vals, nulls, desc, cval in levels:
+            if nulls is None or vals.dtype.kind in ("O", "U"):
+                if cval is not None and not isinstance(cval, str):
+                    return None
+                lst = vals.tolist()
+                if not all(x is None or isinstance(x, str) for x in lst):
+                    return None
+                nl = np.fromiter(
+                    (x is None for x in lst), np.bool_, count=m
+                )
+                if nulls is not None:
+                    nl = nl | nulls
+                v = np.asarray(
+                    ["" if x is None else x for x in lst], dtype="U"
+                )
+            else:
+                v, nl = vals, nulls
+                if v.dtype == np.bool_:
+                    v = v.astype(np.int8)
+                if isinstance(cval, bool):
+                    cval = int(cval)
+                elif isinstance(cval, str):
+                    return None
+            nn = ~nl
+            if cval is None:
+                gt_asc = nn
+                lt_asc = np.zeros(m, np.bool_)
+                eq = nl
+            else:
+                gt_asc = nn & (v > cval)
+                lt_asc = nl | (nn & (v < cval))
+                eq = nn & (v == cval)
+            after |= all_eq & (lt_asc if desc else gt_asc)
+            all_eq = all_eq & eq
+        return after, all_eq
 
     @staticmethod
     def _pair_col(store, rstore, jtable, pk_name, field, kind="inner"):
@@ -2094,6 +2186,7 @@ class QueryExecutor:
         if exp is None:
             return None
         exp_left, exp_rights, total = exp
+        levels = None
         if total:
             rclips = [np.maximum(er, 0) for er in exp_rights]
             runms = []
@@ -2109,16 +2202,18 @@ class QueryExecutor:
                     return None
                 pk_raw = np.asarray(lst, dtype="U")
             keys = [pk_raw]
+            pk_vals, pk_nulls = pk_raw, None
+            if pkc.np_type is not None:
+                pk_vals = pkc.data[exp_left]
+                pk_nulls = (
+                    pkc.null[exp_left]
+                    if pkc.null is not None
+                    else np.zeros(total, np.bool_)
+                )
+            levels = []
             for f, desc in reversed(order):
                 if f == pk_name:
-                    vals, nulls = pk_raw, None
-                    if pkc.np_type is not None:
-                        vals = pkc.data[exp_left]
-                        nulls = (
-                            pkc.null[exp_left]
-                            if pkc.null is not None
-                            else np.zeros(total, np.bool_)
-                        )
+                    vals, nulls = pk_vals, pk_nulls
                 else:
                     r = self._multi_field(
                         store, joins, rights, pk_name, exp_left, rclips,
@@ -2131,21 +2226,18 @@ class QueryExecutor:
                 if ks is None:
                     return None
                 keys.extend(ks)
+                levels.append((vals, nulls, desc))
+            levels.reverse()
+            levels.append((pk_vals, pk_nulls, False))
             perm = np.lexsort(keys)
             exp_left = exp_left[perm]
             exp_rights = [er[perm] for er in exp_rights]
-        start = (
-            min(spec.offset, self.db.config.max_query_offset)
-            if spec.offset
-            else 0
-        )
-        limit = (
-            spec.limit
-            if spec.limit is not None
-            else self.db.config.default_query_limit
-        )
-        pl = exp_left[start : start + limit]
-        prs = [er[start : start + limit] for er in exp_rights]
+        sl = self._pair_page_slice(spec, order, levels, total)
+        if sl is None:
+            return None
+        start, stop, has_more = sl
+        pl = exp_left[start:stop]
+        prs = [er[start:stop] for er in exp_rights]
         page = store.read_rows(pl)
         for rec in page:
             rec.pop("_system_ingest_ts_ms", None)
@@ -2160,7 +2252,6 @@ class QueryExecutor:
                 for k, v in rrec.items():
                     rec.setdefault(k, v)
                     rec[f"{j.table}.{k}"] = v
-        has_more = start + limit < total
         return self._finish(
             space, table_name, spec, cache_key, page, order, pk_name,
             total, has_more, start,
