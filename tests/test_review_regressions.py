@@ -1516,3 +1516,18 @@ class TestRightJoinFastPath:
             assert fast.records == slow.records
         finally:
             db.close()
+
+
+class TestJoinKindValidation:
+    def test_unknown_join_kind_raises(self):
+        # pre-fix, kind="full" silently took inner semantics on the
+        # record path and LEFT semantics on the pair fast path
+        s = TableSchema(name="t", fields=(FieldSchema("a", DataType.integer),))
+        db = ToStoreTPU.memory(schemas=[s])
+        try:
+            with pytest.raises(ValueError, match="join kind"):
+                db.query("t").join("t", "a", "a", kind="full")
+            with pytest.raises(ValueError, match="join kind"):
+                db.query("t").join("t", "a", "a", kind="Left")
+        finally:
+            db.close()

@@ -122,6 +122,10 @@ class QueryBuilder(_ConditionMixin):
 
     # joins (reference join/joinReferencedTable/joinReferencingTable)
     def join(self, table: str, left_field: str, right_field: str, kind: str = "inner"):
+        # fail loud: an unknown kind would silently take inner semantics
+        # on the record path and left semantics on the pair fast path
+        if kind not in ("inner", "left", "right"):
+            raise ValueError(f"unknown join kind {kind!r}")
         self._spec.joins.append(JoinSpec(table, left_field, right_field, kind))
         return self
 

@@ -1094,48 +1094,23 @@ class QueryExecutor:
             return z, z
         if len(vals) != len(order):
             return None
-        after = np.zeros(m, np.bool_)
-        all_eq = np.ones(m, np.bool_)
-        levels = [(f, d, v) for (f, d), v in zip(order, vals)]
-        levels.append((pk_name, False, last_pk))
-        for f, desc, cval in levels:
+        levels = []
+        for (f, desc), cval in zip(
+            list(order) + [(pk_name, False)], list(vals) + [last_pk]
+        ):
             col = store.pk_col if f == pk_name else store.columns.get(f)
             if col is None:
                 return None
             col._grow(store.high)
+            v = col.data[rows]
             if col.np_type is None:
-                if cval is not None and not isinstance(cval, str):
-                    return None
-                raw = col.data[rows].tolist()
-                if not all(x is None or isinstance(x, str) for x in raw):
-                    return None
-                nl = np.fromiter(
-                    (x is None for x in raw), np.bool_, count=m
-                )
-                v = np.asarray(
-                    ["" if x is None else x for x in raw], dtype="U"
-                )
-            else:
-                v = col.data[rows]
+                nl = None  # object: None sentinels ride the values
+            elif col.null is not None:
                 nl = col.null[rows]
-                if v.dtype == np.bool_:
-                    v = v.astype(np.int8)
-                if isinstance(cval, bool):
-                    cval = int(cval)
-                elif isinstance(cval, str):
-                    return None  # typed numeric column vs string cursor
-            nn = ~nl
-            if cval is None:
-                gt_asc = nn  # any non-null sorts after a null cursor value
-                lt_asc = np.zeros(m, np.bool_)
-                eq = nl
             else:
-                gt_asc = nn & (v > cval)
-                lt_asc = nl | (nn & (v < cval))
-                eq = nn & (v == cval)
-            after |= all_eq & (lt_asc if desc else gt_asc)
-            all_eq = all_eq & eq
-        return after, all_eq
+                nl = np.zeros(m, np.bool_)
+            levels.append((v, nl, desc, cval))
+        return self._cursor_masks_from_arrays(levels)
 
     def _order_joins(self, space: str, table, joins: list) -> list:
         """Join ordering: run INNER joins most-selective-first (smallest
@@ -1358,7 +1333,11 @@ class QueryExecutor:
         AFTER the matched pairs in right-rowid order, exactly the record
         path's append order (stable sorts preserve it through ties).
         None for shapes the record path must handle (mixed key dtypes,
-        exotic columns)."""
+        exotic columns, unknown kinds — builders validate, but a
+        hand-built spec must not silently take left semantics here while
+        the record path treats it as inner)."""
+        if j.kind not in ("inner", "left", "right"):
+            return None
         pk_name = table.schema.primary_key.name
         right = self.db._table(j.table, space)
         rstore = right.store
@@ -1437,6 +1416,52 @@ class QueryExecutor:
                 exp_right = np.full(total, -1, np.int64)
         return right, exp_left, exp_right, total
 
+    def _base_pk_key(self, store, exp_left, m):
+        """(initial lexsort key list, pk_vals, pk_nulls) for the base-pk
+        tie over pair arrays without base-side sentinels; None for
+        mixed-type object pks (record path ranks them)."""
+        pkc = store.pk_col
+        pkc._grow(store.high)
+        pk_raw = pkc.data[exp_left]
+        if pkc.np_type is None:
+            lst = pk_raw.tolist()
+            if not all(isinstance(x, str) for x in lst):
+                return None
+            pk_raw = np.asarray(lst, dtype="U")
+            return [pk_raw], pk_raw, None
+        pk_nulls = (
+            pkc.null[exp_left]
+            if pkc.null is not None
+            else np.zeros(m, np.bool_)
+        )
+        return [pk_raw], pk_raw, pk_nulls
+
+    def _order_keys_levels(
+        self, order, pk_name, pk_vals, pk_nulls, keys, resolve,
+    ):
+        """Extend lexsort `keys` with each order field's _field_keys and
+        build the aligned cursor `levels` (order-spec order + the pk
+        level last). `resolve(field) -> (vals, nulls) | None`. The
+        levels MUST rank identically to the keys — cursor positions are
+        counted assuming the after-set is a contiguous sorted suffix."""
+        levels = []
+        for f, desc in reversed(order):
+            if f == pk_name:
+                vals, nulls = pk_vals, pk_nulls
+            else:
+                r = resolve(f)
+                if r is None:
+                    return None
+                vals, nulls = r
+            ks = self._field_keys(vals, nulls, desc)
+            if ks is None:
+                return None
+            keys.extend(ks)
+            levels.append((vals, nulls, desc))
+        levels.reverse()
+        levels.append((pk_vals, pk_nulls, False))
+        return keys, levels
+
     def _pair_lex_keys(
         self, store, right, j, pk_name, exp_left, exp_right, order,
     ):
@@ -1466,21 +1491,10 @@ class QueryExecutor:
         pkc = store.pk_col
         pkc._grow(store.high)
         if lunm is None:
-            pk_raw = pkc.data[exp_left]
-            if pkc.np_type is None:
-                lst = pk_raw.tolist()
-                if not all(isinstance(x, str) for x in lst):
-                    return None
-                pk_raw = np.asarray(lst, dtype="U")
-            keys = [pk_raw]
-            pk_vals, pk_nulls = pk_raw, None
-            if pkc.np_type is not None:
-                pk_vals = pkc.data[exp_left]
-                pk_nulls = (
-                    pkc.null[exp_left]
-                    if pkc.null is not None
-                    else np.zeros(m, np.bool_)
-                )
+            bk = self._base_pk_key(store, exp_left, m)
+            if bk is None:
+                return None
+            keys, pk_vals, pk_nulls = bk
         else:
             # right-join tail present: per-row pk source — keep it to
             # same-typed NUMERIC pks (string/mixed shapes record-path)
@@ -1508,26 +1522,17 @@ class QueryExecutor:
                 )
                 pk_nulls = np.where(lunm, rn, np.zeros(m, np.bool_))
             keys = list(self._field_keys(pk_vals, pk_nulls, False))
-        levels = []
-        for f, desc in reversed(order):
-            if f == pk_name:
-                vals, nulls = pk_vals, pk_nulls
-            else:
-                r = self._pair_field(
-                    store, rstore, j.table, pk_name, lclip, lunm, rclip,
-                    runm, f, j.kind,
-                )
-                if r is None:
-                    return None
-                _, _, _, vals, nulls = r
-            ks = self._field_keys(vals, nulls, desc)
-            if ks is None:
-                return None
-            keys.extend(ks)
-            levels.append((vals, nulls, desc))
-        levels.reverse()
-        levels.append((pk_vals, pk_nulls, False))
-        return keys, levels
+
+        def resolve(f):
+            r = self._pair_field(
+                store, rstore, j.table, pk_name, lclip, lunm, rclip,
+                runm, f, j.kind,
+            )
+            return None if r is None else (r[3], r[4])
+
+        return self._order_keys_levels(
+            order, pk_name, pk_vals, pk_nulls, keys, resolve,
+        )
 
     def _join_rows(
         self, space, table, store, rows: np.ndarray, spec: QuerySpec,
@@ -1555,6 +1560,8 @@ class QueryExecutor:
                 is None
             ):
                 return None
+        if self._cursor_precheck(spec, order) is None:
+            return None
         exp = self._expand_pairs(space, table, store, rows, j)
         if exp is None:
             return None
@@ -1601,6 +1608,22 @@ class QueryExecutor:
             space, table_name, spec, cache_key, page, order, pk_name,
             total, has_more, start,
         )
+
+    @staticmethod
+    def _cursor_precheck(spec, order):
+        """True when the spec has no cursor or a decodable one of the
+        right arity; None = undecodable/mismatched, record path — a
+        name/shape check cheap enough to run before the O(pairs)
+        expansion (the value-vs-dtype checks still need the arrays)."""
+        if spec.cursor is None:
+            return True
+        try:
+            cvals, _ = _decode_cursor(spec.cursor)
+        except Exception:
+            return None
+        if len(cvals) != len(order):
+            return None
+        return True
 
     def _pair_page_slice(self, spec, order, levels, total):
         """(start, stop, has_more) for a join page over `total` sorted
@@ -1981,18 +2004,6 @@ class QueryExecutor:
             owner_high, rows_, unm = rstore.high, rclip, runm
         else:
             owner_high, rows_, unm = store.high, lclip, lunm
-        m = len(rows_)
-        if owner_high == 0:
-            # the resolving side has no rows at all (empty right table,
-            # or a right-join tail over an empty base): every pair is
-            # null there and the clipped zeros index nothing
-            unm = np.ones(m, np.bool_)
-            if col.np_type is None:
-                return col, rows_, unm, np.full(m, None, object), None
-            return (
-                col, rows_, unm, np.zeros(m, col.np_type),
-                np.ones(m, np.bool_),
-            )
         return (col,) + self._side_arrays(col, owner_high, rows_, unm)
 
     @staticmethod
@@ -2182,6 +2193,8 @@ class QueryExecutor:
                 self._multi_col(store, joins, rights, pk_name, f) is None
             ):
                 return None
+        if self._cursor_precheck(spec, order) is None:
+            return None
         exp = self._expand_multi(store, rows, joins, rights, pk_name)
         if exp is None:
             return None
@@ -2193,42 +2206,24 @@ class QueryExecutor:
             for er in exp_rights:
                 u = er < 0
                 runms.append(u if u.any() else None)
-            pkc = store.pk_col
-            pkc._grow(store.high)
-            pk_raw = pkc.data[exp_left]
-            if pkc.np_type is None:
-                lst = pk_raw.tolist()
-                if not all(isinstance(x, str) for x in lst):
-                    return None
-                pk_raw = np.asarray(lst, dtype="U")
-            keys = [pk_raw]
-            pk_vals, pk_nulls = pk_raw, None
-            if pkc.np_type is not None:
-                pk_vals = pkc.data[exp_left]
-                pk_nulls = (
-                    pkc.null[exp_left]
-                    if pkc.null is not None
-                    else np.zeros(total, np.bool_)
+            bk = self._base_pk_key(store, exp_left, total)
+            if bk is None:
+                return None
+            keys, pk_vals, pk_nulls = bk
+
+            def resolve(f):
+                r = self._multi_field(
+                    store, joins, rights, pk_name, exp_left, rclips,
+                    runms, f,
                 )
-            levels = []
-            for f, desc in reversed(order):
-                if f == pk_name:
-                    vals, nulls = pk_vals, pk_nulls
-                else:
-                    r = self._multi_field(
-                        store, joins, rights, pk_name, exp_left, rclips,
-                        runms, f,
-                    )
-                    if r is None:
-                        return None
-                    _, _, _, vals, nulls = r
-                ks = self._field_keys(vals, nulls, desc)
-                if ks is None:
-                    return None
-                keys.extend(ks)
-                levels.append((vals, nulls, desc))
-            levels.reverse()
-            levels.append((pk_vals, pk_nulls, False))
+                return None if r is None else (r[3], r[4])
+
+            kl = self._order_keys_levels(
+                order, pk_name, pk_vals, pk_nulls, keys, resolve,
+            )
+            if kl is None:
+                return None
+            keys, levels = kl
             perm = np.lexsort(keys)
             exp_left = exp_left[perm]
             exp_rights = [er[perm] for er in exp_rights]
