@@ -1531,3 +1531,118 @@ class TestJoinKindValidation:
                 db.query("t").join("t", "a", "a", kind="Left")
         finally:
             db.close()
+
+
+class TestJoinedFieldPredicates:
+    """Join queries may predicate on joined-table fields via qualified
+    names (reference query_executor.dart:456-466: main-only superset
+    pre-scan + full post-join matcher). Pre-fix, 'r.w' conditions
+    filtered against base columns and matched nothing."""
+
+    def _db(self):
+        import random
+        users = TableSchema(name="l", fields=(
+            FieldSchema("k", DataType.integer),
+            FieldSchema("a", DataType.integer)))
+        orders = TableSchema(name="r", fields=(
+            FieldSchema("k", DataType.integer),
+            FieldSchema("w", DataType.integer)))
+        db = ToStoreTPU.memory(schemas=[users, orders])
+        rng = random.Random(9)
+        db.batch_insert("l", [
+            {"k": rng.randint(0, 5), "a": rng.randint(0, 10)}
+            for _ in range(50)])
+        db.batch_insert("r", [
+            {"k": rng.randint(0, 5), "w": rng.randint(0, 30)}
+            for _ in range(120)])
+        return db
+
+    @staticmethod
+    def _oracle(db, kind, pred):
+        ls = db.query("l").no_cache().limit(1000).fetch().records
+        rs = db.query("r").no_cache().limit(1000).fetch().records
+        out, matched_r = [], set()
+        for lrec in ls:
+            hits = [rr for rr in rs if rr["k"] == lrec["k"]]
+            if hits:
+                for rr in hits:
+                    m = dict(lrec)
+                    for kk, vv in rr.items():
+                        m.setdefault(kk, vv)
+                        m[f"r.{kk}"] = vv
+                    matched_r.add(rr["id"])
+                    out.append(m)
+            elif kind == "left":
+                out.append(dict(lrec))
+        if kind == "right":
+            for rr in rs:
+                if rr["id"] not in matched_r:
+                    m = dict(rr)
+                    for kk, vv in rr.items():
+                        m[f"r.{kk}"] = vv
+                    out.append(m)
+        return [x for x in out if pred(x)]
+
+    def test_qualified_right_field_all_kinds(self):
+        db = self._db()
+        try:
+            for kind in ("inner", "left", "right"):
+                got = (db.query("l").join("r", "k", "k", kind=kind)
+                       .where("r.w", ">", 20).no_cache().limit(1000)
+                       .fetch())
+                want = self._oracle(
+                    db, kind,
+                    lambda x: x.get("r.w") is not None and x["r.w"] > 20)
+                assert got.total == len(want), kind
+                assert all(x["r.w"] > 20 for x in got.records)
+        finally:
+            db.close()
+
+    def test_main_prefixed_and_or_superset(self):
+        db = self._db()
+        try:
+            got = (db.query("l").join("r", "k", "k").where("l.a", "<", 3)
+                   .no_cache().limit(1000).fetch())
+            want = self._oracle(db, "inner", lambda x: x["a"] < 3)
+            assert got.total == len(want)
+            # OR across tables: the pre-join extraction must go superset
+            c = QueryCondition()
+            c.where("a", "=", 0)
+            c.or_(QueryCondition().where("r.w", ">", 25))
+            got = (db.query("l").join("r", "k", "k").condition(c)
+                   .no_cache().limit(1000).fetch())
+            want = self._oracle(
+                db, "inner",
+                lambda x: x["a"] == 0
+                or (x.get("r.w") is not None and x["r.w"] > 25))
+            assert got.total == len(want)
+        finally:
+            db.close()
+
+    def test_joined_predicate_with_aggregates(self):
+        from collections import Counter
+        db = self._db()
+        try:
+            g = (db.query("l").join("r", "k", "k").where("r.w", ">", 20)
+                 .group_by("a").aggregate(Agg.count()).no_cache().fetch())
+            cw = Counter(
+                x["a"] for x in self._oracle(
+                    db, "inner",
+                    lambda x: x.get("r.w") is not None and x["r.w"] > 20))
+            assert {r["a"]: r["count"] for r in g.records} == dict(cw)
+        finally:
+            db.close()
+
+    def test_mixed_base_and_joined_and(self):
+        db = self._db()
+        try:
+            got = (db.query("l").join("r", "k", "k")
+                   .where("a", ">", 5).where("r.w", "<", 10)
+                   .no_cache().limit(1000).fetch())
+            want = self._oracle(
+                db, "inner",
+                lambda x: x["a"] > 5
+                and x.get("r.w") is not None and x["r.w"] < 10)
+            assert got.total == len(want)
+        finally:
+            db.close()

@@ -191,8 +191,23 @@ class QueryCondition:
         return any(c.matches(record) for c in self._or)
 
     @staticmethod
+    def _field_value(record: dict, field: str):
+        """Record value for a possibly table-qualified field: direct key
+        first, then the bare suffix for dotted names — the reference's
+        merged-record lookup (value_matcher.dart getFieldValue:
+        direct -> '<table>.<field>' falls back to '<field>')."""
+        v = record.get(field)
+        if v is not None or field in record:
+            return v
+        if "." in field:
+            part = field.split(".", 1)[1]
+            if part in record:
+                return record[part]
+        return None
+
+    @staticmethod
     def _match_leaf(record: dict, field: str, op: str, value: Any) -> bool:
-        cur = record.get(field)
+        cur = QueryCondition._field_value(record, field)
         if op == "is":
             return cur is None if value is None else cur == value
         if op == "isNot":

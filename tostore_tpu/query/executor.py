@@ -16,6 +16,7 @@ import base64
 import json
 import threading
 import time
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -556,6 +557,27 @@ class QueryExecutor:
                     total=res.total,
                 )
 
+        # join queries may predicate on joined-table fields ('r.w' or a
+        # '<main>.<field>' spelling): the pre-join scan uses a SUPERSET
+        # main-table extraction, and the FULL condition re-applies
+        # post-join against merged records (reference
+        # query_executor.dart:456-466)
+        pre_cond = spec.condition
+        post_cond = None
+        if (
+            spec.joins
+            and spec.condition is not None
+            and not spec.condition.is_empty
+        ):
+            pre_cond, chg = self._split_join_condition(
+                spec.condition, table_name
+            )
+            if chg:
+                post_cond = spec.condition
+                spec = dataclasses.replace(spec, condition=pre_cond)
+            else:
+                pre_cond = spec.condition
+
         plan = self.choose_plan(table, spec)
 
         # 1. candidate rows
@@ -573,8 +595,8 @@ class QueryExecutor:
         else:
             rows = np.flatnonzero(store.valid_view())
         # 2. residual predicate as vectorized mask
-        if spec.condition is not None and not spec.condition.is_empty and len(rows):
-            mask = spec.condition.mask(lambda f: store.column_view(f)[rows], len(rows))
+        if pre_cond is not None and not pre_cond.is_empty and len(rows):
+            mask = pre_cond.mask(lambda f: store.column_view(f)[rows], len(rows))
             rows = rows[mask]
 
         if buf_txn is not None:
@@ -585,7 +607,11 @@ class QueryExecutor:
             for j in spec.joins:
                 jt = self.db._table(j.table, space)
                 buf_txn.read_set.add((self.db._tkey(jt), None))
-            cond = spec.condition
+            if post_cond is not None:
+                # join-field predicates can't be re-matched against base
+                # rows alone: read the main table table-granular too
+                buf_txn.read_set.add((tkey, None))
+            cond = pre_cond
             self.db._note_pred_read(
                 tkey, cond,
                 [store.pk_col.get(int(r)) for r in rows]
@@ -616,6 +642,7 @@ class QueryExecutor:
         if (
             overlay is None
             and spec.joins
+            and post_cond is None
             and (spec.aggregates or spec.group_by)
             and not spec.distinct
         ):
@@ -629,6 +656,7 @@ class QueryExecutor:
         if (
             overlay is None
             and spec.joins
+            and post_cond is None
             and not spec.aggregates
             and not spec.group_by
             and not spec.distinct
@@ -789,6 +817,10 @@ class QueryExecutor:
                     records.append(full)
         for j in self._order_joins(space, table, spec.joins):
             records = self._join(space, records, j)
+        if post_cond is not None:
+            # joined-field predicates re-apply against merged records
+            # (the pre-join scan was a superset)
+            records = [r for r in records if post_cond.matches(r)]
 
         # 4. aggregates / grouping
         if spec.aggregates or spec.group_by:
@@ -1905,6 +1937,55 @@ class QueryExecutor:
             for gi in range(G):
                 out[gi][a.name] = vals[gi]
         return True
+
+    @staticmethod
+    def _split_join_condition(cond, table_name):
+        """(pre_join_condition_or_None, changed) for join queries —
+        the reference's main-table extraction (query_executor.dart:
+        190-240 + 456-466): unprefixed leaves and '<main>.<field>'
+        leaves stay in the pre-join scan (prefix stripped); leaves
+        addressing any other table drop, and an OR whose dropped branch
+        could be TRUE makes the whole disjunct TRUE — the pre-filter is
+        a SUPERSET, never narrower. pre=None means every base row
+        passes. `changed` True => the FULL condition must re-apply
+        post-join against merged records."""
+        changed = [False]
+        prefix = table_name + "."
+
+        def extract(c):
+            # returns the superset condition, or None meaning TRUE
+            kept = []
+            for f, op, v in c._clauses:
+                if "." in f:
+                    changed[0] = True
+                    if f.startswith(prefix):
+                        kept.append((f[len(prefix):], op, v))
+                    continue  # other-table leaf: dropped (superset)
+                kept.append((f, op, v))
+            kept_and = []
+            for ch in c._and:
+                e = extract(ch)
+                if e is not None:  # TRUE children leave the AND
+                    kept_and.append(e)
+            # node semantics: (leaves AND and-children) OR or-children
+            if (c._clauses or c._and) and not kept and not kept_and:
+                return None  # the AND part became vacuously TRUE
+            ors = []
+            for ch in c._or:
+                e = extract(ch)
+                if e is None:
+                    return None  # some disjunct is always TRUE
+                ors.append(e)
+            if not kept and not kept_and and not ors:
+                return None
+            out = QueryCondition()
+            out._clauses = kept
+            out._and = kept_and
+            out._or = ors
+            return out
+
+        pre = extract(cond)
+        return pre, changed[0]
 
     @staticmethod
     def _cursor_masks_from_arrays(levels):
