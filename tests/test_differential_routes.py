@@ -267,9 +267,14 @@ def _random_join_agg_query(db, rng):
     lf, rf = {"k": ("k", "k"), "ks": ("ks", "ks"), "mixed": ("k", "w")}[key]
     kind = rng.choice(["inner", "left", "right"]).item()
     q = q.join("r", lf, rf, kind=kind)
-    if rng.random() < 0.5:
+    if rng.random() < 0.7:
         c = QueryCondition()
-        c.where("v", rng.choice(["<", ">"]).item(), int(rng.integers(0, 40)))
+        if rng.random() < 0.5:
+            c.where("v", rng.choice(["<", ">"]).item(),
+                    int(rng.integers(0, 40)))
+        else:
+            c.where("r.w", rng.choice(["<", ">"]).item(),
+                    int(rng.integers(0, 30)))
         q = q.condition(c)
     n_group = int(rng.integers(0, 3))
     pool = ["ks", "flag", "tag", "r.tag", "w", "kf"]
@@ -305,9 +310,18 @@ def _random_joined_order_query(db, rng):
     key = rng.choice(["k", "ks"]).item()
     q = q.join("r", key, key,
                kind=rng.choice(["inner", "left", "right"]).item())
-    if rng.random() < 0.5:
+    if rng.random() < 0.7:
         c = QueryCondition()
-        c.where("v", rng.choice(["<", ">"]).item(), int(rng.integers(0, 40)))
+        pool = [("v", int(rng.integers(0, 40))),
+                ("w", int(rng.integers(0, 30))),
+                ("r.w", int(rng.integers(0, 30))),
+                ("r.tag", f"t{int(rng.integers(0, 20))}")]
+        f, val = pool[int(rng.integers(0, len(pool)))]
+        op = "=" if isinstance(val, str) else rng.choice(["<", ">"]).item()
+        c.where(f, op, val)
+        if rng.random() < 0.3:  # OR across tables: superset pre-scan
+            c.or_(QueryCondition().where(
+                "r.w", ">", int(rng.integers(10, 30))))
         q = q.condition(c)
     # at least one RIGHT-side order field, mixed with base fields
     pool_r = ["w", "tag", "r.w", "r.tag"]

@@ -642,21 +642,21 @@ class QueryExecutor:
         if (
             overlay is None
             and spec.joins
-            and post_cond is None
             and (spec.aggregates or spec.group_by)
             and not spec.distinct
         ):
             # vectorized join + aggregate: expand rowid pairs, group +
             # reduce on column arrays — an order-count per user over a
             # 500k-pair join must not merge 500k record dicts first
-            res = self._aggregate_pairs(space, table, store, rows, spec)
+            res = self._aggregate_pairs(
+                space, table, store, rows, spec, post_cond,
+            )
             if res is not None:
                 return res
 
         if (
             overlay is None
             and spec.joins
-            and post_cond is None
             and not spec.aggregates
             and not spec.group_by
             and not spec.distinct
@@ -670,7 +670,7 @@ class QueryExecutor:
             # dtypes, unresolvable order fields) take the record path.
             res = self._join_rows(
                 space, table, store, rows, spec, order, pk_name,
-                cache_key, table_name,
+                cache_key, table_name, post_cond,
             )
             if res is not None:
                 return res
@@ -1568,7 +1568,7 @@ class QueryExecutor:
 
     def _join_rows(
         self, space, table, store, rows: np.ndarray, spec: QuerySpec,
-        order, pk_name, cache_key, table_name,
+        order, pk_name, cache_key, table_name, post_cond=None,
     ):
         """Row-id fast path for ONE equality join (inner, left, or
         right): expand (left, right) rowid pairs, sort them by the order
@@ -1579,7 +1579,7 @@ class QueryExecutor:
         if len(spec.joins) > 1:
             return self._join_rows_multi(
                 space, table, store, rows, spec, order, pk_name,
-                cache_key, table_name,
+                cache_key, table_name, post_cond,
             )
         j = spec.joins[0]
         # order-field resolvability is a name lookup — check before the
@@ -1599,6 +1599,15 @@ class QueryExecutor:
             return None
         right, exp_left, exp_right, total = exp
         rstore = right.store
+        if post_cond is not None and total:
+            pm = self._pair_cond_mask(
+                post_cond, store, rstore, j.table, pk_name, exp_left,
+                exp_right, j.kind,
+            )
+            if pm is None:
+                return None
+            exp_left, exp_right = exp_left[pm], exp_right[pm]
+            total = int(pm.sum())
         levels = None
         if total:
             kl = self._pair_lex_keys(
@@ -1640,6 +1649,89 @@ class QueryExecutor:
             space, table_name, spec, cache_key, page, order, pk_name,
             total, has_more, start,
         )
+
+    def _pair_cond_mask(
+        self, post_cond, store, rstore, jtable, pk_name, exp_left,
+        exp_right, kind,
+    ):
+        """Vectorized post-join filter over pair arrays: resolve each
+        predicate field per the record-merge rules (_pair_col) and
+        evaluate the FULL condition with QueryCondition.mask. Returns a
+        bool mask, or None for shapes the record matcher must rank
+        (unresolvable fields, pk predicates over a right-join tail)."""
+        lunm = exp_left < 0
+        if not lunm.any():
+            lunm = None
+        lclip = np.maximum(exp_left, 0)
+        runm = exp_right < 0
+        if not runm.any():
+            runm = None
+        rclip = np.maximum(exp_right, 0)
+        total = len(exp_left)
+        # cheap resolvability pre-check before any gathering
+        for f in post_cond.referenced_fields():
+            if f == pk_name:
+                if lunm is not None:
+                    return None  # tail rows take the right pk-named value
+                continue
+            if (
+                self._pair_col(store, rstore, jtable, pk_name, f, kind)
+                is None
+            ):
+                return None
+
+        def view(f):
+            if f == pk_name:
+                pkc = store.pk_col
+                pkc._grow(store.high)
+                return pkc.data[lclip]
+            r = self._pair_field(
+                store, rstore, jtable, pk_name, lclip, lunm, rclip,
+                runm, f, kind,
+            )
+            _, _, _, vals, nulls = r
+            if nulls is None or not nulls.any():
+                return vals
+            out = vals.astype(object)
+            out[nulls] = None
+            return out
+
+        return post_cond.mask(view, total)
+
+    def _multi_cond_mask(
+        self, post_cond, store, joins, rights, pk_name, exp_left,
+        exp_rights,
+    ):
+        """_pair_cond_mask for the multi-join expansion (no base-side
+        sentinels: inner/left only)."""
+        rclips = [np.maximum(er, 0) for er in exp_rights]
+        runms = []
+        for er in exp_rights:
+            u = er < 0
+            runms.append(u if u.any() else None)
+        total = len(exp_left)
+        for f in post_cond.referenced_fields():
+            if f != pk_name and (
+                self._multi_col(store, joins, rights, pk_name, f) is None
+            ):
+                return None
+
+        def view(f):
+            if f == pk_name:
+                pkc = store.pk_col
+                pkc._grow(store.high)
+                return pkc.data[exp_left]
+            r = self._multi_field(
+                store, joins, rights, pk_name, exp_left, rclips, runms, f,
+            )
+            _, _, _, vals, nulls = r
+            if nulls is None or not nulls.any():
+                return vals
+            out = vals.astype(object)
+            out[nulls] = None
+            return out
+
+        return post_cond.mask(view, total)
 
     @staticmethod
     def _cursor_precheck(spec, order):
@@ -2258,7 +2350,7 @@ class QueryExecutor:
 
     def _join_rows_multi(
         self, space, table, store, rows, spec, order, pk_name,
-        cache_key, table_name,
+        cache_key, table_name, post_cond=None,
     ):
         """_join_rows for 2+ inner/left joins: mixed-radix expansion,
         lexsort by order fields resolved across all tables (base pk
@@ -2280,6 +2372,16 @@ class QueryExecutor:
         if exp is None:
             return None
         exp_left, exp_rights, total = exp
+        if post_cond is not None and total:
+            pm = self._multi_cond_mask(
+                post_cond, store, joins, rights, pk_name, exp_left,
+                exp_rights,
+            )
+            if pm is None:
+                return None
+            exp_left = exp_left[pm]
+            exp_rights = [er[pm] for er in exp_rights]
+            total = int(pm.sum())
         levels = None
         if total:
             rclips = [np.maximum(er, 0) for er in exp_rights]
@@ -2333,7 +2435,8 @@ class QueryExecutor:
             total, has_more, start,
         )
 
-    def _aggregate_multi(self, space, table, store, rows, spec):
+    def _aggregate_multi(self, space, table, store, rows, spec,
+                         post_cond=None):
         """_aggregate_pairs for 2+ inner/left joins: group/aggregate
         directly over the mixed-radix expansion."""
         plan = self._multi_plan(space, table, spec)
@@ -2355,6 +2458,16 @@ class QueryExecutor:
         if exp is None:
             return None
         exp_left, exp_rights, total = exp
+        if post_cond is not None and total:
+            pm = self._multi_cond_mask(
+                post_cond, store, joins, rights, pk_name, exp_left,
+                exp_rights,
+            )
+            if pm is None:
+                return None
+            exp_left = exp_left[pm]
+            exp_rights = [er[pm] for er in exp_rights]
+            total = int(pm.sum())
         rclips = [np.maximum(er, 0) for er in exp_rights]
         runms = []
         for er in exp_rights:
@@ -2412,7 +2525,8 @@ class QueryExecutor:
             return None
         return self._agg_tail(out, spec)
 
-    def _aggregate_pairs(self, space, table, store, rows, spec):
+    def _aggregate_pairs(self, space, table, store, rows, spec,
+                         post_cond=None):
         """Vectorized _aggregate over ONE equality join (inner, left, or
         right): expand (left, right) rowid pairs, resolve group/aggregate
         fields against the correct side, then run the shared
@@ -2422,7 +2536,9 @@ class QueryExecutor:
         aggregate columns, mixed join-key dtypes, pk fields). 2+ joins
         route to the mixed-radix multi path."""
         if len(spec.joins) > 1:
-            return self._aggregate_multi(space, table, store, rows, spec)
+            return self._aggregate_multi(
+                space, table, store, rows, spec, post_cond,
+            )
         j = spec.joins[0]
         aggs = spec.aggregates or [Agg.count()]
         # resolvability pre-checks run BEFORE the O(pairs) expansion so
@@ -2449,6 +2565,15 @@ class QueryExecutor:
             return None
         right, exp_left, exp_right, total = exp
         rstore = right.store
+        if post_cond is not None and total:
+            pm = self._pair_cond_mask(
+                post_cond, store, rstore, j.table, pk_name, exp_left,
+                exp_right, j.kind,
+            )
+            if pm is None:
+                return None
+            exp_left, exp_right = exp_left[pm], exp_right[pm]
+            total = int(pm.sum())
         lunm = exp_left < 0
         if not lunm.any():
             lunm = None
