@@ -542,3 +542,40 @@ def test_differential_join_cursor_walks(seed):
                 assert r3.records == r1.records
     finally:
         db.close()
+
+
+@pytest.mark.parametrize("seed", list(range(1, 7)))
+def test_differential_join_distinct(seed):
+    """DISTINCT over joins: fast path (fully-matched pair sets) vs the
+    record path's json/str identity."""
+    rng = np.random.default_rng(seed + 700)
+    db = _join_db(rng)
+    try:
+        exe = db.engine.executor
+        rd = type(exe)._distinct_pairs
+        for _ in range(8):
+            kind = rng.choice(["inner", "left", "right"]).item()
+            sel = list(rng.choice(["ks", "tag", "w", "flag", "v"],
+                                  int(rng.integers(1, 3)), replace=False))
+            q0 = (db.query("l").join("r", "k", "k", kind=kind)
+                  .select(*sel).distinct().limit(int(rng.integers(2, 40)))
+                  .no_cache())
+            if rng.random() < 0.5:
+                q0 = q0.order_by(sel[0], desc=bool(rng.random() < 0.4))
+            if rng.random() < 0.4:
+                q0 = q0.where("r.w" if rng.random() < 0.5 else "v",
+                              ">", int(rng.integers(0, 25)))
+            fast = q0.fetch()
+            type(exe)._distinct_pairs = lambda self, *a, **kw: None
+            try:
+                slow = q0.no_cache().fetch()
+            finally:
+                type(exe)._distinct_pairs = rd
+            assert fast.records == slow.records, f"seed={seed}"
+            assert fast.total == slow.total
+            if rng.random() < 0.4:
+                db.insert("l", {"k": int(rng.integers(0, 9)), "ks": "s1",
+                                "kf": 1.0, "v": int(rng.integers(0, 50)),
+                                "flag": True})
+    finally:
+        db.close()

@@ -677,6 +677,25 @@ class QueryExecutor:
 
         if (
             overlay is None
+            and len(spec.joins) == 1
+            and spec.joins[0].kind in ("inner", "left", "right")
+            and not spec.aggregates
+            and not spec.group_by
+            and spec.distinct
+            and spec.select
+            and spec.cursor is None
+        ):
+            # vectorized DISTINCT over join pairs (fully-matched sets
+            # only: missing-field identity differs from stored null)
+            res = self._distinct_pairs(
+                space, table, store, rows, spec, order, pk_name,
+                cache_key, table_name, post_cond,
+            )
+            if res is not None:
+                return res
+
+        if (
+            overlay is None
             and not spec.joins
             and not spec.aggregates
             and not spec.group_by
@@ -1622,13 +1641,23 @@ class QueryExecutor:
         if sl is None:
             return None
         start, stop, has_more = sl
-        pl = exp_left[start:stop]
-        pr = exp_right[start:stop]
+        page = self._materialize_pairs(
+            store, rstore, j, exp_left[start:stop], exp_right[start:stop],
+        )
+        return self._finish(
+            space, table_name, spec, cache_key, page, order, pk_name,
+            total, has_more, start,
+        )
+
+    @staticmethod
+    def _materialize_pairs(store, rstore, j, pl, pr):
+        """Materialize + merge one PAGE of (left, right) rowid pairs:
+        setdefault merge + qualified duplicates; a right join's
+        unmatched tail (left = -1) becomes a right-only record — the
+        record path's dict(rrec) merge."""
         page = store.read_rows(np.maximum(pl, 0))
         for i, (ll, rr_) in enumerate(zip(pl.tolist(), pr.tolist())):
             if ll < 0:
-                # right-join unmatched tail: a right-only record with
-                # qualified duplicates (record path's dict(rrec) merge)
                 rrec = rstore.read_row(int(rr_))
                 rrec.pop("_system_ingest_ts_ms", None)
                 merged = dict(rrec)
@@ -1645,10 +1674,7 @@ class QueryExecutor:
             for k, v in rrec.items():
                 rec.setdefault(k, v)
                 rec[f"{j.table}.{k}"] = v
-        return self._finish(
-            space, table_name, spec, cache_key, page, order, pk_name,
-            total, has_more, start,
-        )
+        return page
 
     def _pair_cond_mask(
         self, post_cond, store, rstore, jtable, pk_name, exp_left,
@@ -1790,6 +1816,108 @@ class QueryExecutor:
             else 0
         )
         return start, start + limit, start + limit < total
+
+    def _distinct_pairs(
+        self, space, table, store, rows, spec, order, pk_name,
+        cache_key, table_name, post_cond,
+    ):
+        """Vectorized DISTINCT over ONE equality join: sort the pairs,
+        factorize the selected pair-resolved columns on the record
+        path's str(value) identity, keep each combination's first
+        occurrence, materialize only the page. Bails (None) when any
+        unmatched sentinel exists — the record path's distinct key
+        distinguishes a MISSING field (the json omits it) from a stored
+        null (str(None)), so only fully-matched pair sets share the
+        plain identity — or when a selected field is unresolvable."""
+        j = spec.joins[0]
+        sel = spec.select or []
+        rstore0 = self.db._table(j.table, space).store
+        for f in sel + [f_ for f_, _ in order]:
+            if f != pk_name and (
+                self._pair_col(store, rstore0, j.table, pk_name, f, j.kind)
+                is None
+            ):
+                return None
+        exp = self._expand_pairs(space, table, store, rows, j)
+        if exp is None:
+            return None
+        right, exp_left, exp_right, total = exp
+        rstore = right.store
+        if post_cond is not None and total:
+            pm = self._pair_cond_mask(
+                post_cond, store, rstore, j.table, pk_name, exp_left,
+                exp_right, j.kind,
+            )
+            if pm is None:
+                return None
+            exp_left, exp_right = exp_left[pm], exp_right[pm]
+            total = int(pm.sum())
+        limit = (
+            spec.limit
+            if spec.limit is not None
+            else self.db.config.default_query_limit
+        )
+        start = (
+            min(spec.offset, self.db.config.max_query_offset)
+            if spec.offset
+            else 0
+        )
+        if total == 0:
+            return self._finish(
+                space, table_name, spec, cache_key, [], order, pk_name,
+                0, False, start,
+            )
+        if (exp_left < 0).any() or (exp_right < 0).any():
+            return None  # missing-field identity differs from null
+        kl = self._pair_lex_keys(
+            store, right, j, pk_name, exp_left, exp_right, order,
+        )
+        if kl is None:
+            return None
+        keys, _ = kl
+        perm = np.lexsort(keys)
+        exp_left, exp_right = exp_left[perm], exp_right[perm]
+        lclip = exp_left
+        rclip = exp_right
+        pairs = []
+        for f in sel:
+            if f == pk_name:
+                pkc = store.pk_col
+                pkc._grow(store.high)
+                vals = pkc.data[exp_left]
+                nulls = (
+                    pkc.null[exp_left]
+                    if pkc.np_type is not None and pkc.null is not None
+                    else (
+                        np.zeros(total, np.bool_)
+                        if pkc.np_type is not None
+                        else None
+                    )
+                )
+            else:
+                r = self._pair_field(
+                    store, rstore, j.table, pk_name, lclip, None, rclip,
+                    None, f, j.kind,
+                )
+                if r is None:
+                    return None
+                _, _, _, vals, nulls = r
+            pairs.append((vals, nulls))
+        codes = self._factorize_arrays(pairs, total, str_objects=True)
+        g0 = int(codes.max()) + 1
+        first_idx = np.full(g0, total, np.int64)
+        np.minimum.at(first_idx, codes, np.arange(total))
+        live = np.flatnonzero(first_idx < total)
+        reps = np.sort(first_idx[live])  # result order = sort order
+        total_d = len(reps)
+        page_idx = reps[start : start + limit]
+        page = self._materialize_pairs(
+            store, rstore, j, exp_left[page_idx], exp_right[page_idx],
+        )
+        return self._finish(
+            space, table_name, spec, cache_key, page, order, pk_name,
+            total_d, start + limit < total_d, start,
+        )
 
     def _distinct_rows(
         self, store, rows: np.ndarray, spec: QuerySpec, order, pk_name,
