@@ -1241,6 +1241,57 @@ def config15_joins():
     }
 
 
+def config16_kv():
+    """#16: KV namespace rates (host work; reference kv_store.dart
+    setMany/typed getters/TTL): batched set_many, point get/set,
+    prefix scans, TTL sweep."""
+    from tostore_tpu import ToStoreTPU
+
+    db = ToStoreTPU.memory()
+    kv = db.kv
+    n = 200_000
+    t0 = time.time()
+    kv.set_many({f"user:{i:07d}": {"n": i} for i in range(n)})
+    set_many_rate = n / (time.time() - t0)
+    t0 = time.time()
+    kv.set_many({f"user:{i:07d}": {"n": -i} for i in range(n)})
+    overwrite_rate = n / (time.time() - t0)
+    t0 = time.time()
+    for i in range(20_000):
+        kv.get(f"user:{i:07d}")
+    get_rate = 20_000 / (time.time() - t0)
+    t0 = time.time()
+    for i in range(5_000):
+        kv.set(f"s{i}", i)
+    set_rate = 5_000 / (time.time() - t0)
+    t0 = time.time()
+    c = kv.count("user:00")
+    prefix_ms = (time.time() - t0) * 1e3
+    t0 = time.time()
+    for i in range(3_000):
+        kv.set_increment("ctr", 1)
+    incr_rate = 3_000 / (time.time() - t0)
+    kv.set_many({f"ttl{i}": i for i in range(50_000)}, ttl_seconds=0.001)
+    time.sleep(0.05)
+    t0 = time.time()
+    db.engine.run_ttl_cleanup()
+    ttl_ms = (time.time() - t0) * 1e3
+    db.close()
+    return {
+        "config": "kv_store_200k",
+        "set_many_keys_per_s": round(set_many_rate, 0),
+        "set_many_overwrite_keys_per_s": round(overwrite_rate, 0),
+        "get_keys_per_s": round(get_rate, 0),
+        "single_set_keys_per_s": round(set_rate, 0),
+        "set_increment_per_s": round(incr_rate, 0),
+        "prefix_count_ms": round(prefix_ms, 1),
+        "prefix_hits": c,
+        "ttl_sweep_50k_ms": round(ttl_ms, 1),
+        "note": "memory mode, single host thread; set_many rides the "
+                "columnar bulk machinery (one WAL group)",
+    }
+
+
 CONFIGS = {
     "1": config1_flat_100k,
     "2": config2_flat_1m,
@@ -1257,6 +1308,7 @@ CONFIGS = {
     "13": config13_index_build,
     "14": config14_relational_query,
     "15": config15_joins,
+    "16": config16_kv,
 }
 
 

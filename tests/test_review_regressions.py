@@ -1646,3 +1646,50 @@ class TestJoinedFieldPredicates:
             assert got.total == len(want)
         finally:
             db.close()
+
+
+class TestKvSetManyBatched:
+    """set_many rides the columnar bulk insert/update machinery (one
+    lock + one WAL group) above 64 keys — 24k -> 107k keys/s."""
+
+    def test_semantics_parity(self):
+        import time as _t
+        db = ToStoreTPU.memory()
+        try:
+            kv = db.kv
+            kv.set_many({f"k{i}": i for i in range(200)})
+            assert kv.count() == 200 and kv.get("k150") == 150
+            kv.set_many({f"k{i}": i * 2 for i in range(200)})  # all-update
+            assert kv.get("k150") == 300
+            kv.set_many({f"k{i}": -1 for i in range(150, 260)})  # mixed
+            assert kv.get("k180") == -1 and kv.get("k255") == -1
+            assert kv.count() == 260
+            kv.set_many({f"t{i}": i for i in range(100)}, ttl_seconds=0.05)
+            assert kv.get("t5") == 5
+            _t.sleep(0.1)
+            assert kv.get("t5") is None
+            db.kv_global.set_many({f"g{i}": i for i in range(100)})
+            assert db.kv_global.get("g7") == 7 and db.kv.get("g7") is None
+            ev = []
+            db.kv.watch_value("w1", callback=ev.append)
+            db.kv.set_many({f"w{i}": i for i in range(100)})
+            assert len(ev) == 1
+
+            def action(tx):
+                db.kv.set_many({f"x{i}": i for i in range(80)})
+                tx.rollback()
+
+            db.transaction(action)
+            assert db.kv.get("x5") is None
+        finally:
+            db.close()
+
+    def test_durable_across_crash(self, tmp_path):
+        db = ToStoreTPU.open(str(tmp_path))
+        db.kv.set_many({f"d{i}": {"v": i} for i in range(500)})
+        db.engine._wal.close()
+        db.engine._crontab.stop()
+        db2 = ToStoreTPU.open(str(tmp_path))
+        assert db2.kv.get("d499") == {"v": 499}
+        assert db2.kv.count("d") == 500
+        db2.close()

@@ -1438,12 +1438,14 @@ class Database:
         txn.write_set.add((tkey, pk))
         return DbResult.success([pk])
 
-    def _bulk_insert_fast(self, table: str, records: list[dict]):
+    def _bulk_insert_fast(self, table: str, records: list[dict], t=None):
         """Columnar fast path for batch_insert: validate + unique-check per
         record (cheap), then ONE columnar store pass and one WAL group.
         Returns None when the batch needs the general path (FK tables,
-        in-transaction, Expr payloads, any failure with atomic semantics)."""
-        t = self._table(table)
+        in-transaction, Expr payloads, any failure with atomic semantics).
+        `t` overrides name resolution for same-named per-space system
+        tables (the KV store's global/local split)."""
+        t = t if t is not None else self._table(table)
         if t.schema.foreign_keys or self._txn is not None:
             return None
         space = GLOBAL_SPACE if t.schema.is_global else self.current_space
@@ -2006,32 +2008,8 @@ class Database:
                          "cond": condition.to_map() if condition is not None else None,
                          "all": bool(allow_delete_all)}
                     )
-                if (
-                    len(targets) >= self.BULK_UPDATE_MIN_ROWS
-                    and self._txn is None
-                    and self._buffering_txn() is None
-                    and not list(self._fk_referencing(t.schema.name))
-                ):
-                    # columnar bulk delete: one store patch, one WAL
-                    # frame; olds materialize only when watchers exist
-                    need_olds = bool(self._subs)
-                    kept, olds = t.bulk_apply_delete(
-                        list(targets), need_olds
-                    )
-                    if kept:
-                        self._wal_append(
-                            {"op": "batch_delete", "space": space,
-                             "table": t.schema.name, "pks": kept}
-                        )
-                        self._counters["deletes"] += len(kept)
-                        if self._active_txns:
-                            self._record_commit({(tkey, p) for p in kept})
-                        if need_olds:
-                            for p, old in zip(kept, olds):
-                                old.pop(INGEST_TS_FIELD, None)
-                                self._notify(ChangeEvent(
-                                    "delete", space, t.schema.name, p, old
-                                ))
+                kept = self._bulk_delete_core(t, space, list(targets))
+                if kept is not None:
                     if op_id is not None:
                         self._wal_append({"op": "large_op_done", "id": op_id})
                     return DbResult.success(kept)
@@ -2041,6 +2019,38 @@ class Database:
                 return DbResult.success(ok)
             except ValidationError as e:
                 return DbResult.error(ResultType.foreignKeyViolation, str(e))
+
+    def _bulk_delete_core(self, t, space, targets: list):
+        """Columnar bulk delete: one store patch, one WAL frame; olds
+        materialize only when watchers exist. Returns the kept pk list,
+        or None when the per-row path must run (small batches, open
+        transactions, FK-referenced tables) — nothing is mutated then."""
+        if (
+            len(targets) < self.BULK_UPDATE_MIN_ROWS
+            or self._txn is not None
+            or self._buffering_txn() is not None
+            or list(self._fk_referencing(t.schema.name))
+        ):
+            return None
+        need_olds = bool(self._subs)
+        kept, olds = t.bulk_apply_delete(targets, need_olds)
+        if kept:
+            self._wal_append(
+                {"op": "batch_delete", "space": space,
+                 "table": t.schema.name, "pks": kept}
+            )
+            self._counters["deletes"] += len(kept)
+            if self._active_txns:
+                self._record_commit(
+                    {((space, t.schema.name), p) for p in kept}
+                )
+            if need_olds:
+                for p, old in zip(kept, olds):
+                    old.pop(INGEST_TS_FIELD, None)
+                    self._notify(ChangeEvent(
+                        "delete", space, t.schema.name, p, old
+                    ))
+        return kept
 
     def clear(self, table: str) -> DbResult:
         with self._lock:
@@ -2767,13 +2777,22 @@ class Database:
                         & (col.data[:high] > 0)
                         & (col.data[:high] <= now)
                     )
-                    for r in np.flatnonzero(mask):
-                        self._delete_pk(t, space, t.store.pk_col.get(int(r)))
-                        removed += 1
-                    continue
-                for pk in t.expired_pks(now):
-                    if self._delete_pk(t, space, pk):
-                        removed += 1
+                    rows = np.flatnonzero(mask)
+                    if not len(rows):
+                        continue
+                    pks = [t.store.pk_col.get(int(r)) for r in rows]
+                else:
+                    pks = list(t.expired_pks(now))
+                    if not pks:
+                        continue
+                # one columnar patch + WAL frame per table when large
+                kept = self._bulk_delete_core(t, space, pks)
+                if kept is not None:
+                    removed += len(kept)
+                else:
+                    removed += sum(
+                        1 for pk in pks if self._delete_pk(t, space, pk)
+                    )
         return removed
 
     def run_compaction(self):

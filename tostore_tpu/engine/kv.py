@@ -67,8 +67,60 @@ class KvStore:
             return DbResult.success([key])
 
     def set_many(self, entries: dict[str, Any], ttl_seconds: float | None = None) -> DbResult:
-        for k, v in entries.items():
-            self.set(k, v, ttl_seconds)
+        """Batched set (reference setMany): one lock + one WAL group via
+        the columnar bulk insert/update machinery instead of a per-key
+        loop. Small batches, open transactions, and fast-path declines
+        (Expr payloads) keep per-key semantics."""
+        db = self._db
+        if (
+            len(entries) < 64
+            or db._buffering_txn() is not None
+            or db._txn is not None
+        ):
+            for k, v in entries.items():
+                self.set(k, v, ttl_seconds)
+            return DbResult.success(list(entries))
+        expires = (
+            int(time.time() * 1000 + ttl_seconds * 1000) if ttl_seconds else 0
+        )
+        with db._lock, db._wal_group(), db._timed("kv_set_many"):
+            t = self._t()
+            pk = t.schema.primary_key.name
+            recs = [
+                {pk: k, "value": v, "expires_ms": expires}
+                for k, v in entries.items()
+            ]
+            exist = [r for r in recs if r[pk] in t.store]
+            new = [r for r in recs if r[pk] not in t.store]
+            # both fast paths bail with None BEFORE mutating anything,
+            # so the per-key fallback is always safe
+            r_upd = (
+                db._bulk_update_fast(t, exist)
+                if exist
+                else DbResult.success([])
+            )
+            if r_upd is not None:
+                r_new = (
+                    db._bulk_insert_fast(KV_TABLE, new, t=t)
+                    if new
+                    else DbResult.success([])
+                )
+                if r_new is not None and r_upd.is_success and r_new.is_success:
+                    return DbResult.success(list(entries))
+                if r_new is not None:
+                    # partial columnar outcome: surface it verbatim
+                    ok = (r_upd.success_keys or []) + (r_new.success_keys or [])
+                    failed = (r_upd.failed_keys or []) + (r_new.failed_keys or [])
+                    errors = {**(r_upd.errors or {}), **(r_new.errors or {})}
+                    from .database import Database
+
+                    return Database._batch_result(ok, failed, errors)
+                # updates applied; only the NEW keys need the per-key path
+                todo = {r[pk] for r in new}
+            else:
+                todo = set(entries)
+        for k in todo:
+            self.set(k, entries[k], ttl_seconds)
         return DbResult.success(list(entries))
 
     def set_increment(self, key: str, delta: float | int = 1) -> int | float:
@@ -152,11 +204,32 @@ class KvStore:
         return self._live(key) is not None
 
     def get_keys(self, prefix: str = "") -> list[str]:
+        db = self._db
         t = self._t()
-        pks = self._db._all_pks(t, (self._space, KV_TABLE))
-        return sorted(
-            k for k in pks if str(k).startswith(prefix) and self._live(k)
+        if db._buffering_txn() is not None or db._overlay_for(
+            (self._space, KV_TABLE)
+        ):
+            # overlay merge + per-key read notes need the record path
+            pks = db._all_pks(t, (self._space, KV_TABLE))
+            return sorted(
+                k for k in pks if str(k).startswith(prefix) and self._live(k)
+            )
+        # vectorized liveness over the expires column — a prefix count
+        # over 200k keys must not materialize 200k records
+        store = t.store
+        high = store.high
+        valid = store.valid_view()
+        exp = store.columns["expires_ms"]
+        exp._grow(high)
+        now = time.time() * 1000
+        live = valid & (
+            exp.null[:high] | (exp.data[:high] <= 0) | (exp.data[:high] > now)
         )
+        store.pk_col._grow(high)
+        pks = store.pk_col.data[:high][live].tolist()
+        if prefix:
+            pks = [k for k in pks if str(k).startswith(prefix)]
+        return sorted(pks)
 
     def count(self, prefix: str = "") -> int:
         return len(self.get_keys(prefix))
