@@ -144,12 +144,31 @@ class KvStore:
             return True
 
     def remove_keys(self, keys: list[str]) -> int:
-        return sum(1 for k in keys if self.remove(k))
+        db = self._db
+        with db._lock:
+            t = self._t()
+            live = [
+                k for k in keys
+                if db._view_exists(t, (self._space, KV_TABLE), k)
+            ]
+            if not live:
+                return 0
+            kept = db._bulk_delete_core(t, self._space, live)
+            if kept is not None:
+                return len(kept)
+            return sum(
+                1 for k in live if db._delete_pk(t, self._space, k)
+            )
 
     def clear(self) -> int:
         with self._db._lock:
             t = self._t()
             keys = self._db._all_pks(t, (self._space, KV_TABLE))
+            if not keys:
+                return 0
+            kept = self._db._bulk_delete_core(t, self._space, keys)
+            if kept is not None:
+                return len(kept)
             for k in keys:
                 self._db._delete_pk(t, self._space, k)
             return len(keys)
