@@ -1693,3 +1693,130 @@ class TestKvSetManyBatched:
         assert db2.kv.get("d499") == {"v": 499}
         assert db2.kv.count("d") == 500
         db2.close()
+
+
+class TestJoinPredicateReviewFindings:
+    """Third self-review round over the predicate/KV diff (all verified
+    failing pre-fix)."""
+
+    def test_qualified_shadow_suffix_fallback(self):
+        # the record MATCHER's '<join>.<field>' lookup falls back to a
+        # same-named BASE column on unmatched rows — the vectorized mask
+        # must bail (not null the row out)
+        l = TableSchema(name="l", fields=(
+            FieldSchema("k", DataType.integer),
+            FieldSchema("ks", DataType.text)))
+        r = TableSchema(name="r", fields=(
+            FieldSchema("k", DataType.integer),
+            FieldSchema("ks", DataType.text),
+            FieldSchema("w", DataType.integer)))
+        db = ToStoreTPU.memory(schemas=[l, r])
+        try:
+            db.batch_insert("l", [{"k": 2, "ks": "b"}, {"k": 5, "ks": "z"}])
+            db.batch_insert("r", [{"k": 5, "ks": "x", "w": 1}])
+            exe = db.engine.executor
+            rj = type(exe)._join_rows
+            for cond_f, val in (("r.k", 2), ("r.ks", "b")):
+                fast = (db.query("l").join("r", "k", "k", kind="left")
+                        .where(cond_f, "=", val).no_cache().limit(10)
+                        .fetch())
+                type(exe)._join_rows = lambda self, *a, **kw: None
+                try:
+                    slow = (db.query("l").join("r", "k", "k", kind="left")
+                            .where(cond_f, "=", val).no_cache().limit(10)
+                            .fetch())
+                finally:
+                    type(exe)._join_rows = rj
+                assert fast.records == slow.records
+                assert fast.total == slow.total == 1, cond_f
+        finally:
+            db.close()
+
+    def test_main_prefixed_predicate_stays_fast(self):
+        l = TableSchema(name="l", fields=(FieldSchema("a", DataType.integer),
+                                          FieldSchema("k", DataType.integer)))
+        r = TableSchema(name="r", fields=(FieldSchema("k", DataType.integer),))
+        db = ToStoreTPU.memory(schemas=[l, r])
+        try:
+            db.batch_insert("l", [{"a": 1, "k": 1}, {"a": 7, "k": 1}])
+            db.batch_insert("r", [{"k": 1}])
+            exe = db.engine.executor
+            rj = type(exe)._join_rows
+            taken = []
+
+            def spy(self, *a, **kw):
+                out = rj(self, *a, **kw)
+                taken.append(out is not None)
+                return out
+
+            type(exe)._join_rows = spy
+            try:
+                got = (db.query("l").join("r", "k", "k")
+                       .where("l.a", ">", 5).no_cache().limit(10).fetch())
+            finally:
+                type(exe)._join_rows = rj
+            assert taken == [True] and got.total == 1
+        finally:
+            db.close()
+
+    def test_set_many_never_rejects_what_set_accepts(self):
+        # the bulk route validates; per-key set doesn't — declines and
+        # rejections fall back per-key so the contract is size-independent
+        db = ToStoreTPU.memory()
+        try:
+            r = db.kv.set_many({f"b{i}": (1, 2) for i in range(70)})
+            assert r.is_success
+            assert db.kv.count("b") == 70
+            v = db.kv.get("b5")
+            assert v in ((1, 2), [1, 2])
+        finally:
+            db.close()
+
+    def test_update_events_hide_ingest_ts(self):
+        s = TableSchema(name="t", fields=(FieldSchema("a", DataType.integer),))
+        db = ToStoreTPU.memory(schemas=[s])
+        try:
+            db.insert("t", {"a": 1})
+            ev = []
+            db.watch("t", callback=ev.append)
+            db.update_by_pk("t", 1, {"a": 2})
+            assert "_system_ingest_ts_ms" not in ev[-1].record
+            db.engine.BULK_UPDATE_MIN_ROWS = 1
+            db.batch_insert("t", [{"a": i} for i in range(3)])
+            db.engine.batch_update("t", [{"id": 2, "a": 9}])
+            assert "_system_ingest_ts_ms" not in ev[-1].record
+        finally:
+            db.close()
+
+    def test_get_keys_consistent_under_writers(self):
+        import threading
+        db = ToStoreTPU.memory()
+        try:
+            db.kv.set_many({f"k{i}": i for i in range(5000)})
+            stop = threading.Event()
+            errs = []
+
+            def writer():
+                i = 5000
+                while not stop.is_set():
+                    db.kv.set(f"k{i}", i)
+                    i += 1
+
+            def reader():
+                try:
+                    for _ in range(60):
+                        n = db.kv.count("k")
+                        assert n >= 5000
+                except Exception as e:  # broadcast errors pre-fix
+                    errs.append(e)
+
+            w = threading.Thread(target=writer)
+            rs = [threading.Thread(target=reader) for _ in range(3)]
+            w.start()
+            [t.start() for t in rs]
+            [t.join() for t in rs]
+            stop.set()
+            w.join()
+            assert not errs, errs
+        finally:
+            db.close()

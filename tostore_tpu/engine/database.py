@@ -1215,6 +1215,16 @@ class Database:
 
     # ------------------------------------------------------------- notifications
 
+    @staticmethod
+    def _event_rec(t, pk):
+        """Record payload for a ChangeEvent: the live row WITHOUT the
+        internal ingest-ts field (every read path strips it; watch
+        callbacks must see the same shape)."""
+        rec = t.store.get(pk)
+        if rec is not None:
+            rec.pop(INGEST_TS_FIELD, None)
+        return rec
+
     def _notify(self, ev: ChangeEvent):
         if self._txn is not None:
             self._txn.events.append(ev)
@@ -1755,7 +1765,8 @@ class Database:
             if self._subs:
                 for pk in kept_pks:
                     self._notify(ChangeEvent(
-                        "update", space, t.schema.name, pk, t.store.get(pk)
+                        "update", space, t.schema.name, pk,
+                        self._event_rec(t, pk),
                     ))
         return self._batch_result(ok, failed, errors)
 
@@ -1811,7 +1822,9 @@ class Database:
         )
         self._counters["updates"] += 1
         self._track_direct_write(tkey, pk)
-        self._notify(ChangeEvent("update", space, t.schema.name, pk, t.store.get(pk)))
+        self._notify(
+            ChangeEvent("update", space, t.schema.name, pk, self._event_rec(t, pk))
+        )
         return before
 
     def _txn_update(self, txn: _Txn, t: Table, tkey, pk, updates: dict) -> dict | None:
@@ -2768,16 +2781,11 @@ class Database:
         with self._lock:
             for (space, name), t in list(self._tables.items()):
                 if name == KV_TABLE:
-                    col = t.store.columns["expires_ms"]
-                    high = t.store.high
-                    col._grow(high)
-                    mask = (
-                        t.store.valid_view()
-                        & ~col.null[:high]
-                        & (col.data[:high] > 0)
-                        & (col.data[:high] <= now)
+                    from .kv import kv_live_mask
+
+                    rows = np.flatnonzero(
+                        t.store.valid_view() & ~kv_live_mask(t.store, now)
                     )
-                    rows = np.flatnonzero(mask)
                     if not len(rows):
                         continue
                     pks = [t.store.pk_col.get(int(r)) for r in rows]

@@ -18,6 +18,18 @@ from ..query.condition import QueryCondition
 KV_TABLE = "_system_kv"
 
 
+def kv_live_mask(store, now_ms: float):
+    """bool[high] — rows that are valid and not TTL-expired (null, zero,
+    or future expires_ms). THE liveness rule: get_keys/count read it and
+    run_ttl_cleanup sweeps its inverse; keep them agreeing."""
+    high = store.high
+    exp = store.columns["expires_ms"]
+    exp._grow(high)
+    return store.valid_view() & (
+        exp.null[:high] | (exp.data[:high] <= 0) | (exp.data[:high] > now_ms)
+    )
+
+
 class KvStore:
     def __init__(self, db, is_global: bool = False):
         self._db = db
@@ -93,32 +105,27 @@ class KvStore:
             exist = [r for r in recs if r[pk] in t.store]
             new = [r for r in recs if r[pk] not in t.store]
             # both fast paths bail with None BEFORE mutating anything,
-            # so the per-key fallback is always safe
+            # and set() never validates (KV values are opaque json), so
+            # any key the columnar routes decline OR reject (their
+            # schema validation is stricter than per-key set) falls back
+            # to per-key — set_many's contract stays always-success and
+            # batch-size-independent
             r_upd = (
                 db._bulk_update_fast(t, exist)
                 if exist
                 else DbResult.success([])
             )
+            ok: set = set()
             if r_upd is not None:
+                ok |= set(r_upd.success_keys or [])
                 r_new = (
                     db._bulk_insert_fast(KV_TABLE, new, t=t)
                     if new
                     else DbResult.success([])
                 )
-                if r_new is not None and r_upd.is_success and r_new.is_success:
-                    return DbResult.success(list(entries))
                 if r_new is not None:
-                    # partial columnar outcome: surface it verbatim
-                    ok = (r_upd.success_keys or []) + (r_new.success_keys or [])
-                    failed = (r_upd.failed_keys or []) + (r_new.failed_keys or [])
-                    errors = {**(r_upd.errors or {}), **(r_new.errors or {})}
-                    from .database import Database
-
-                    return Database._batch_result(ok, failed, errors)
-                # updates applied; only the NEW keys need the per-key path
-                todo = {r[pk] for r in new}
-            else:
-                todo = set(entries)
+                    ok |= set(r_new.success_keys or [])
+            todo = [k for k in entries if k not in ok]
         for k in todo:
             self.set(k, entries[k], ttl_seconds)
         return DbResult.success(list(entries))
@@ -224,28 +231,22 @@ class KvStore:
 
     def get_keys(self, prefix: str = "") -> list[str]:
         db = self._db
-        t = self._t()
-        if db._buffering_txn() is not None or db._overlay_for(
-            (self._space, KV_TABLE)
-        ):
+        if db._buffering_txn() is not None:
             # overlay merge + per-key read notes need the record path
+            t = self._t()
             pks = db._all_pks(t, (self._space, KV_TABLE))
             return sorted(
                 k for k in pks if str(k).startswith(prefix) and self._live(k)
             )
         # vectorized liveness over the expires column — a prefix count
-        # over 200k keys must not materialize 200k records
-        store = t.store
-        high = store.high
-        valid = store.valid_view()
-        exp = store.columns["expires_ms"]
-        exp._grow(high)
-        now = time.time() * 1000
-        live = valid & (
-            exp.null[:high] | (exp.data[:high] <= 0) | (exp.data[:high] > now)
-        )
-        store.pk_col._grow(high)
-        pks = store.pk_col.data[:high][live].tolist()
+        # over 200k keys must not materialize 200k records. SHARED mode:
+        # high/valid/expires/pk gathers must be mutually consistent
+        with db._shared:
+            t = self._t()
+            store = t.store
+            live = kv_live_mask(store, time.time() * 1000)
+            store.pk_col._grow(store.high)
+            pks = store.pk_col.data[: store.high][live].tolist()
         if prefix:
             pks = [k for k in pks if str(k).startswith(prefix)]
         return sorted(pks)

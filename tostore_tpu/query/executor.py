@@ -1621,7 +1621,7 @@ class QueryExecutor:
         if post_cond is not None and total:
             pm = self._pair_cond_mask(
                 post_cond, store, rstore, j.table, pk_name, exp_left,
-                exp_right, j.kind,
+                exp_right, j.kind, table.schema.name,
             )
             if pm is None:
                 return None
@@ -1676,15 +1676,58 @@ class QueryExecutor:
                 rec[f"{j.table}.{k}"] = v
         return page
 
+    @staticmethod
+    def _cond_pair_col(store, rights, pk_name, main_name, base_unm, field):
+        """Resolution for the post-join MATCHER views — which follows
+        QueryCondition._field_value's merged-record lookup, NOT r.get:
+        '<main>.<field>' suffix-falls-back to the plain name, and a
+        qualified '<join>.<field>' on an unmatched row falls back to a
+        same-named base column. `rights` = [(jtable, rstore, has_unm)];
+        `base_unm` = right-join tail rows exist (right-only dicts).
+        Returns 'pk', (col, side), or None = record path (per-row value
+        sources the arrays can't express)."""
+        if field.startswith(main_name + ".") and all(
+            j != main_name for j, _, _ in rights
+        ):
+            field = field[len(main_name) + 1:]
+        for k, (jt, rstore, has_unm) in enumerate(rights):
+            if field.startswith(jt + "."):
+                x = field[len(jt) + 1:]
+                col = rstore.columns.get(x)
+                if col is None:
+                    return None  # suffix-resolves elsewhere: record path
+                if has_unm and (
+                    x == pk_name or store.columns.get(x) is not None
+                ):
+                    # unmatched rows suffix-fall-back to the base column
+                    return None
+                return col, k
+        if field == pk_name:
+            # a right-join tail record's pk-named key holds the RIGHT pk
+            return None if base_unm else "pk"
+        col = store.columns.get(field)
+        if col is not None:
+            if base_unm and any(
+                rs.columns.get(field) is not None for _, rs, _ in rights
+            ):
+                return None  # tail rows read the right-only dict's value
+            return col, -1
+        for k, (jt, rstore, _) in enumerate(rights):
+            col = rstore.columns.get(field)
+            if col is not None:
+                return col, k
+        return None
+
     def _pair_cond_mask(
         self, post_cond, store, rstore, jtable, pk_name, exp_left,
-        exp_right, kind,
+        exp_right, kind, main_name,
     ):
         """Vectorized post-join filter over pair arrays: resolve each
-        predicate field per the record-merge rules (_pair_col) and
-        evaluate the FULL condition with QueryCondition.mask. Returns a
-        bool mask, or None for shapes the record matcher must rank
-        (unresolvable fields, pk predicates over a right-join tail)."""
+        predicate field per the record MATCHER's merged-record lookup
+        (_cond_pair_col) and evaluate the FULL condition with
+        QueryCondition.mask. Returns a bool mask, or None for shapes the
+        record matcher must rank (unresolvable fields, per-row value
+        sources, pk predicates over a right-join tail)."""
         lunm = exp_left < 0
         if not lunm.any():
             lunm = None
@@ -1694,28 +1737,28 @@ class QueryExecutor:
             runm = None
         rclip = np.maximum(exp_right, 0)
         total = len(exp_left)
-        # cheap resolvability pre-check before any gathering
+        rights = [(jtable, rstore, runm is not None)]
+        resolved = {}
         for f in post_cond.referenced_fields():
-            if f == pk_name:
-                if lunm is not None:
-                    return None  # tail rows take the right pk-named value
-                continue
-            if (
-                self._pair_col(store, rstore, jtable, pk_name, f, kind)
-                is None
-            ):
+            rc = self._cond_pair_col(
+                store, rights, pk_name, main_name, lunm is not None, f,
+            )
+            if rc is None:
                 return None
+            resolved[f] = rc
 
         def view(f):
-            if f == pk_name:
+            rc = resolved[f]
+            if rc == "pk":
                 pkc = store.pk_col
                 pkc._grow(store.high)
                 return pkc.data[lclip]
-            r = self._pair_field(
-                store, rstore, jtable, pk_name, lclip, lunm, rclip,
-                runm, f, kind,
-            )
-            _, _, _, vals, nulls = r
+            col, side = rc
+            if side < 0:
+                rows_, unm, high = lclip, lunm, store.high
+            else:
+                rows_, unm, high = rclip, runm, rstore.high
+            _, _, vals, nulls = self._side_arrays(col, high, rows_, unm)
             if nulls is None or not nulls.any():
                 return vals
             out = vals.astype(object)
@@ -1726,7 +1769,7 @@ class QueryExecutor:
 
     def _multi_cond_mask(
         self, post_cond, store, joins, rights, pk_name, exp_left,
-        exp_rights,
+        exp_rights, main_name,
     ):
         """_pair_cond_mask for the multi-join expansion (no base-side
         sentinels: inner/left only)."""
@@ -1736,21 +1779,33 @@ class QueryExecutor:
             u = er < 0
             runms.append(u if u.any() else None)
         total = len(exp_left)
+        rinfo = [
+            (j.table, rt.store, runms[k] is not None)
+            for k, (j, rt) in enumerate(zip(joins, rights))
+        ]
+        resolved = {}
         for f in post_cond.referenced_fields():
-            if f != pk_name and (
-                self._multi_col(store, joins, rights, pk_name, f) is None
-            ):
+            rc = self._cond_pair_col(
+                store, rinfo, pk_name, main_name, False, f,
+            )
+            if rc is None:
                 return None
+            resolved[f] = rc
 
         def view(f):
-            if f == pk_name:
+            rc = resolved[f]
+            if rc == "pk":
                 pkc = store.pk_col
                 pkc._grow(store.high)
                 return pkc.data[exp_left]
-            r = self._multi_field(
-                store, joins, rights, pk_name, exp_left, rclips, runms, f,
-            )
-            _, _, _, vals, nulls = r
+            col, side = rc
+            if side < 0:
+                rows_, unm, high = exp_left, None, store.high
+            else:
+                rows_, unm, high = (
+                    rclips[side], runms[side], rights[side].store.high,
+                )
+            _, _, vals, nulls = self._side_arrays(col, high, rows_, unm)
             if nulls is None or not nulls.any():
                 return vals
             out = vals.astype(object)
@@ -1846,7 +1901,7 @@ class QueryExecutor:
         if post_cond is not None and total:
             pm = self._pair_cond_mask(
                 post_cond, store, rstore, j.table, pk_name, exp_left,
-                exp_right, j.kind,
+                exp_right, j.kind, table.schema.name,
             )
             if pm is None:
                 return None
@@ -2503,7 +2558,7 @@ class QueryExecutor:
         if post_cond is not None and total:
             pm = self._multi_cond_mask(
                 post_cond, store, joins, rights, pk_name, exp_left,
-                exp_rights,
+                exp_rights, table.schema.name,
             )
             if pm is None:
                 return None
@@ -2589,7 +2644,7 @@ class QueryExecutor:
         if post_cond is not None and total:
             pm = self._multi_cond_mask(
                 post_cond, store, joins, rights, pk_name, exp_left,
-                exp_rights,
+                exp_rights, table.schema.name,
             )
             if pm is None:
                 return None
@@ -2696,7 +2751,7 @@ class QueryExecutor:
         if post_cond is not None and total:
             pm = self._pair_cond_mask(
                 post_cond, store, rstore, j.table, pk_name, exp_left,
-                exp_right, j.kind,
+                exp_right, j.kind, table.schema.name,
             )
             if pm is None:
                 return None
