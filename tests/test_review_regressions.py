@@ -1820,3 +1820,35 @@ class TestJoinPredicateReviewFindings:
             assert not errs, errs
         finally:
             db.close()
+
+
+class TestProjectionPushdown:
+    def test_selected_pages_gather_only_needed_columns(self):
+        # wide table, narrow select: 42 -> 6.5 ms at 5k rows; cursors
+        # still encode order values + pk, aliases still apply
+        fields = tuple(
+            FieldSchema(f"c{i}", DataType.integer) for i in range(12)
+        )
+        db = ToStoreTPU.memory(schemas=[TableSchema(name="w", fields=fields)])
+        try:
+            db.batch_insert(
+                "w", [{f"c{i}": j for i in range(12)} for j in range(500)]
+            )
+            r = (db.query("w").select("c0", "c1").order_by("c3")
+                 .limit(50).no_cache().fetch())
+            assert all(x.keys() == {"c0", "c1"} for x in r.records)
+            walk = [x["c0"] for x in r.records]
+            while r.has_more:
+                r = r.next()
+                assert all(x.keys() == {"c0", "c1"} for x in r.records)
+                walk += [x["c0"] for x in r.records]
+            assert sorted(walk) == sorted(range(500))
+            r = (db.query("w").select("c0").as_("c0", "zero").limit(3)
+                 .no_cache().fetch())
+            assert r.records[0].keys() == {"zero"}
+            # internal ingest-ts stays invisible even if selected
+            r = (db.query("w").select("_system_ingest_ts_ms", "c0")
+                 .limit(2).no_cache().fetch())
+            assert r.records[0]["_system_ingest_ts_ms"] is None
+        finally:
+            db.close()

@@ -339,15 +339,29 @@ class ColumnStore:
             rec[name] = col.get(row)
         return rec
 
-    def read_rows(self, rows) -> list[dict]:
+    def read_rows(self, rows, fields=None) -> list[dict]:
         """Bulk read_row: one vectorized gather per column instead of one
-        get() per cell — the query-result materialization hot path."""
+        get() per cell — the query-result materialization hot path.
+        `fields` (a set) gathers only those columns — projection
+        pushdown for SELECTed pages on wide tables."""
         rows = np.asarray(rows, np.int64)
         if len(rows) == 0:
             return []
-        names = [self.pk_name, *self.columns.keys()]
-        cols = [self.pk_col.get_many(rows)]
-        cols.extend(c.get_many(rows) for c in self.columns.values())
+        if fields is None:
+            names = [self.pk_name, *self.columns.keys()]
+            cols = [self.pk_col.get_many(rows)]
+            cols.extend(c.get_many(rows) for c in self.columns.values())
+        else:
+            names, cols = [], []
+            if self.pk_name in fields:
+                names.append(self.pk_name)
+                cols.append(self.pk_col.get_many(rows))
+            for n, c in self.columns.items():
+                if n in fields:
+                    names.append(n)
+                    cols.append(c.get_many(rows))
+            if not names:
+                return [{} for _ in range(len(rows))]
         return [dict(zip(names, cells)) for cells in zip(*cols)]
 
     def column_view(self, name: str) -> np.ndarray:

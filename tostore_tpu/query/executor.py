@@ -804,9 +804,21 @@ class QueryExecutor:
                         rowid_sorted=rowid_sorted,
                     )
                 page_rows = rows[page_lo : page_lo + limit]
-                page = store.read_rows(page_rows)
-                for rec in page:
-                    rec.pop("_system_ingest_ts_ms", None)
+                # projection pushdown: a 2-field select over a 30-column
+                # table must not gather 30 columns (cursors additionally
+                # need the order fields + pk; the internal ingest-ts
+                # field stays invisible either way)
+                fields = None
+                if spec.select:
+                    fields = (
+                        set(spec.select)
+                        | {f for f, _ in order}
+                        | {pk_name}
+                    ) - {"_system_ingest_ts_ms"}
+                page = store.read_rows(page_rows, fields)
+                if fields is None:
+                    for rec in page:
+                        rec.pop("_system_ingest_ts_ms", None)
                 has_more = (
                     back_has_more
                     if cmask is not None and spec.cursor_backward
@@ -2026,7 +2038,11 @@ class QueryExecutor:
             firsts = np.sort(first_idx[first_idx < m])
             total = int(len(firsts))
             page_rows = rows[firsts[start : start + limit]]
-            page = store.read_rows(page_rows)
+            page = store.read_rows(
+                page_rows,
+                (set(sel) | {f for f, _ in order} | {pk_name})
+                - {"_system_ingest_ts_ms"},
+            )
         elif {f for f, _ in order} <= set(sel):
             # object order fields, but all of them are PROJECTED: every
             # row of a combination shares the sort key, so a
