@@ -805,16 +805,8 @@ class QueryExecutor:
                     )
                 page_rows = rows[page_lo : page_lo + limit]
                 # projection pushdown: a 2-field select over a 30-column
-                # table must not gather 30 columns (cursors additionally
-                # need the order fields + pk; the internal ingest-ts
-                # field stays invisible either way)
-                fields = None
-                if spec.select:
-                    fields = (
-                        set(spec.select)
-                        | {f for f, _ in order}
-                        | {pk_name}
-                    ) - {"_system_ingest_ts_ms"}
+                # table must not gather 30 columns
+                fields = self._page_fields(spec, order, pk_name)
                 page = store.read_rows(page_rows, fields)
                 if fields is None:
                     for rec in page:
@@ -1655,6 +1647,7 @@ class QueryExecutor:
         start, stop, has_more = sl
         page = self._materialize_pairs(
             store, rstore, j, exp_left[start:stop], exp_right[start:stop],
+            self._page_fields(spec, order, pk_name),
         )
         return self._finish(
             space, table_name, spec, cache_key, page, order, pk_name,
@@ -1662,12 +1655,26 @@ class QueryExecutor:
         )
 
     @staticmethod
-    def _materialize_pairs(store, rstore, j, pl, pr):
+    def _page_fields(spec, order, pk_name):
+        """Projection-pushdown field set for a SELECTed page (select +
+        order fields + pk for cursors; the internal ingest-ts field
+        stays invisible), or None = gather everything."""
+        if not spec.select:
+            return None
+        return (
+            set(spec.select) | {f for f, _ in order} | {pk_name}
+        ) - {"_system_ingest_ts_ms"}
+
+    @staticmethod
+    def _materialize_pairs(store, rstore, j, pl, pr, fields=None):
         """Materialize + merge one PAGE of (left, right) rowid pairs:
         setdefault merge + qualified duplicates; a right join's
         unmatched tail (left = -1) becomes a right-only record — the
-        record path's dict(rrec) merge."""
-        page = store.read_rows(np.maximum(pl, 0))
+        record path's dict(rrec) merge. `fields` (must cover select +
+        order + pk) limits the BASE gather; unselected right fills then
+        differ from full materialization only in keys the projection
+        drops anyway."""
+        page = store.read_rows(np.maximum(pl, 0), fields)
         for i, (ll, rr_) in enumerate(zip(pl.tolist(), pr.tolist())):
             if ll < 0:
                 rrec = rstore.read_row(int(rr_))
@@ -1980,6 +1987,7 @@ class QueryExecutor:
         page_idx = reps[start : start + limit]
         page = self._materialize_pairs(
             store, rstore, j, exp_left[page_idx], exp_right[page_idx],
+            self._page_fields(spec, order, pk_name),
         )
         return self._finish(
             space, table_name, spec, cache_key, page, order, pk_name,
@@ -2039,9 +2047,7 @@ class QueryExecutor:
             total = int(len(firsts))
             page_rows = rows[firsts[start : start + limit]]
             page = store.read_rows(
-                page_rows,
-                (set(sel) | {f for f, _ in order} | {pk_name})
-                - {"_system_ingest_ts_ms"},
+                page_rows, self._page_fields(spec, order, pk_name),
             )
         elif {f for f, _ in order} <= set(sel):
             # object order fields, but all of them are PROJECTED: every
@@ -2615,9 +2621,11 @@ class QueryExecutor:
         start, stop, has_more = sl
         pl = exp_left[start:stop]
         prs = [er[start:stop] for er in exp_rights]
-        page = store.read_rows(pl)
-        for rec in page:
-            rec.pop("_system_ingest_ts_ms", None)
+        fields = self._page_fields(spec, order, pk_name)
+        page = store.read_rows(pl, fields)
+        if fields is None:
+            for rec in page:
+                rec.pop("_system_ingest_ts_ms", None)
         for j, rt, pr in zip(joins, rights, prs):
             rstore = rt.store
             for i, rr_ in enumerate(pr.tolist()):
