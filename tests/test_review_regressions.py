@@ -1852,3 +1852,38 @@ class TestProjectionPushdown:
             assert r.records[0]["_system_ingest_ts_ms"] is None
         finally:
             db.close()
+
+
+class TestLifecycleCallbacks:
+    """on_configure / on_create / on_open (reference tostore.dart:100-102,
+    data_store_impl.dart:960,1033,913)."""
+
+    def test_order_and_create_only_when_fresh(self):
+        from tostore_tpu.engine.storage import MemoryStorage
+
+        calls = []
+        s = TableSchema(name="t", fields=(FieldSchema("a", DataType.integer),))
+        st = MemoryStorage()
+        db = ToStoreTPU.open(
+            "/x", schemas=[s], storage=st,
+            on_configure=lambda d: calls.append(
+                ("configure", d.table_exists("t"))),
+            on_create=lambda d: calls.append(("create",)),
+            on_open=lambda d: calls.append(
+                ("open", d.insert("t", {"a": 1}).is_success)),
+        )
+        assert calls == [("configure", False), ("create",), ("open", True)]
+        db.engine.flush()
+        db.close()
+        calls2 = []
+        db2 = ToStoreTPU.open(
+            "/x", schemas=[s], storage=st,
+            on_create=lambda d: calls2.append("create"),
+            on_open=lambda d: calls2.append("open"))
+        assert calls2 == ["open"]  # recovered manifest: not a creation
+        assert db2.count("t") == 1
+        db2.close()
+        m = ToStoreTPU.memory(
+            schemas=[s], on_create=lambda d: calls2.append("mem_create"))
+        assert calls2[-1] == "mem_create"  # pure-memory dbs are fresh
+        m.close()

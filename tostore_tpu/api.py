@@ -32,12 +32,28 @@ class ToStoreTPU:
         config: DataStoreConfig,
         schemas: list[TableSchema] | None = None,
         storage=None,
+        on_configure: Callable | None = None,
+        on_create: Callable | None = None,
+        on_open: Callable | None = None,
     ):
+        """Lifecycle callbacks (reference tostore.dart:100-102 /
+        data_store_impl.dart:960,1033,913): `on_configure(db)` fires
+        after recovery but BEFORE declared schemas apply; `on_create(db)`
+        only on first creation (no prior manifest); `on_open(db)` once
+        the handle is fully ready."""
         self._db = Database(config, storage=storage)
         self.kv = KvStore(self._db, is_global=False)
         self.kv_global = KvStore(self._db, is_global=True)
+        if on_configure is not None:
+            on_configure(self)
         if schemas:
             self._db.declare_schemas(schemas)
+        if on_create is not None and getattr(
+            self._db, "freshly_created", False
+        ):
+            on_create(self)
+        if on_open is not None:
+            on_open(self)
 
     # --- constructors (reference ToStore.open / ToStore.memory) -------------
 
@@ -48,31 +64,47 @@ class ToStoreTPU:
         schemas: list[TableSchema] | None = None,
         config: DataStoreConfig | None = None,
         storage=None,
+        on_configure: Callable | None = None,
+        on_create: Callable | None = None,
+        on_open: Callable | None = None,
         **kw,
     ) -> "ToStoreTPU":
         """`storage`: optional engine.storage.Storage backend (the
         StorageInterface seam) — file by default; pass MemoryStorage or an
         ObjectStorage to persist somewhere other than the local FS.
         `":memory:"` (the sqlite idiom) aliases to `memory()` instead of
-        creating a literal `:memory:` directory."""
+        creating a literal `:memory:` directory. `on_configure` /
+        `on_create` / `on_open`: lifecycle callbacks (reference
+        tostore.dart:100-102)."""
         if path == ":memory:":
             return ToStoreTPU.memory(
-                schemas=schemas, config=config, storage=storage, **kw
+                schemas=schemas, config=config, storage=storage,
+                on_configure=on_configure, on_create=on_create,
+                on_open=on_open, **kw
             )
         cfg = (config or DataStoreConfig()).copy_with(db_path=path, db_name=db_name, **kw)
-        return ToStoreTPU(cfg, schemas, storage=storage)
+        return ToStoreTPU(
+            cfg, schemas, storage=storage, on_configure=on_configure,
+            on_create=on_create, on_open=on_open,
+        )
 
     @staticmethod
     def memory(
         schemas: list[TableSchema] | None = None,
         config: DataStoreConfig | None = None,
         storage=None,
+        on_configure: Callable | None = None,
+        on_create: Callable | None = None,
+        on_open: Callable | None = None,
         **kw,
     ) -> "ToStoreTPU":
         """`storage`: reuse a MemoryStorage instance across open/close
         cycles to test recovery without touching the filesystem."""
         cfg = (config or DataStoreConfig()).copy_with(db_path=None, **kw)
-        return ToStoreTPU(cfg, schemas, storage=storage)
+        return ToStoreTPU(
+            cfg, schemas, storage=storage, on_configure=on_configure,
+            on_create=on_create, on_open=on_open,
+        )
 
     # --- lifecycle ------------------------------------------------------------
 

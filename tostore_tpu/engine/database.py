@@ -323,6 +323,9 @@ class Database:
         )
         self._mesh = self._make_mesh()
 
+        # a pure-memory database is always freshly created (no manifest
+        # to recover); _open_files flips this when one exists on disk
+        self.freshly_created = True
         if not self.config.memory_mode:
             self._open_files()
         self._ensure_kv_table()
@@ -577,10 +580,12 @@ class Database:
         self._storage.makedirs(d)
         manifest_path = os.path.join(d, "manifest.json")
         if self._storage.exists(manifest_path):
+            self.freshly_created = False
             self.global_config = GlobalConfig.from_json(
                 json.loads(self._storage.read(manifest_path))
             )
         else:
+            self.freshly_created = True  # drives the onCreate callback
             self._persist_manifest()  # pin fresh-database state (KDF salt)
         if self.global_config.version < ENGINE_VERSION:
             for v in range(self.global_config.version + 1, ENGINE_VERSION + 1):
