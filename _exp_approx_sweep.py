@@ -1,0 +1,130 @@
+"""Sweep the approx_max_k recall/speed frontier at B=128/256 on the
+1M x 768 bf16 flat-scan shape: recall_target values and oversampled
+candidate counts (approx_max_k(k') -> exact top-k re-merge), to pick the
+`fast` mode's default knobs. Run alone on the real TPU."""
+
+import functools
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+from tostore_tpu.ops.topk import flat_topk_xla
+
+
+def bench(fn, *args, iters=50):
+    out = fn(*args)
+    float(jnp.sum(out[0]))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(*args)
+        float(jnp.sum(out[0]))
+        best = min(best, (time.time() - t0) / iters)
+    return best * 1e3
+
+
+@functools.partial(jax.jit, static_argnames=("k", "kc", "rt"))
+def mono_over(q, corpus, bias, *, k, kc, rt):
+    s = jnp.dot(q.astype(corpus.dtype), corpus.T, preferred_element_type=jnp.float32)
+    s = s + bias[None, :]
+    vs, vi = jax.lax.approx_max_k(s, kc, recall_target=rt)
+    if kc == k:
+        return vs, vi
+    ts, pos = jax.lax.top_k(vs, k)
+    return ts, jnp.take_along_axis(vi, pos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "kc", "rt", "ch"))
+def chunk_over(q, corpus, bias, *, k, kc, rt, ch=32768):
+    """Per-chunk approx_max_k(kc, rt) candidates -> exact top-k merge."""
+    b, d = q.shape
+    n = corpus.shape[0]
+    nch = n // ch
+    qc = q.astype(corpus.dtype)
+    offs = jnp.arange(nch, dtype=jnp.int32) * ch
+    cr = corpus.reshape(nch, ch, d)
+    br = bias.reshape(nch, ch)
+
+    def body(carry, inp):
+        cblk, bblk, off = inp
+        s = jnp.dot(qc, cblk.T, preferred_element_type=jnp.float32)
+        s = s + bblk[None, :]
+        vs, vi = jax.lax.approx_max_k(s, kc, recall_target=rt)
+        return carry, (vs, vi + off)
+
+    _, (ss, ii) = jax.lax.scan(body, 0, (cr, br, offs))
+    flat_s = ss.transpose(1, 0, 2).reshape(b, -1)
+    flat_i = ii.transpose(1, 0, 2).reshape(b, -1)
+    top_s, pos = jax.lax.top_k(flat_s, k)
+    return top_s, jnp.take_along_axis(flat_i, pos, axis=1)
+
+
+def recall_vs_exact(ei, xi, b, k):
+    return float(np.mean([
+        len(set(np.asarray(ei[i]).tolist()) & set(np.asarray(xi[i]).tolist())) / k
+        for i in range(b)
+    ]))
+
+
+def main():
+    n, d, k = 1003520, 768, 10
+    corpus = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.bfloat16)
+    bias = jnp.zeros(n, jnp.float32)
+    rng = np.random.default_rng(0)
+
+    batches = [int(x) for x in sys.argv[1:]] or [128, 256]
+    for b in batches:
+        # many query draws for a tighter recall estimate on the chosen cfg
+        q = jnp.asarray(rng.standard_normal((b, d)), np.float32)
+        es, ei = flat_topk_xla(q, corpus, bias, 1.0, k)
+        print(f"B={b} exact done", flush=True)
+        for kc, rt in ((10, 0.999), (32, 0.99), (64, 0.99), (128, 0.99)):
+            fn = functools.partial(mono_over, k=k, kc=kc, rt=rt)
+            ms = bench(fn, q, corpus, bias)
+            _, xi = fn(q, corpus, bias)
+            r = recall_vs_exact(ei, xi, b, k)
+            print(f"B={b:3d} mono kc={kc:3d} rt={rt}: {ms:6.2f} ms "
+                  f"({b/ms*1e3:6.0f} QPS)  recall@10={r:.5f}", flush=True)
+        for kc, rt in ((10, 0.999), (32, 0.99), (32, 0.999), (64, 0.99)):
+            fn = functools.partial(chunk_over, k=k, kc=kc, rt=rt)
+            ms = bench(fn, q, corpus, bias)
+            _, xi = fn(q, corpus, bias)
+            r = recall_vs_exact(ei, xi, b, k)
+            print(f"B={b:3d} chnk kc={kc:3d} rt={rt}: {ms:6.2f} ms "
+                  f"({b/ms*1e3:6.0f} QPS)  recall@10={r:.5f}", flush=True)
+        print(flush=True)
+
+    # tight recall estimate on the leading configs: 4096 queries in 16
+    # batches of 256 (40960 top-10 hits => resolves miss ~1e-4)
+    b = 256
+    cands = [("mono", mono_over, 10, 0.99), ("mono", mono_over, 32, 0.99),
+             ("chnk", chunk_over, 10, 0.99), ("chnk", chunk_over, 32, 0.99),
+             ("chnk", chunk_over, 32, 0.999)]
+    tot = {i: [0, 0] for i in range(len(cands))}
+    for rep in range(16):
+        q = jnp.asarray(rng.standard_normal((b, d)), np.float32)
+        _, ei = flat_topk_xla(q, corpus, bias, 1.0, k)
+        eset = [set(np.asarray(ei[i]).tolist()) for i in range(b)]
+        for ci, (nm, f, kc, rt) in enumerate(cands):
+            _, xi = functools.partial(f, k=k, kc=kc, rt=rt)(q, corpus, bias)
+            xin = np.asarray(xi)
+            for i in range(b):
+                tot[ci][0] += len(eset[i] & set(xin[i].tolist()))
+                tot[ci][1] += k
+        print(f"rep {rep+1}/16 done", flush=True)
+    for ci, (nm, f, kc, rt) in enumerate(cands):
+        hit, n_ = tot[ci]
+        print(f"RECALL {nm} kc={kc} rt={rt}: {hit}/{n_} = {hit/n_:.6f} "
+              f"(miss {1-hit/n_:.2e})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

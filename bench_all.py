@@ -97,6 +97,20 @@ def config2_flat_1m():
             out[f"{metric}_b{b}_qps"] = round(b / per, 1)
             out[f"{metric}_b{b}_ms"] = round(per * 1e3, 3)
             out[f"{metric}_b{b}_scan_gbps"] = round((n * d * 2 / per) / 1e9, 1)
+    # mode="fast": hardware-binned PartialReduce scan (opt-in; measured
+    # top-10 miss ~1.4e-3 at default knobs — ops/topk.py ceiling analysis)
+    for b in (128, 256):
+        q = jax.random.normal(jax.random.PRNGKey(b), (b, d), jnp.float32)
+        ff = jax.jit(lambda q, c, bb: topk.flat_search(q, c, bb, k=k, mode="fast"))
+        per = timeit(ff, q, corpus, jnp.zeros(n, jnp.float32))
+        out[f"fast_b{b}_qps"] = round(b / per, 1)
+        out[f"fast_b{b}_ms"] = round(per * 1e3, 3)
+        _, fi = ff(q, corpus, jnp.zeros(n, jnp.float32))
+        _, ei = topk.flat_topk_xla(q, corpus, jnp.zeros(n, jnp.float32), 1.0, k)
+        fi, ei = np.asarray(fi), np.asarray(ei)
+        out[f"fast_b{b}_recall_at_10"] = round(float(np.mean([
+            len(set(fi[i]) & set(ei[i])) / k for i in range(b)
+        ])), 5)
     return out
 
 

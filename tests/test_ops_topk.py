@@ -314,3 +314,80 @@ class TestGroupEmit:
             for bi in range(33)
         ])
         assert rec >= 0.9
+
+
+class TestHwprPath:
+    """mode="fast" hardware-binned scan (flat_topk_hwpr). On the CPU test
+    backend jax.lax.approx_max_k falls back to exact top-k, so these are
+    exact-equality oracles for the chunking/merge/offset plumbing; the
+    binned miss probability is measured on real TPU and recorded in the
+    ceiling analysis (ops/topk.py)."""
+
+    def test_matches_oracle_chunked_remainder(self, rng):
+        import tostore_tpu.ops.topk as tm
+
+        n, d, b, k = 33017, 64, 6, 10  # odd n: chunked + padded remainder
+        corpus = make_corpus(rng, n, d)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        invalid = [0, 5, 33011]
+        valid = np.ones(n, bool)
+        valid[invalid] = False
+        bias = distance.make_bias("dot", None, jnp.asarray(valid))
+        s, i = tm.flat_topk_hwpr(
+            jnp.asarray(q), jnp.asarray(corpus), bias, k=k, ch=8192
+        )
+        ref_s, ref_i = np_topk_dot(q, corpus, k, invalid=invalid)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+        np.testing.assert_allclose(np.asarray(s), ref_s, rtol=1e-5, atol=1e-5)
+
+    def test_int8_row_scale_alpha(self, rng):
+        import tostore_tpu.ops.topk as tm
+
+        n, d, b, k = 8192, 128, 4, 5
+        c8 = rng.integers(-127, 127, (n, d)).astype(np.int8)
+        scale = rng.uniform(0.5, 2.0, n).astype(np.float32)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        s, i = tm.flat_topk_hwpr(
+            jnp.asarray(q), jnp.asarray(c8), jnp.zeros(n), k=k, alpha=0.7,
+            ch=2048, row_scale=jnp.asarray(scale),
+        )
+        es, ei = tm.flat_topk_xla(
+            jnp.asarray(q), jnp.asarray(c8), jnp.zeros(n), 0.7, k,
+            row_scale=jnp.asarray(scale),
+        )
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ei))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(es), rtol=1e-5)
+
+    def test_flat_search_mode_fast_dispatch(self, rng, monkeypatch):
+        import tostore_tpu.ops.topk as tm
+
+        n, d, b, k = tm.MIN_FUSED_N, 128, 4, 3
+        corpus = make_corpus(rng, n, d)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        called = []
+        real = tm.flat_topk_hwpr
+        monkeypatch.setattr(
+            tm, "flat_topk_hwpr",
+            lambda *a, **kw: called.append(1) or real(*a, **kw),
+        )
+        s, i = tm.flat_search(jnp.asarray(q), jnp.asarray(corpus),
+                              jnp.zeros(n), k=k, mode="fast")
+        assert called, "mode='fast' must dispatch flat_topk_hwpr at n >= MIN_FUSED_N"
+        ref_s, ref_i = np_topk_dot(q, corpus, k)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+        # tiny corpus: fast falls back to the exact path (no hwpr call)
+        called.clear()
+        tm.flat_search(jnp.asarray(q), jnp.asarray(corpus[:4096]),
+                       jnp.zeros(4096), k=k, mode="fast")
+        assert not called
+
+    def test_hwpr_chunk_for_bounds(self):
+        import tostore_tpu.ops.topk as tm
+
+        # monolithic when the [B, N] f32 tile fits the budget
+        assert tm._hwpr_chunk_for(8, 1_000_000) == 1_000_000
+        # bounded tile + 128-aligned chunks otherwise
+        ch = tm._hwpr_chunk_for(256, 1_003_520)
+        assert ch % 128 == 0
+        assert 4 * 256 * ch <= tm._HWPR_TILE_BYTES + 4 * 256 * 128
+        assert 1_003_520 % ch == 0  # even split preferred when available

@@ -338,7 +338,8 @@ class VectorQueryBuilder(_ConditionMixin):
         return self
 
     def mode(self, m: str):
-        """'auto' | 'exact' (overrides VectorIndexConfig.search_mode)."""
+        """'auto' | 'exact' | 'fast' (overrides
+        VectorIndexConfig.search_mode; see schema.py for the contracts)."""
         self._mode = m
         return self
 

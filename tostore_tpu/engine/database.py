@@ -2222,7 +2222,10 @@ class Database:
         mode: None (index default from VectorIndexConfig.search_mode) |
         'auto' (flat scans may use per-lane candidate selection, miss
         ~1e-5..1e-8/query) | 'exact' (zero-miss full scan; on IVF this
-        bypasses the probe — reference exact semantics)."""
+        bypasses the probe — reference exact semantics) | 'fast' (flat
+        scans through the TPU's hardware-binned top-k: highest
+        throughput, real ~1e-3 miss — ops/topk.py flat_topk_hwpr; on IVF
+        the probe stays and only flat fallbacks go hardware-binned)."""
         self._bump("vector_searches")
         with self._timed("vector_search"):
             # CAPTURE under the engine lock (flush pending writes, resolve

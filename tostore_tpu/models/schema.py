@@ -133,16 +133,19 @@ class VectorIndexConfig:
     # selection (miss ~1e-5..1e-8, ops/topk.py:26-35); 'exact' forces the
     # exact scan everywhere — on ivf indexes it bypasses the probe and
     # scans the whole corpus (reference exact semantics,
-    # vector_index_manager.dart:475)
+    # vector_index_manager.dart:475); 'fast' routes flat scans through the
+    # TPU's hardware-binned top-k (approx_max_k/PartialReduce,
+    # ops/topk.py flat_topk_hwpr) — highest throughput, real ~1e-3 miss
     search_mode: str = "auto"
 
     def __post_init__(self):
         # accept plain strings for ergonomic construction
         object.__setattr__(self, "index_type", VectorIndexType(self.index_type))
         object.__setattr__(self, "metric", VectorDistanceMetric(self.metric))
-        if self.search_mode not in ("auto", "exact"):
+        if self.search_mode not in ("auto", "exact", "fast"):
             raise ValueError(
-                f"search_mode must be 'auto' or 'exact', got {self.search_mode!r}"
+                "search_mode must be 'auto', 'exact' or 'fast', "
+                f"got {self.search_mode!r}"
             )
 
     def to_json(self):

@@ -15,7 +15,10 @@ from .distance import (
     scores_to_distances,
     distances_to_scores,
 )
-from .topk import flat_topk_xla, flat_topk_lane, fused_flat_topk, flat_search
+from .topk import (
+    flat_topk_xla, flat_topk_lane, flat_topk_hwpr, fused_flat_topk,
+    flat_search,
+)
 
 __all__ = [
     "round_up",
@@ -28,6 +31,7 @@ __all__ = [
     "distances_to_scores",
     "flat_topk_xla",
     "flat_topk_lane",
+    "flat_topk_hwpr",
     "fused_flat_topk",
     "flat_search",
 ]

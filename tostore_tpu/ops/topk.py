@@ -9,7 +9,7 @@ keep each chunk's per-lane top-2 (score, index) candidates via cheap
 sublane reductions (cross-lane max-extraction is slow on the VPU), and
 merge candidates with XLA's native TopK.
 
-Three implementations, dispatched by `flat_search(mode=...)`:
+Four implementations, dispatched by `flat_search(mode=...)`:
   - `fused_flat_topk` (Pallas): 2048-row blocks, per-lane top-2 either
     accumulated in a VMEM running top-T (B<=32; no candidate HBM traffic)
     or emitted per block. Lowest single-query latency (2.66 ms @1M x 768
@@ -19,6 +19,11 @@ Three implementations, dispatched by `flat_search(mode=...)`:
     Pallas kernel's ~580 GB/s ceiling, making it fastest for B>32
     (B=256: ~5.6 ms = 46k QPS vs 7.7 ms Pallas).
   - `flat_topk_xla` (exact): chunked matmul + lax.top_k, always exact.
+  - `flat_topk_hwpr` (mode="fast", opt-in): chunk scores feed the TPU's
+    hardware-binned PartialReduce (jax.lax.approx_max_k) whose bin-max
+    reduction fuses into the matmul epilogue — runs at the DMA floor
+    (B=256 @1M x 768 bf16: 2.9-3.1 ms = 83-89k QPS on v5e) but with a
+    REAL ~1e-3 top-10 miss probability; never dispatched from "auto".
 
 Exactness contract of the approximate paths: the true global top-k is
 recovered exactly unless >2 of the true top-k rows collide in one
@@ -94,9 +99,24 @@ from .runtime import LANE, NEG_INF, interpret_mode, round_up
 # the residual 1.9x is VPU selection COMPUTE, not score-tile bytes, and
 # the bf16 variant is rejected. Dispatch keeps the XLA lane scan for
 # B>32; closing the last ~2x needs a selection primitive that is
-# cheaper per element than max/argmax/one_hot x2 (see approx_max_k
-# note below if present) or a Mosaic schedule overlapping VPU with MXU
-# across grid steps.
+# cheaper per element than max/argmax/one_hot x2 or a Mosaic schedule
+# overlapping VPU with MXU across grid steps.
+#
+# mode="fast" (round 4, measured): the TPU HAS that cheaper selection
+# primitive — the PartialReduce top-k unit behind jax.lax.approx_max_k
+# (the TPU-KNN recipe, Chern et al. 2022), whose per-bin max reduction
+# fuses into the matmul epilogue. flat_topk_hwpr (same shape, default
+# kc=32 candidates/chunk, rt=0.95): B=256 2.82 ms = 90.8k QPS, B=128
+# 2.57 ms = 49.8k QPS — AT the DMA floor (546 GB/s; it even beats the
+# 2.98 ms matmul-only einsum, which pays an HBM round trip for the f32
+# score tile that the fused reduction never materializes). The catch is
+# a REAL miss probability — PartialReduce keeps only each bin's max, so
+# two true top-k rows in one bin lose one; measured over 4096 queries:
+# kc=32 miss 1.42e-3, kc=64 miss 8.1e-4 (2.98 ms, 85.9k QPS), kc=128
+# ~<4e-4 (3.56 ms, 71.9k QPS). Binning cannot reach the lane scan's
+# 1e-5..1e-8 class at any useful speed (top-1-of-bin collisions scale
+# as (j-1)/bins, so 1e-5 needs ~4.5M bins > N), which is why "fast" is
+# opt-in and "auto" keeps the lane scan.
 DEFAULT_BLK_N = 2048
 MAX_BLK_B = 256
 # Candidates harvested per (lane, block) (top-2 -> exact unless 3+ of the
@@ -744,6 +764,133 @@ def flat_topk_lane(q, corpus, bias, *, k: int, alpha: float = 1.0,
     return top_s, top_i
 
 
+# `mode="fast"` chunking: one big score tile per scan step, bounded so the
+# [B, CH] f32 tile stays ~<=256 MB of HBM scratch (the PartialReduce unit
+# gets faster with fewer, larger chunks — selection cost is per-chunk).
+_HWPR_TILE_BYTES = 256 << 20
+
+
+def _hwpr_chunk_for(b: int, n: int) -> int:
+    target = max(LANE, (_HWPR_TILE_BYTES // (4 * max(b, 1)) // LANE) * LANE)
+    if target >= n:
+        return n  # monolithic: single fused dot -> approx_max_k
+    # prefer an even 128-aligned split (free reshape in the scan)
+    nch = -(-n // target)
+    ch = (-(-n // nch) // LANE) * LANE
+    while ch <= target:
+        if n % ch == 0:
+            return ch
+        ch += LANE
+    return target
+
+
+@functools.partial(jax.jit, static_argnames=("k", "alpha", "kc", "rt", "ch"))
+def flat_topk_hwpr(q, corpus, bias, *, k: int, alpha: float = 1.0,
+                   kc: int | None = None, rt: float = 0.95,
+                   ch: int | None = None, row_scale=None):
+    """Hardware-binned flat scan (`mode="fast"`): chunk scores feed
+    `jax.lax.approx_max_k` — the TPU's PartialReduce top-k unit (the
+    TPU-KNN recipe, Chern et al. 2022) — and the per-chunk candidates
+    merge through one exact TopK. XLA fuses the bin-max reduction into the
+    matmul's epilogue, so selection is ~free: measured on v5e at
+    1M x 768 bf16, B=256 this runs 2.82 ms = 90.8k QPS at the DMA floor
+    (546 GB/s) vs the lane scan's 5.1 ms — see the mode="fast" section
+    of the B>=128 ceiling analysis above.
+
+    The speed is bought with a REAL miss probability (binning keeps only
+    each bin's max, so two true top-k rows in one bin lose one) —
+    measured 1.4e-3 of the top-10 per query at default knobs, NOT the
+    lane scan's ~1e-5..1e-8. That is why this path is opt-in via
+    mode/schema `search_mode="fast"` and never dispatched from
+    mode="auto". `kc` (candidates kept per chunk, default max(k, 32) —
+    oversampling buys recall nearly free since bin count scales with kc:
+    kc=64 miss 8.1e-4 at 85.9k QPS, kc=128 ~<4e-4 at 71.9k) and `rt`
+    (approx_max_k's recall_target) trade speed vs recall."""
+    b, d = q.shape
+    n = corpus.shape[0]
+    if kc is None:
+        kc = max(k, 32)
+    if ch is None:
+        ch = _hwpr_chunk_for(b, n)
+    kc = min(kc, ch)
+    qc = q.astype(jnp.bfloat16 if corpus.dtype == jnp.int8 else corpus.dtype)
+    prec = _dot_precision(corpus.dtype)
+
+    def chunk_cands(cblk, bblk, sblk, off, kcap=kc):
+        cb = cblk
+        if cb.dtype == jnp.int8:
+            cb = cb.astype(jnp.bfloat16)
+        s = jnp.dot(qc, cb.T, preferred_element_type=jnp.float32, precision=prec)
+        if row_scale is not None:
+            s = s * sblk[None, :]
+        s = alpha * s + bblk[None, :]
+        vs, vi = jax.lax.approx_max_k(s, kcap, recall_target=rt)
+        return vs, vi.astype(jnp.int32) + off
+
+    nch = n // ch
+    rem = n - nch * ch
+    parts_s, parts_i = [], []
+    if nch == 1 and rem == 0:
+        rs, ri = chunk_cands(corpus, bias, row_scale, jnp.int32(0))
+        parts_s.append(rs)
+        parts_i.append(ri)
+    elif nch:
+        offs = jnp.arange(nch, dtype=jnp.int32) * ch
+        if rem == 0:
+            cr = corpus.reshape(nch, ch, d)
+            br = bias.reshape(nch, ch)
+            sr = (
+                row_scale.reshape(nch, ch)
+                if row_scale is not None
+                else jnp.zeros((nch, 1), jnp.float32)
+            )
+
+            def body(carry, inp):
+                cblk, bblk, sblk, off = inp
+                return carry, chunk_cands(cblk, bblk, sblk, off)
+
+            _, (ss, ii) = jax.lax.scan(body, 0, (cr, br, sr, offs))
+        else:
+            def body(carry, off):
+                cblk = jax.lax.dynamic_slice(corpus, (off, 0), (ch, d))
+                bblk = jax.lax.dynamic_slice(bias, (off,), (ch,))
+                sblk = (
+                    jax.lax.dynamic_slice(row_scale, (off,), (ch,))
+                    if row_scale is not None else None
+                )
+                return carry, chunk_cands(cblk, bblk, sblk, off)
+
+            _, (ss, ii) = jax.lax.scan(body, 0, offs)
+        parts_s.append(ss.transpose(1, 0, 2).reshape(b, -1))
+        parts_i.append(ii.transpose(1, 0, 2).reshape(b, -1))
+    if rem:
+        rpad = round_up(rem, LANE)
+        ctail = jax.lax.dynamic_slice(corpus, (nch * ch, 0), (rem, d))
+        btail = jax.lax.dynamic_slice(bias, (nch * ch,), (rem,))
+        stail = (
+            jax.lax.dynamic_slice(row_scale, (nch * ch,), (rem,))
+            if row_scale is not None else None
+        )
+        if rpad != rem:
+            ctail = jnp.pad(ctail, ((0, rpad - rem), (0, 0)))
+            btail = jnp.pad(btail, ((0, rpad - rem),), constant_values=NEG_INF)
+            if row_scale is not None:
+                stail = jnp.pad(stail, ((0, rpad - rem),))
+        rs, ri = chunk_cands(ctail, btail, stail, jnp.int32(nch * ch),
+                             kcap=min(kc, rpad))
+        parts_s.append(rs)
+        parts_i.append(ri)
+    flat_s = jnp.concatenate(parts_s, axis=1) if len(parts_s) > 1 else parts_s[0]
+    flat_i = jnp.concatenate(parts_i, axis=1) if len(parts_i) > 1 else parts_i[0]
+    kk = min(k, flat_s.shape[1])
+    top_s, pos = jax.lax.top_k(flat_s, kk)
+    top_i = jnp.take_along_axis(flat_i, pos, axis=1)
+    if kk < k:
+        top_s = jnp.pad(top_s, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+        top_i = jnp.pad(top_i, ((0, 0), (0, k - kk)))
+    return top_s, top_i
+
+
 def flat_search(q, corpus, bias, *, k: int, alpha: float = 1.0,
                 mode: str = "auto", row_scale=None):
     """Dispatch (measured @1M x 768 bf16 on v5e):
@@ -752,7 +899,9 @@ def flat_search(q, corpus, bias, *, k: int, alpha: float = 1.0,
              B > 32   -> lane-candidate XLA scan (B=256: 5.6 ms = 46k QPS
                          vs the Pallas emit path's 7.7 ms);
              small N or huge k -> exact chunked path.
-      'fused' forces Pallas; 'exact' forces the chunked exact scan."""
+      'fused' forces Pallas; 'exact' forces the chunked exact scan;
+      'fast' forces the hardware-binned approx_max_k scan (opt-in: real
+      ~1e-3 miss, DMA-floor throughput — flat_topk_hwpr docstring)."""
     n, d = corpus.shape
     # approximate paths only for aligned corpora (the engine block-pads;
     # unaligned external callers keep the previous exact guarantee)
@@ -760,6 +909,8 @@ def flat_search(q, corpus, bias, *, k: int, alpha: float = 1.0,
     approx_ok = aligned and k <= CANDS_PER_LANE * LANE
     if mode == "fused":
         return fused_flat_topk(q, corpus, bias, k=k, alpha=alpha, row_scale=row_scale)
+    if mode == "fast" and n >= MIN_FUSED_N:
+        return flat_topk_hwpr(q, corpus, bias, k=k, alpha=alpha, row_scale=row_scale)
     if mode == "exact" or not approx_ok or n < MIN_FUSED_N:
         return flat_topk_xla(q, corpus, bias, alpha, k, row_scale=row_scale)
     if round_up(q.shape[0], 8) <= ACC_MAX_BLK_B:

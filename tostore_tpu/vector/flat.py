@@ -38,7 +38,9 @@ class FlatVectorIndex:
 
     mode='auto' (default) may use the per-lane candidate selection (miss
     probability ~1e-5..1e-8 per query, ops/topk.py:26-35); mode='exact'
-    forces the exact chunked scan (reference exact semantics)."""
+    forces the exact chunked scan (reference exact semantics);
+    mode='fast' uses the TPU's hardware-binned top-k (highest throughput,
+    real ~1e-3 miss — ops/topk.py flat_topk_hwpr)."""
 
     index_type = "flat"
     search_mode = "auto"  # schema VectorIndexConfig.search_mode overrides

@@ -1327,7 +1327,7 @@ class IVFVectorIndex:
             tmp.corpus = c
             return tmp.search_arrays(
                 q, k, slot_mask=slot_mask,
-                mode="exact" if mode == "exact" else "auto",
+                mode=mode if mode in ("exact", "fast") else "auto",
             )
 
         qx = np.asarray(q, np.float32)
