@@ -332,3 +332,66 @@ class TestFastMode:
                 assert m in ("fast", "auto")
         finally:
             db.close()
+
+
+class TestLifecycleSurface:
+    """close(keep_active_space=), instance_path, config, get_table_info
+    (reference tostore.dart:1015-1046,986)."""
+
+    def _rel_schema(self):
+        return TableSchema(
+            name="users",
+            fields=(FieldSchema("n", DataType.integer),),
+        )
+
+    def test_close_keep_active_space_default(self, tmp_path):
+        p = str(tmp_path / "db")
+        db = ToStoreTPU.open(p, schemas=[self._rel_schema()])
+        db.switch_space("tenant_a")
+        db.insert("users", {"id": 1, "n": 1})
+        db.close()  # default keeps the space
+        db2 = ToStoreTPU.open(p, schemas=[self._rel_schema()])
+        try:
+            assert db2.current_space == "tenant_a"
+        finally:
+            db2.close()
+
+    def test_close_reset_active_space(self, tmp_path):
+        p = str(tmp_path / "db")
+        db = ToStoreTPU.open(p, schemas=[self._rel_schema()])
+        db.switch_space("tenant_a")
+        db.insert("users", {"id": 1, "n": 1})
+        db.close(keep_active_space=False)  # the logout idiom
+        db2 = ToStoreTPU.open(p, schemas=[self._rel_schema()])
+        try:
+            assert db2.current_space == "default"
+            # tenant data survives, just not active
+            db2.switch_space("tenant_a")
+            assert db2.count("users") == 1
+        finally:
+            db2.close()
+
+    def test_instance_path_and_config(self, tmp_path):
+        p = str(tmp_path / "db")
+        db = ToStoreTPU.open(p, db_name="mydb", schemas=[self._rel_schema()])
+        try:
+            assert db.instance_path is not None
+            assert db.instance_path.startswith(p)
+            assert db.config.db_name == "mydb"
+        finally:
+            db.close()
+        mem = ToStoreTPU.memory(schemas=[self._rel_schema()])
+        try:
+            assert mem.instance_path is None
+            assert mem.config.memory_mode
+        finally:
+            mem.close()
+
+    def test_get_table_info(self):
+        db = ToStoreTPU.memory(schemas=[self._rel_schema()])
+        try:
+            db.batch_insert("users", [{"id": i, "n": i} for i in range(7)])
+            info = db.get_table_info("users")
+            assert info["record_count"] == 7
+        finally:
+            db.close()

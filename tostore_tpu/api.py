@@ -108,8 +108,11 @@ class ToStoreTPU:
 
     # --- lifecycle ------------------------------------------------------------
 
-    def close(self):
-        self._db.close()
+    def close(self, keep_active_space: bool = True):
+        """`keep_active_space=False` resets the persisted active space to
+        'default' (reference close(keepActiveSpace:), tostore.dart:1046 —
+        the logout idiom)."""
+        self._db.close(keep_active_space=keep_active_space)
 
     def __enter__(self):
         return self
@@ -120,6 +123,32 @@ class ToStoreTPU:
     @property
     def engine(self) -> Database:
         return self._db
+
+    @property
+    def instance_path(self) -> str | None:
+        """Physical storage directory (reference instancePath,
+        tostore.dart:1015); None for memory mode."""
+        return self._db.db_dir
+
+    @property
+    def config(self) -> DataStoreConfig:
+        """Final effective config snapshot (reference `db.config`,
+        README.md "Instance Discovery")."""
+        return self._db.config
+
+    def get_table_info(self, table: str) -> dict:
+        """Runtime table info — record count, index count, data size,
+        flags (reference getTableInfo, tostore.dart:986 /
+        model/table_info.dart TableInfo)."""
+        info = self.status.table(table)
+        t = self._db._table(table)
+        info["record_count"] = info["records"]
+        info["index_count"] = (
+            len(info["indexes"]) + len(info["vector_indexes"])
+        )
+        info["is_global"] = bool(getattr(t.schema, "is_global", False))
+        info["data_size_bytes"] = t.store.nbytes()
+        return info
 
     # --- schema ------------------------------------------------------------------
 

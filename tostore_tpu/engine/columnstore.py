@@ -377,6 +377,42 @@ class ColumnStore:
     def valid_view(self) -> np.ndarray:
         return self.valid[: self.high]
 
+    def nbytes(self) -> int:
+        """Estimated live data size in bytes (reference TableInfo.fileSize,
+        model/table_info.dart). Typed columns count exactly; object columns
+        are sampled (≤256 live cells, extrapolated) so the estimate stays
+        O(columns), not O(cells), on multi-million-row tables."""
+        import sys
+
+        n_live = len(self._pk_row)
+        if n_live == 0:
+            return 0
+        total = 0
+        live_rows = None
+        for col in [*self.columns.values(), self.pk_col]:
+            n = min(self.high, len(col.data))
+            if col.np_type is not None:
+                total += int(col.data[:n].nbytes)
+                continue
+            if live_rows is None:
+                live_rows = np.flatnonzero(self.valid_view())
+            sample = live_rows[:: max(1, len(live_rows) // 256)][:256]
+            if len(sample) == 0:
+                continue
+            per = 0
+            for r in sample:
+                v = col.data[r] if r < len(col.data) else None
+                if v is None:
+                    per += 8
+                elif isinstance(v, np.ndarray):
+                    per += v.nbytes
+                elif isinstance(v, (str, bytes)):
+                    per += len(v) + 16
+                else:
+                    per += sys.getsizeof(v)
+            total += per * len(live_rows) // len(sample)
+        return total
+
     def rows_for_mask(self, mask: np.ndarray) -> np.ndarray:
         return np.flatnonzero(mask & self.valid_view())
 

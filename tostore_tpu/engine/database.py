@@ -701,10 +701,16 @@ class Database:
         self._crontab = CrontabManager(self)
         self._crontab.start()
 
-    def close(self):
+    def close(self, keep_active_space: bool = True):
+        """`keep_active_space=False` resets the persisted active-space
+        pointer to 'default' before closing, so the next open lands in
+        the default space (reference close(keepActiveSpace:),
+        data_store_impl.dart:1086-1170 — the logout idiom)."""
         with self._lock:
             if self._closed:
                 return
+            if not keep_active_space:
+                self.global_config.active_space = "default"
             if self._crontab:
                 self._crontab.stop()
             if not self.config.memory_mode:
