@@ -395,3 +395,39 @@ class TestLifecycleSurface:
             assert info["record_count"] == 7
         finally:
             db.close()
+
+    def test_delete_database_by_path_name(self, tmp_path):
+        """delete_database(db_path=, db_name=) removes the TARGET db and
+        keeps this handle open (reference tostore.dart:1069)."""
+        import os
+        base = str(tmp_path)
+        other = ToStoreTPU.open(base, db_name="other",
+                                schemas=[self._rel_schema()])
+        other.insert("users", {"id": 1, "n": 1})
+        other.close()
+        assert os.path.isdir(os.path.join(base, "other"))
+        db = ToStoreTPU.open(base, db_name="mine",
+                             schemas=[self._rel_schema()])
+        try:
+            db.insert("users", {"id": 2, "n": 2})
+            db.delete_database(db_name="other")  # path defaults to own
+            assert not os.path.exists(os.path.join(base, "other"))
+            # this handle survives deleting another database
+            assert db.count("users") == 1
+        finally:
+            db.close()
+        # self-deletion still closes + removes own files
+        db2 = ToStoreTPU.open(base, db_name="mine")
+        db2.delete_database()
+        assert not os.path.exists(os.path.join(base, "mine"))
+
+    def test_flush_and_space_info_parity_kwargs(self, tmp_path):
+        db = ToStoreTPU.open(str(tmp_path / "db"),
+                             schemas=[self._rel_schema()])
+        try:
+            db.insert("users", {"id": 1, "n": 1})
+            db.flush(flush_storage=False)  # accepted; always durable here
+            info = db.get_space_info(use_cache=False)
+            assert info["record_count"] >= 1
+        finally:
+            db.close()

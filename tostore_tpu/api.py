@@ -287,7 +287,14 @@ class ToStoreTPU:
 
     # --- durability / backup ----------------------------------------------------------------
 
-    def flush(self):
+    def flush(self, flush_storage: bool = True):
+        """Checkpoint dirty tables + rotate the WAL (reference flush,
+        tostore.dart:1035). `flush_storage` exists for signature parity:
+        the reference skips its storage.flushAll() fsync when False
+        (data_store_impl.dart:1071), but our checkpoint protocol closes
+        and fsyncs each WAL segment as part of rotation, so a flush here
+        is ALWAYS storage-durable — the parameter is accepted and has no
+        weaker mode to select."""
         self._db.flush()
 
     def backup(self, dest_path: str, scope: str = "database") -> str:
@@ -349,19 +356,39 @@ class ToStoreTPU:
         """Reference setVersion (tostore.dart:1025)."""
         self.kv_global.set(self._USER_VERSION_KEY, int(version))
 
-    def delete_database(self) -> None:
-        """Close and remove the database files (reference deleteDatabase,
-        tostore.dart:1069). Memory databases just close."""
-        path = None if self._db.config.memory_mode else self._db.db_dir
+    def delete_database(
+        self, db_path: str | None = None, db_name: str | None = None
+    ) -> None:
+        """Close and remove database files (reference deleteDatabase,
+        tostore.dart:1069). With `db_path`/`db_name` the TARGET database's
+        directory is resolved the way `open()` would (defaults fall back to
+        this instance's own path/name, data_store_impl.dart:5967-5975); when
+        the target is another database, this handle stays open — the
+        reference closes it only because its instance pool ties one handle
+        per path. Memory databases just close."""
+        import os
+
+        cfg = self._db.config
+        own = None if cfg.memory_mode else self._db.db_dir
+        if db_path is None and db_name is None:
+            target = own
+        else:
+            base = db_path if db_path is not None else cfg.db_path
+            if base is None:
+                raise ValueError(
+                    "db_path required: memory databases have no directory"
+                )
+            target = os.path.join(base, db_name if db_name is not None else cfg.db_name)
         storage = self._db._storage
-        self._db.close()
-        if path is not None:
-            for rel in storage.walk(path):
-                storage.delete(f"{path}/{rel}")
+        if target is None or target == own:
+            self._db.close()
+        if target is not None:
+            for rel in storage.walk(target):
+                storage.delete(f"{target}/{rel}")
             # FileStorage leaves empty dirs behind; sweep them if real
             import shutil
 
-            shutil.rmtree(path, ignore_errors=True)
+            shutil.rmtree(target, ignore_errors=True)
 
     def clear_query_cache(self) -> int:
         """Drop every cached query result (reference clearQueryCache,
@@ -371,9 +398,12 @@ class ToStoreTPU:
             self._db.executor._cache.clear()
         return n
 
-    def get_space_info(self) -> dict:
+    def get_space_info(self, use_cache: bool = True) -> dict:
         """Current space's tables + record counts (reference getSpaceInfo,
-        tostore.dart:1134 / space_info.dart)."""
+        tostore.dart:1134 / space_info.dart). `use_cache` is accepted for
+        signature parity; the report is recomputed from live table state
+        every call (O(tables), no cache to bypass — strictly fresher than
+        the reference's cached SpaceInfo)."""
         return self.status.space()
 
     def watch_value(self, key: str, callback=None, is_global: bool = False):
