@@ -152,6 +152,63 @@ class TestEncryptedDurability:
         with pytest.raises(Exception):
             ToStoreTPU(self.cfg(str(tmp_path)))
 
+    def test_device_binding(self, tmp_path):
+        """Reference data_store_config.dart:945-961: a device-bound database
+        opens at its own path but a byte-identical copy refuses to open
+        elsewhere with a clean error (not an AEAD tag failure)."""
+        import shutil
+
+        def bcfg(path):
+            return DataStoreConfig(
+                db_path=path,
+                encryption=EncryptionConfig(
+                    enable_encoding=True, encryption_key="s3cret",
+                    device_binding=True,
+                ),
+            )
+
+        src = str(tmp_path / "orig")
+        db = ToStoreTPU(bcfg(src))
+        from tests.test_engine import users_schema
+
+        db.create_table(users_schema())
+        db.insert("users", {"username": "alice"})
+        db.flush()
+        db.close()
+        # same host, same path: opens fine
+        db2 = ToStoreTPU(bcfg(src))
+        assert db2.get_by_pk("users", 1)["username"] == "alice"
+        db2.close()
+        # copied to another path (a stand-in for a foreign device: the
+        # binding factor covers host identity AND absolute path)
+        dst = str(tmp_path / "copy")
+        shutil.copytree(src, dst)
+        with pytest.raises(ValueError, match="device-bound"):
+            ToStoreTPU(bcfg(dst))
+        # enabling binding on an existing unbound database fails loudly
+        unbound = str(tmp_path / "plain")
+        db3 = ToStoreTPU(self.cfg(unbound))
+        db3.flush()
+        db3.close()
+        cfg = DataStoreConfig(
+            db_path=unbound,
+            encryption=EncryptionConfig(
+                enable_encoding=True, encryption_key="s3cret",
+                device_binding=True,
+            ),
+        )
+        with pytest.raises(ValueError, match="without device binding"):
+            ToStoreTPU(cfg)
+        # memory mode has nothing to bind
+        mem = DataStoreConfig(
+            encryption=EncryptionConfig(
+                enable_encoding=True, encryption_key="k",
+                device_binding=True,
+            ),
+        )
+        with pytest.raises(ValueError, match="file-backed"):
+            ToStoreTPU(mem)
+
     def test_wrong_key_fails_closed(self, tmp_path):
         db = ToStoreTPU(self.cfg(str(tmp_path)))
         from tests.test_engine import users_schema

@@ -488,25 +488,63 @@ class Database:
         """Per-database KDF salt + iteration count. New databases get a
         random salt (persisted in the manifest) and 600k iterations;
         databases whose manifest predates kdf_salt keep the legacy fixed
-        salt so their artifacts stay decryptable."""
+        salt so their artifacts stay decryptable.
+
+        Device binding (reference data_store_config.dart:945-961): when the
+        database is device-bound, the salt is mixed with a host/path factor
+        before key derivation, and the manifest carries a binding
+        fingerprint so a copied database fails with a clean error on a
+        foreign host/path instead of an AEAD tag failure."""
+        import hashlib
         import secrets
 
-        from ..utils.crypto import DEFAULT_KDF_ITERS, LEGACY_KDF_ITERS, LEGACY_KDF_SALT
+        from ..utils.crypto import (
+            DEFAULT_KDF_ITERS, LEGACY_KDF_ITERS, LEGACY_KDF_SALT,
+            device_binding_factor,
+        )
 
+        enc = self.config.encryption
         if not self.config.memory_mode:
             manifest_path = os.path.join(self.db_dir, "manifest.json")
             if self._storage.exists(manifest_path):
                 extras = json.loads(self._storage.read(manifest_path)).get(
                     "extras", {}
                 )
-                if "kdf_salt" in extras:
-                    return bytes.fromhex(extras["kdf_salt"]), int(
-                        extras.get("kdf_iters", DEFAULT_KDF_ITERS)
+                bound = bool(extras.get("device_bound"))
+                if enc.device_binding and not bound:
+                    raise ValueError(
+                        "existing database was created without device "
+                        "binding; re-create or rotate keys to enable it"
                     )
-                return LEGACY_KDF_SALT, LEGACY_KDF_ITERS  # round-1 database
+                if "kdf_salt" in extras:
+                    salt = bytes.fromhex(extras["kdf_salt"])
+                    iters = int(extras.get("kdf_iters", DEFAULT_KDF_ITERS))
+                else:
+                    salt, iters = LEGACY_KDF_SALT, LEGACY_KDF_ITERS
+                if bound:
+                    factor = device_binding_factor(self.db_dir)
+                    fp = hashlib.sha256(factor).hexdigest()[:16]
+                    if extras.get("device_fingerprint", fp) != fp:
+                        raise ValueError(
+                            "database is device-bound to a different host "
+                            "or path and refuses to open here"
+                        )
+                    salt = hashlib.sha256(salt + factor).digest()
+                return salt, iters
         salt = secrets.token_bytes(16)
         self.global_config.extras["kdf_salt"] = salt.hex()
         self.global_config.extras["kdf_iters"] = DEFAULT_KDF_ITERS
+        if enc.device_binding:
+            if self.config.memory_mode:
+                raise ValueError(
+                    "device binding requires a file-backed database"
+                )
+            factor = device_binding_factor(self.db_dir)
+            self.global_config.extras["device_bound"] = True
+            self.global_config.extras["device_fingerprint"] = hashlib.sha256(
+                factor
+            ).hexdigest()[:16]
+            salt = hashlib.sha256(salt + factor).digest()
         return salt, DEFAULT_KDF_ITERS
 
     def _make_envelope(self):

@@ -41,6 +41,9 @@ class EncryptionConfig:
     key_id: int = 1
     encrypt_vector_index: bool = False
     algorithm: str = "chacha20-poly1305"
+    # reference data_store_config.dart:945-961: derive the key with a
+    # host/path-bound factor so a copied database refuses to open elsewhere
+    device_binding: bool = False
 
 
 @dataclass(frozen=True)

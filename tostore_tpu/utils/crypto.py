@@ -138,6 +138,25 @@ def derive_key(
     return hashlib.pbkdf2_hmac("sha256", passphrase.encode(), salt, iters, dklen=32)
 
 
+def device_binding_factor(db_dir: str) -> bytes:
+    """Host+path-bound key factor (reference data_store_config.dart:945-961
+    path-based device binding): a stable machine identity (/etc/machine-id,
+    hostname fallback) mixed with the database's absolute path. Mixing this
+    into the KDF salt makes a byte-identical copy of the database
+    undecryptable on another host or at another path."""
+    import socket
+
+    try:
+        with open("/etc/machine-id", "rb") as f:
+            mid = f.read().strip()
+        if not mid:
+            raise OSError
+    except OSError:
+        mid = socket.gethostname().encode()
+    path = os.path.realpath(db_dir).encode()
+    return hashlib.sha256(b"tostore_tpu.bind\x00" + mid + b"\x00" + path).digest()
+
+
 class KeyRing:
     """key_id -> 32-byte key; `current` encrypts, all ids decrypt
     (reference encoder.dart keyId fallbacks + key rotation)."""
