@@ -1172,3 +1172,100 @@ class TestJoinFastPath:
             assert res.records == slow.records
         finally:
             db.close()
+
+
+class TestKeysetCursor:
+    """Keyset cursor pages bisect the order-serving index (reference
+    index_manager.dart:3299) — verified byte-identical to the masked
+    (vectorized strictly-after) path on the same data."""
+
+    def _db(self):
+        import numpy as np
+
+        from tostore_tpu import (
+            DataType, FieldSchema, IndexSchema, TableSchema, ToStoreTPU,
+        )
+
+        s = TableSchema(
+            name="t",
+            fields=(FieldSchema("grp", DataType.integer),
+                    FieldSchema("ts", DataType.integer)),
+            indexes=(IndexSchema(fields=("ts",)),
+                     IndexSchema(fields=("grp", "ts"))),
+        )
+        db = ToStoreTPU.memory(schemas=[s])
+        rng = np.random.default_rng(7)
+        # small ts range forces heavy ties (the pk-ASC tie-break matters)
+        db.batch_insert("t", [
+            {"id": int(i), "grp": int(rng.integers(0, 5)),
+             "ts": int(rng.integers(0, 40))}
+            for i in range(2000)
+        ])
+        return db
+
+    def _walk(self, q, pages=6):
+        res = q.fetch()
+        out = [[r["id"] for r in res.records]]
+        while res.next_cursor and len(out) < pages:
+            res = res.next()
+            out.append([r["id"] for r in res.records])
+        return out, res
+
+    def test_keyset_matches_masked_path(self):
+        db = self._db()
+        try:
+            exe = db.engine.executor
+            for desc in (False, True):
+                def build():
+                    return (db.query("t").order_by("ts", desc=desc)
+                            .limit(37).no_cache())
+
+                fast, res = self._walk(build())
+                # disable the bisect: force the masked path
+                real = type(exe)._keyset_bisect
+                type(exe)._keyset_bisect = lambda self, *a, **kw: None
+                try:
+                    slow, _ = self._walk(build())
+                finally:
+                    type(exe)._keyset_bisect = real
+                assert fast == slow, desc
+                # prev() inverts next() on the keyset path
+                back = res.prev()
+                assert [r["id"] for r in back.records] == fast[-2]
+        finally:
+            db.close()
+
+    def test_keyset_on_eq_prefix_arm(self):
+        db = self._db()
+        try:
+            exe = db.engine.executor
+
+            def build():
+                return (db.query("t").where("grp", "=", 3)
+                        .order_by("ts").limit(19).no_cache())
+
+            fast, res = self._walk(build())
+            real = type(exe)._keyset_bisect
+            calls = []
+
+            def spy(self, *a, **kw):
+                out = real(self, *a, **kw)
+                calls.append(out)
+                return out
+
+            type(exe)._keyset_bisect = spy
+            try:
+                build().fetch()
+                r2 = build().fetch().next()
+            finally:
+                type(exe)._keyset_bisect = real
+            assert calls and all(c is not None for c in calls)
+            assert [r["id"] for r in r2.records] == fast[1]
+            type(exe)._keyset_bisect = lambda self, *a, **kw: None
+            try:
+                slow, _ = self._walk(build())
+            finally:
+                type(exe)._keyset_bisect = real
+            assert fast == slow
+        finally:
+            db.close()

@@ -730,44 +730,64 @@ class QueryExecutor:
             and (not spec.distinct or not spec.select)
         ):
             cmask = None
+            kpos = None
+            pre_sorted = (
+                plan.ordered
+                or plan.ordered_rev
+                or (
+                    plan.plan == "indexOrder"
+                    and (all_desc or all(not d for _, d in order))
+                )
+            )
             if spec.cursor is not None:
-                # cursor resume as a VECTORIZED filter over typed columns
-                # (strictly-after (order values, pk); strictly-before for
-                # backward prev() pages), then a limit-aware partial
-                # sort — a cursor walk over 1M rows must not materialize
-                # + python-sort every match per page. Object columns /
-                # odd cursor payloads fall back to the exact
-                # record-compare path below.
+                # cursor resume: when the plan already serves the order
+                # (pre_sorted), bisect the rowid array to the keyset
+                # boundary — O(log n) row probes instead of an O(n) mask
+                # (reference index_manager.dart:3299 keyset cursor scans).
+                # Otherwise a VECTORIZED strictly-after filter over typed
+                # columns (strictly-before for backward prev() pages),
+                # then a limit-aware partial sort — a cursor walk over 1M
+                # rows must not materialize + python-sort every match per
+                # page. Object columns / odd cursor payloads fall back to
+                # the exact record-compare path below.
                 try:
                     vals, last_pk = _decode_cursor(spec.cursor)
-                    masks = self._after_cursor_mask(
-                        store, rows, order, pk_name, vals, last_pk
-                    )
-                    if masks is not None:
-                        after, eq_row = masks
-                        cmask = (
-                            ~(after | eq_row)
-                            if spec.cursor_backward
-                            else after
+                    if pre_sorted:
+                        kpos = self._keyset_bisect(
+                            store, rows, order, pk_name, vals, last_pk,
+                            inclusive=spec.cursor_backward,
                         )
+                    if kpos is None:
+                        masks = self._after_cursor_mask(
+                            store, rows, order, pk_name, vals, last_pk
+                        )
+                        if masks is not None:
+                            after, eq_row = masks
+                            cmask = (
+                                ~(after | eq_row)
+                                if spec.cursor_backward
+                                else after
+                            )
                 except Exception:
                     cmask = None
-            if spec.cursor is None or cmask is not None:
+                    kpos = None
+            if spec.cursor is None or cmask is not None or kpos is not None:
                 total = int(len(rows))
                 limit = (
                     spec.limit
                     if spec.limit is not None
                     else self.db.config.default_query_limit
                 )
-                pre_sorted = (
-                    plan.ordered
-                    or plan.ordered_rev
-                    or (
-                        plan.plan == "indexOrder"
-                        and (all_desc or all(not d for _, d in order))
-                    )
-                )
-                if cmask is not None:
+                if kpos is not None:
+                    if spec.cursor_backward:
+                        page_lo = max(0, kpos - limit)
+                        start = page_lo
+                        back_has_more = kpos < total
+                        rows = rows[:kpos]
+                    else:
+                        start = kpos
+                        page_lo = kpos
+                elif cmask is not None:
                     rows = rows[cmask]
                     if spec.cursor_backward:
                         # before-cursor rows are the FIRST len(rows)
@@ -813,7 +833,8 @@ class QueryExecutor:
                         rec.pop("_system_ingest_ts_ms", None)
                 has_more = (
                     back_has_more
-                    if cmask is not None and spec.cursor_backward
+                    if (cmask is not None or kpos is not None)
+                    and spec.cursor_backward
                     else start + limit < total
                 )
                 return self._finish(
@@ -1128,6 +1149,53 @@ class QueryExecutor:
             vk = vals
             nk = (~nulls).astype(np.int8)
         return [vk, nk]
+
+    def _keyset_bisect(
+        self, store, rows: np.ndarray, order: list, pk_name: str,
+        vals: list, last_pk, inclusive: bool,
+    ) -> int | None:
+        """O(log n) keyset cursor boundary over a PRE-SORTED rowid array
+        (reference index_manager.dart:3299 keyset cursor scans): index of
+        the first row whose (order values, pk-ASC) total-order key is
+        strictly after (or at-or-after, when `inclusive` — backward
+        prev() pages) the cursor's. The comparator is byte-for-byte the
+        record path's (_sort_key / _NegKey per desc field, pk-ASC final
+        tie) so navigation agrees across all paths; ~20 row probes
+        replace the O(n) strictly-after mask a 1M-row cursor walk paid
+        per page. Returns None when an order field has no column (caller
+        falls back to the masked path)."""
+        m = int(len(rows))
+        if len(vals) != len(order):
+            return None
+        cols = []
+        for f, desc in list(order) + [(pk_name, False)]:
+            col = store.pk_col if f == pk_name else store.columns.get(f)
+            if col is None:
+                return None
+            col._grow(store.high)
+            cols.append((col, desc))
+        ckey = tuple(
+            _NegKey(_sort_key(v)) if desc else _sort_key(v)
+            for v, (_, desc) in zip(list(vals) + [last_pk], cols)
+        )
+
+        def rkey(i: int):
+            rid = int(rows[i])
+            return tuple(
+                _NegKey(_sort_key(col.get(rid))) if desc
+                else _sort_key(col.get(rid))
+                for col, desc in cols
+            )
+
+        lo, hi = 0, m
+        while lo < hi:
+            mid = (lo + hi) // 2
+            k = rkey(mid)
+            if (k >= ckey) if inclusive else (k > ckey):
+                hi = mid
+            else:
+                lo = mid + 1
+        return lo
 
     def _after_cursor_mask(
         self, store, rows: np.ndarray, order: list, pk_name: str,
