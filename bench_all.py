@@ -342,6 +342,10 @@ def config8_pq():
     ex = np.asarray(i_ex)
     _, s_pq, _ = idx.search_arrays(q, k, nprobe=16)
     rec_pq = recall_at_k(s_pq, ex)
+    # recall/latency curve vs rerank pool (r5: the auto pool floor of 512
+    # was set from this curve — recall saturates there; beyond is probe
+    # misses, not ADC ordering)
+    rerank_curve = {}
     idx_raw = mk(0)
     _, s_raw, _ = idx_raw.search_arrays(q, k, nprobe=16)
     rec_raw = recall_at_k(s_raw, ex)
@@ -361,6 +365,25 @@ def config8_pq():
         )
 
     per = timeit(probe, qj, reps=20)
+
+    def probe_pool(qq, pool):
+        return _ivf_probe_scan_pq_contig(
+            qq, qq[:, :d], idx.centroids_exp, idx.centroids_exp[:, :d],
+            idx.slice_bias, idx.buckets_slots, idx.bucket_codes,
+            idx.pq.codebooks, c.vectors, c.scales, idx.bucket_bias,
+            c.sq_norms, 2.0,
+            nprobe=16, k=k, rerank=pool, adc_metric="l2",
+            residual=idx.pq_residual,
+        )
+
+    for pool in (160, 512, 2048, 8192):
+        _, sl = probe_pool(qj, pool)
+        rerank_curve[str(pool)] = {
+            "recall_at_10": round(recall_at_k(np.asarray(sl), ex), 4),
+            "probe_b8_ms": round(
+                timeit(lambda qq: probe_pool(qq, pool), qj, reps=20) * 1e3, 2
+            ),
+        }
 
     # 4-bit IVFADC (K=16, M=192, nibble-packed): same 96 B/vector as the
     # 8-bit M=96 codes with 8x less one-hot work in the ADC kernel
@@ -464,6 +487,7 @@ def config8_pq():
         "adc_probe16_b8_device_qps": round(b / per, 1),
         "recall_at_10_pq_vs_exact": rec_pq,
         "recall_at_10_rawivf_vs_exact": rec_raw,
+        "rerank_pool_curve": rerank_curve,
         "code_bytes_per_vector": 96,
         "raw_bytes_per_vector": d * 2,
         "pq4bit_M192_probe_ms": round(per4 * 1e3, 2),

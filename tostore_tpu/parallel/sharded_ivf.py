@@ -509,7 +509,7 @@ class ShardedIVFIndex(ShardedFlatIndex):
         self.pq_subspaces = pq_subspaces
         self.pq_centroids = pq_centroids
         self.rerank_factor = rerank_factor
-        self.pq_rerank = pq_rerank  # 0 = auto max(rerank_factor*k, 16k, 64)
+        self.pq_rerank = pq_rerank  # 0 = auto max(rerank_factor*k, 51k, 512) — see ivf.py recall curve
         self.pq = None  # PQCodebook, replicated (small)
         self.codes: jax.Array | None = None  # [capT, M] u8, sharded
         self.slot_slice: jax.Array | None = None  # [capT] i32 local slice
@@ -1110,7 +1110,7 @@ class ShardedIVFIndex(ShardedFlatIndex):
             return bias
 
         if self.pq is not None and self.codes is not None:
-            pq_rr = self.pq_rerank or max(self.rerank_factor * k, 16 * k, 64)
+            pq_rr = self.pq_rerank or max(self.rerank_factor * k, 51 * k, 512)
             if self.bucket_codes is not None:
                 scores, idx = _sharded_ivf_probe_pq_contig(
                     qj, self.centroids_exp, self.slice_bias, self.buckets,

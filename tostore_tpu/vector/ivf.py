@@ -566,7 +566,7 @@ class IVFVectorIndex:
         # recall@10 0.43 -> 0.99 on hard clustered data together with the
         # sliced layout + larger re-rank pool
         self.pq_residual = pq_residual
-        self.pq_rerank = pq_rerank  # 0 = auto: max(rerank_factor*k, 16k, 64)
+        self.pq_rerank = pq_rerank  # 0 = auto: max(rerank_factor*k, 51k, 512)
         # engine-owned indexes defer the 4x-growth retrain to background
         # maintenance (run_vector_maintenance: RCU capture/build/install,
         # so multi-second rebuilds never stall the write path); standalone
@@ -1355,9 +1355,14 @@ class IVFVectorIndex:
         np_probe = min(np_probe, self.centroids_exp.shape[0])
         # PQ re-rank pool: the reference's max(2k, 20) rule (nge:115) is far
         # too small for 16x-compressed codes — the exact re-rank is a cheap
-        # [R, D] gather+matvec, so the pool defaults to 16k (measured
-        # recall@10 0.88 @100 -> 0.99 @200 on hard clustered data)
-        pq_rr = self.pq_rerank or max(self.rerank_factor * k, 16 * k, 64)
+        # [R, D] gather+matvec. Measured curve (500k x 768 bf16 hard
+        # clustered, C=1024, nprobe=16, k=10, v5e): pool 160 -> recall@10
+        # 0.944/0.946 (8-bit/4-bit ADC); pool 512 -> 0.9965 at ~equal
+        # latency (3.74 vs 3.90 ms B=8 adc8; 2.90 vs 2.20 ms adc4); flat
+        # at 0.9965 through 8192 — the residual miss is probe misses, not
+        # ADC ordering. Auto floor is therefore 512 (= max(..., 51*k, 512)
+        # at default k), restoring >=0.98 recall by default.
+        pq_rr = self.pq_rerank or max(self.rerank_factor * k, 51 * k, 512)
         if self.pq is not None and self.bucket_codes is not None:
             q_raw = jnp.asarray(qx[:, : c.dims])
             bias = (
