@@ -62,6 +62,61 @@ class TestCodecEquivalence:
         with pytest.raises(ValueError):
             native.loads(blob[:-2])
 
+    # --- tag 10: typed ndarrays (columnar snapshots / WAL batch frames) ---
+
+    TYPED_ARRAYS = [
+        np.arange(10, dtype=np.int64),
+        np.arange(6, dtype=np.int32).reshape(2, 3),
+        np.array([True, False, True]),
+        np.random.default_rng(0).standard_normal((3, 5)).astype(np.float64),
+        np.zeros((0, 4), np.int64),
+        np.arange(8, dtype=np.uint8),
+        np.arange(4, dtype=np.uint16),
+        np.random.default_rng(1).standard_normal((4, 7)).astype(np.float32),
+        np.random.default_rng(2).standard_normal(5).astype(np.float32),  # tag 9
+    ]
+
+    @pytest.mark.parametrize("a", TYPED_ARRAYS, ids=range(len(TYPED_ARRAYS)))
+    def test_typed_ndarray_identical(self, a):
+        assert native.dumps(a) == codec._py_dumps(a)
+        for r in (native.loads(native.dumps(a)), codec._py_loads(native.dumps(a))):
+            assert isinstance(r, np.ndarray)
+            assert r.dtype == a.dtype and r.shape == a.shape
+            np.testing.assert_array_equal(r, a)
+            # decoded arrays must be writable owners (column loads mutate)
+            assert r.flags.writeable and r.flags.owndata
+
+    def test_bfloat16_ndarray(self):
+        import ml_dtypes
+
+        a = np.random.default_rng(3).standard_normal((2, 9)).astype(ml_dtypes.bfloat16)
+        assert native.dumps(a) == codec._py_dumps(a)
+        for r in (native.loads(native.dumps(a)), codec._py_loads(native.dumps(a))):
+            assert r.dtype == a.dtype and r.shape == a.shape
+            np.testing.assert_array_equal(
+                np.asarray(r, np.float32), np.asarray(a, np.float32)
+            )
+
+    def test_zero_d_array_encodes_as_scalar(self):
+        assert native.dumps(np.array(3.5)) == codec._py_dumps(3.5)
+        assert codec._py_dumps(np.array(7, np.int64)) == codec._py_dumps(7)
+
+    def test_nested_typed_arrays(self):
+        v = {"cols": {"a": np.arange(5, dtype=np.int64)},
+             "null": np.zeros(5, np.bool_), "n": 5}
+        assert native.dumps(v) == codec._py_dumps(v)
+        out = native.loads(codec._py_dumps(v))
+        np.testing.assert_array_equal(out["cols"]["a"], v["cols"]["a"])
+        np.testing.assert_array_equal(out["null"], v["null"])
+
+    def test_noncontiguous_and_object_arrays(self):
+        a = np.arange(12, dtype=np.int64).reshape(3, 4)[:, ::2]  # strided
+        blob = codec.dumps(a)  # public API: any path must round-trip values
+        np.testing.assert_array_equal(codec.loads(blob), np.ascontiguousarray(a))
+        obj = np.empty(2, dtype=object)
+        obj[:] = [{"x": 1}, [1, 2]]
+        assert codec.loads(codec.dumps(obj)) == [{"x": 1}, [1, 2]]
+
 
 class TestMemcomparableEquivalence:
     @pytest.mark.parametrize(

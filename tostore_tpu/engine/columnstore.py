@@ -434,8 +434,27 @@ class ColumnStore:
             out[:] = packed["values"]
             col.data = out
         else:
-            col.data = np.asarray(packed["data"], col.np_type).copy()
-            col.null = np.asarray(packed["null"], np.bool_).copy()
+            col.data = ColumnStore._owned(packed["data"], col.np_type)
+            col.null = ColumnStore._owned(packed["null"], np.bool_)
+
+    @staticmethod
+    def _owned(v, np_type) -> np.ndarray:
+        """Writable owning array from a decoded snapshot value WITHOUT a
+        redundant copy: tag-10 codec arrays already own their memory (one
+        copy from the file bytes), legacy list/read-only forms get copied.
+        On hosts with slow page faults the extra copy per 10M-row column
+        is seconds of open time."""
+        if (
+            isinstance(v, np.ndarray)
+            and v.dtype == np_type
+            and v.flags.owndata
+            and v.flags.writeable
+        ):
+            return v
+        a = np.asarray(v, np_type)
+        if a is v or not (a.flags.owndata and a.flags.writeable):
+            a = a.copy()
+        return a
 
     def state_dict(self) -> dict:
         rows = np.flatnonzero(self.valid_view())

@@ -2999,11 +2999,17 @@ def _schemas_equal(a: TableSchema, b: TableSchema) -> bool:
 
 
 def _pack_ndarrays(v):
-    if isinstance(v, np.ndarray) and (v.ndim != 1 or v.dtype != np.float32):
+    """Legacy shim: typed ndarrays now ride the codec's tag 10 natively
+    (one memcpy each way); only dtypes the codec doesn't know (none in
+    practice) still get the `__nd__` dict wrapper. _unpack_ndarrays stays
+    for reading pre-tag-10 snapshots."""
+    if isinstance(v, np.ndarray):
+        if v.ndim == 0 or v.dtype in codec._DTYPE_CODES:
+            return v  # codec-native (tag 9/10 or scalar)
         return {
             "__nd__": True,
             "shape": list(v.shape),
-            "dtype": str(v.dtype),  # incl. 'bfloat16' (ml_dtypes)
+            "dtype": str(v.dtype),
             "data": v.tobytes(),
         }
     if isinstance(v, dict):

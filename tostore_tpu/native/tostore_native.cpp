@@ -96,6 +96,89 @@ bool is_f32_1d_ndarray(PyObject* v) {
   return ok;
 }
 
+// tag-10 dtype codes (FROZEN wire values; utils/codec.py _DTYPE_CODES is
+// the semantic reference). -1 = unsupported -> TypeError -> pure fallback.
+int dtype_code_for(PyObject* v) {
+  PyObject* dt = PyObject_GetAttrString(v, "dtype");
+  if (!dt) {
+    PyErr_Clear();
+    return -1;
+  }
+  PyObject* name = PyObject_GetAttrString(dt, "name");
+  PyObject* bo = PyObject_GetAttrString(dt, "byteorder");
+  Py_DECREF(dt);
+  int code = -1;
+  if (name && bo) {
+    const char* bs = PyUnicode_AsUTF8(bo);
+    if (bs && bs[0] != '>') {  // big-endian arrays: pure-Python normalizes
+      const char* s = PyUnicode_AsUTF8(name);
+      if (s) {
+        static const struct { const char* n; int c; } kMap[] = {
+            {"bool", 0},    {"int8", 1},    {"uint8", 2},  {"int16", 3},
+            {"int32", 4},   {"int64", 5},   {"float32", 6}, {"float64", 7},
+            {"bfloat16", 8}, {"uint16", 9},  {"uint32", 10}, {"uint64", 11},
+            {"float16", 12},
+        };
+        for (const auto& e : kMap) {
+          if (std::strcmp(s, e.n) == 0) {
+            code = e.c;
+            break;
+          }
+        }
+      }
+    }
+  }
+  Py_XDECREF(name);
+  Py_XDECREF(bo);
+  if (PyErr_Occurred()) PyErr_Clear();
+  return code;
+}
+
+bool encode_typed_array(PyObject* v, int code, Buf& out) {
+  Py_buffer view;
+  if (PyObject_GetBuffer(v, &view, PyBUF_CONTIG_RO) == 0) {
+    bool ok = view.ndim <= 255;
+    if (ok) {
+      out.put(10);
+      out.put(static_cast<uint8_t>(code));
+      out.put(static_cast<uint8_t>(view.ndim));
+      for (int i = 0; i < view.ndim; i++)
+        out.varint(static_cast<uint64_t>(view.shape[i]));
+      out.put(view.buf, static_cast<size_t>(view.len));
+    } else {
+      PyErr_SetString(PyExc_TypeError, "ndarray ndim > 255");
+    }
+    PyBuffer_Release(&view);
+    return ok;
+  }
+  // dtypes that refuse buffer export (bfloat16): shape attr + tobytes()
+  PyErr_Clear();
+  PyObject* shape = PyObject_GetAttrString(v, "shape");
+  if (!shape || !PyTuple_Check(shape) || PyTuple_GET_SIZE(shape) > 255) {
+    Py_XDECREF(shape);
+    PyErr_SetString(PyExc_TypeError, "ndarray without usable shape");
+    return false;
+  }
+  PyObject* raw = PyObject_CallMethod(v, "tobytes", nullptr);  // C-order
+  if (!raw) {
+    Py_DECREF(shape);
+    return false;
+  }
+  out.put(10);
+  out.put(static_cast<uint8_t>(code));
+  Py_ssize_t ndim = PyTuple_GET_SIZE(shape);
+  out.put(static_cast<uint8_t>(ndim));
+  for (Py_ssize_t i = 0; i < ndim; i++)
+    out.varint(static_cast<uint64_t>(PyLong_AsUnsignedLongLong(PyTuple_GET_ITEM(shape, i))));
+  char* p;
+  Py_ssize_t n;
+  PyBytes_AsStringAndSize(raw, &p, &n);
+  out.put(p, static_cast<size_t>(n));
+  Py_DECREF(raw);
+  Py_DECREF(shape);
+  return !PyErr_Occurred();
+}
+
 bool encode_value(PyObject* v, Buf& out) {
   if (v == Py_None) {
     out.put(0);
@@ -143,6 +226,23 @@ bool encode_value(PyObject* v, Buf& out) {
     return true;
   }
   if (is_f32_1d_ndarray(v)) return encode_f32_array(v, out);
+  if (std::strcmp(Py_TYPE(v)->tp_name, "numpy.ndarray") == 0) {
+    PyObject* nd = PyObject_GetAttrString(v, "ndim");
+    long ndim = nd ? PyLong_AsLong(nd) : -1;
+    Py_XDECREF(nd);
+    if (PyErr_Occurred()) return false;
+    if (ndim == 0) {  // 0-d array -> plain scalar (matches pure codec)
+      PyObject* item = PyObject_CallMethod(v, "item", nullptr);
+      if (!item) return false;
+      bool ok = encode_value(item, out);
+      Py_DECREF(item);
+      return ok;
+    }
+    int code = dtype_code_for(v);
+    if (code >= 0) return encode_typed_array(v, code, out);
+    PyErr_SetString(PyExc_TypeError, "unsupported ndarray dtype for native codec");
+    return false;  // object-dtype etc: pure-Python tolist path
+  }
   if (PyList_Check(v) || PyTuple_Check(v)) {
     Py_ssize_t n = PySequence_Fast_GET_SIZE(v);
     out.put(7);
@@ -238,6 +338,9 @@ struct Reader {
 };
 
 PyObject* g_np_frombuffer = nullptr;  // numpy.frombuffer, set at init
+PyObject* g_np_empty = nullptr;       // numpy.empty, set at init
+PyObject* g_dtypes[13] = {nullptr};   // tag-10 dtype objects by wire code
+int g_itemsize[13] = {0};
 
 PyObject* decode_value(Reader& r) {
   uint8_t tag = r.u8();
@@ -338,6 +441,75 @@ PyObject* decode_value(Reader& r) {
       PyObject* copy = PyObject_CallMethod(arr, "copy", nullptr);
       Py_DECREF(arr);
       return copy;
+    }
+    case 10: {
+      uint8_t code = r.u8();
+      uint8_t ndim = r.u8();
+      if (r.fail) break;
+      if (code >= 13 || !g_dtypes[code]) {
+        // e.g. bfloat16 with ml_dtypes unavailable: pure-Python decodes
+        PyErr_SetString(PyExc_ValueError, "ndarray dtype unavailable in native codec");
+        return nullptr;
+      }
+      uint64_t count = 1;
+      PyObject* shape = PyTuple_New(ndim);
+      if (!shape) return nullptr;
+      for (int i = 0; i < ndim; i++) {
+        uint64_t s = r.varint();
+        if (r.fail || s > (1ULL << 48) || count > (1ULL << 48)) {
+          Py_DECREF(shape);
+          PyErr_SetString(PyExc_ValueError, "truncated payload");
+          return nullptr;
+        }
+        count *= s;
+        PyTuple_SET_ITEM(shape, i, PyLong_FromUnsignedLongLong(s));
+      }
+      size_t nbytes = static_cast<size_t>(count) * static_cast<size_t>(g_itemsize[code]);
+      const uint8_t* q = r.take(nbytes);
+      if (!q) {
+        Py_DECREF(shape);
+        break;
+      }
+      PyObject* arr = PyObject_CallFunctionObjArgs(g_np_empty, shape, g_dtypes[code], nullptr);
+      if (!arr) {
+        Py_DECREF(shape);
+        return nullptr;
+      }
+      Py_buffer view;
+      if (PyObject_GetBuffer(arr, &view, PyBUF_CONTIG) == 0) {
+        Py_DECREF(shape);
+        if (static_cast<size_t>(view.len) != nbytes) {
+          PyBuffer_Release(&view);
+          Py_DECREF(arr);
+          PyErr_SetString(PyExc_ValueError, "ndarray size mismatch");
+          return nullptr;
+        }
+        std::memcpy(view.buf, q, nbytes);
+        PyBuffer_Release(&view);
+        return arr;
+      }
+      // buffer-export-refusing dtype (bfloat16): frombuffer+reshape+copy
+      PyErr_Clear();
+      Py_DECREF(arr);
+      PyObject* raw = PyBytes_FromStringAndSize(reinterpret_cast<const char*>(q),
+                                                static_cast<Py_ssize_t>(nbytes));
+      if (!raw) {
+        Py_DECREF(shape);
+        return nullptr;
+      }
+      PyObject* flat = PyObject_CallFunctionObjArgs(g_np_frombuffer, raw, g_dtypes[code], nullptr);
+      Py_DECREF(raw);
+      if (!flat) {
+        Py_DECREF(shape);
+        return nullptr;
+      }
+      PyObject* shaped = PyObject_CallMethod(flat, "reshape", "O", shape);
+      Py_DECREF(flat);
+      Py_DECREF(shape);
+      if (!shaped) return nullptr;
+      PyObject* owned = PyObject_CallMethod(shaped, "copy", nullptr);
+      Py_DECREF(shaped);
+      return owned;
     }
     default:
       PyErr_Format(PyExc_ValueError, "bad tag %d", tag);
@@ -579,9 +751,44 @@ PyMODINIT_FUNC PyInit__tostore_native(void) {
   PyObject* np = PyImport_ImportModule("numpy");
   if (np) {
     g_np_frombuffer = PyObject_GetAttrString(np, "frombuffer");
+    g_np_empty = PyObject_GetAttrString(np, "empty");
+    PyObject* dtype_fn = PyObject_GetAttrString(np, "dtype");
+    // tag-10 dtype table (codes match utils/codec.py _DTYPE_CODES)
+    static const char* kNames[13] = {
+        "bool",    "int8",   "uint8",  "int16",  "int32",   "int64", "float32",
+        "float64", nullptr /*bfloat16*/, "uint16", "uint32", "uint64", "float16"};
+    if (dtype_fn) {
+      for (int c = 0; c < 13; c++) {
+        if (!kNames[c]) continue;
+        PyObject* dt = PyObject_CallFunction(dtype_fn, "s", kNames[c]);
+        if (!dt) {
+          PyErr_Clear();
+          continue;
+        }
+        g_dtypes[c] = dt;
+        PyObject* isz = PyObject_GetAttrString(dt, "itemsize");
+        if (isz) {
+          g_itemsize[c] = static_cast<int>(PyLong_AsLong(isz));
+          Py_DECREF(isz);
+        }
+      }
+      PyObject* ml = PyImport_ImportModule("ml_dtypes");
+      if (ml) {
+        PyObject* bf = PyObject_GetAttrString(ml, "bfloat16");
+        if (bf) {
+          PyObject* dt = PyObject_CallFunctionObjArgs(dtype_fn, bf, nullptr);
+          if (dt) {
+            g_dtypes[8] = dt;
+            g_itemsize[8] = 2;
+          }
+          Py_DECREF(bf);
+        }
+        Py_DECREF(ml);
+      }
+      Py_DECREF(dtype_fn);
+    }
     Py_DECREF(np);
-  } else {
-    PyErr_Clear();
   }
+  if (PyErr_Occurred()) PyErr_Clear();
   return m;
 }

@@ -15,6 +15,10 @@ Wire format (one value):
     5 str (varint len + utf8) | 6 bytes (varint len)
     7 list (varint count + values) | 8 dict (varint count + key/value pairs)
     9 f32 array (varint count + raw LE floats)   -- vectors
+    10 typed ndarray (dtype u8, ndim u8, varint dims..., raw LE bytes)
+       -- columnar snapshots / WAL batch frames: a 10M-row int64 column is
+       one memcpy, not 10M boxed Python ints (the round-4 scale soak spent
+       most of its 43 s clean-open decoding exactly that)
 """
 
 from __future__ import annotations
@@ -22,7 +26,26 @@ from __future__ import annotations
 import struct
 import zlib
 
+import ml_dtypes
 import numpy as np
+
+# tag-10 dtype codes (FROZEN wire values; native/tostore_native.cpp mirrors)
+_DTYPE_CODES = {
+    np.dtype(np.bool_): 0,
+    np.dtype(np.int8): 1,
+    np.dtype(np.uint8): 2,
+    np.dtype(np.int16): 3,
+    np.dtype(np.int32): 4,
+    np.dtype(np.int64): 5,
+    np.dtype(np.float32): 6,
+    np.dtype(np.float64): 7,
+    np.dtype(ml_dtypes.bfloat16): 8,
+    np.dtype(np.uint16): 9,
+    np.dtype(np.uint32): 10,
+    np.dtype(np.uint64): 11,
+    np.dtype(np.float16): 12,
+}
+_CODE_DTYPES = {c: dt for dt, c in _DTYPE_CODES.items()}
 
 
 def _write_varint(buf: bytearray, n: int):
@@ -85,6 +108,18 @@ def encode_value(v, buf: bytearray | None = None) -> bytearray:
         buf.append(9)
         _write_varint(buf, v.shape[0])
         buf += v.astype("<f4").tobytes()
+    elif isinstance(v, np.ndarray) and v.ndim == 0:
+        encode_value(v.item(), buf)  # 0-d array -> plain scalar
+    elif isinstance(v, np.ndarray) and v.dtype in _DTYPE_CODES and v.ndim <= 255:
+        a = np.ascontiguousarray(v)
+        if a.dtype.byteorder == ">":
+            a = a.astype(a.dtype.newbyteorder("<"))
+        buf.append(10)
+        buf.append(_DTYPE_CODES[v.dtype])
+        buf.append(a.ndim)
+        for s in a.shape:
+            _write_varint(buf, s)
+        buf += a.tobytes()
     elif isinstance(v, (list, tuple, np.ndarray)):
         if isinstance(v, np.ndarray):
             v = v.tolist()
@@ -148,6 +183,26 @@ def decode_value(mv: memoryview, pos: int = 0):
         n, pos = _read_varint(mv, pos)
         arr = np.frombuffer(mv[pos : pos + 4 * n], dtype="<f4").copy()
         return arr, pos + 4 * n
+    if tag == 10:
+        dt = _CODE_DTYPES.get(mv[pos])
+        if dt is None:
+            raise ValueError(f"bad ndarray dtype code {mv[pos]} at {pos}")
+        ndim = mv[pos + 1]
+        pos += 2
+        shape = []
+        for _ in range(ndim):
+            s, pos = _read_varint(mv, pos)
+            shape.append(s)
+        count = 1
+        for s in shape:
+            count *= s
+        nbytes = dt.itemsize * count
+        if pos + nbytes > len(mv):
+            raise ValueError("truncated ndarray payload")
+        # .copy(): decoded arrays are writable and own their memory (column
+        # loads mutate them in place; exactly one copy from the file bytes)
+        arr = np.frombuffer(mv[pos : pos + nbytes], dtype=dt).reshape(shape).copy()
+        return arr, pos + nbytes
     raise ValueError(f"bad tag {tag} at {pos - 1}")
 
 
@@ -204,9 +259,12 @@ def frame(payload: bytes) -> bytes:
 
 
 def iter_frames(data: bytes):
-    """Yield payloads; stops cleanly at the first torn/corrupt frame
-    (crash-recovery semantics: a partial tail write is discarded, reference
-    WAL recover wal_manager.dart:608)."""
+    """Yield payloads as MEMORYVIEW slices of `data` (zero-copy — on hosts
+    with slow page faults a redundant copy of a multi-hundred-MB snapshot
+    frame costs whole seconds); stops cleanly at the first torn/corrupt
+    frame (crash-recovery semantics: a partial tail write is discarded,
+    reference WAL recover wal_manager.dart:608). Callers needing bytes
+    wrap with bytes(); loads() accepts the view directly."""
     mv = memoryview(data)
     pos = 0
     n = len(data)
@@ -214,7 +272,7 @@ def iter_frames(data: bytes):
         magic, ln, crc = FRAME_HEADER.unpack_from(mv, pos)
         if magic != FRAME_MAGIC or pos + FRAME_HEADER.size + ln > n:
             return
-        payload = bytes(mv[pos + FRAME_HEADER.size : pos + FRAME_HEADER.size + ln])
+        payload = mv[pos + FRAME_HEADER.size : pos + FRAME_HEADER.size + ln]
         if zlib.crc32(payload) != crc:
             return
         yield payload

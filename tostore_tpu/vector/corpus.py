@@ -274,6 +274,9 @@ class DeviceCorpus:
                 np.asarray(self.scales[:m])
                 if self.scales is not None and m else None
             ),
+            # persisted so restores skip a full-corpus host recompute (it
+            # dominated vector-table open time in the r4 scale soak)
+            "sq_norms": np.asarray(self.sq_norms[:m], np.float32) if m else None,
             "pks": list(self._slot_pks[:m]),
             "filter_columns": self.filter_columns.state_dict(upto=m),
         }
@@ -286,7 +289,9 @@ class DeviceCorpus:
         if len(pks):
             m = len(pks)
             c._ensure_capacity(m)
-            c.vectors = c.vectors.at[:m].set(jnp.asarray(vecs, c.dtype))
+            # upload in the STORED dtype and convert on device — the host
+            # astype pass over a multi-GB corpus was a top open cost
+            c.vectors = c.vectors.at[:m].set(jnp.asarray(vecs).astype(c.dtype))
             c.valid = c.valid.at[:m].set(True)
             dq = d.get("scales")
             if c.precision == "int8":
@@ -300,9 +305,15 @@ class DeviceCorpus:
                 c.scales = c.scales.at[:m].set(jnp.asarray(dq))
             else:
                 dq = None
-            c.sq_norms = c.sq_norms.at[:m].set(
-                jnp.asarray(c._stored_sq_norms(vecs.astype(np.float32), dq))
-            )
+            nrm = d.get("sq_norms")
+            if nrm is not None and len(nrm) == m:
+                nrm_dev = jnp.asarray(np.asarray(nrm, np.float32))
+            else:  # legacy snapshot: recompute on DEVICE, not host numpy
+                x = c.vectors[:m].astype(jnp.float32)
+                if dq is not None:
+                    x = x * jnp.asarray(dq)[:, None]
+                nrm_dev = jnp.sum(x * x, axis=1)
+            c.sq_norms = c.sq_norms.at[:m].set(nrm_dev)
             c._slot_pks[:m] = np.asarray(pks, dtype=object)
             c._pk_slot = {pk: j for j, pk in enumerate(pks)}
             c._high = m
