@@ -196,6 +196,209 @@ class Column:
         return out
 
 
+class PkMap:
+    """pk -> rowid mapping with a dense int-keyed fast path.
+
+    At the reference's 10M-100M-row envelope (README.md:1527-1531) a Python
+    dict costs ~100 B per entry plus a boxed int key — ~10x the bytes of the
+    int64 column it indexes, and the single biggest share of the r4 scale
+    soak's 9x RAM-vs-disk blowup. When keys are ints and reasonably dense
+    (sequential-pk tables), rowid+1 lives in one int64 numpy array indexed
+    by (pk - base), 0 = absent: 8 B/row, vectorized bulk build. String,
+    sparse-int, and out-of-window keys fall back to / overflow into a dict.
+
+    Iteration order is ascending pk for the dense window (the engine's
+    pks()/items() consumers are order-insensitive — integrity sampling,
+    migrations, resumable deletes, overlay merges)."""
+
+    __slots__ = ("_dict", "_arr", "_base", "_ndense")
+
+    # grow the dense window for appends within this many slots past the
+    # end (8 MB of int64); farther outliers overflow into the dict
+    _GROW_WINDOW = 1 << 20
+
+    def __init__(self):
+        self._dict: dict = {}
+        self._arr: np.ndarray | None = None
+        self._base = 0
+        self._ndense = 0
+
+    # --- construction ------------------------------------------------------
+
+    @staticmethod
+    def _int_key(pk):
+        if type(pk) is int:
+            return pk
+        if isinstance(pk, np.integer):
+            return int(pk)
+        return None
+
+    @staticmethod
+    def build_from_arrays(pks: np.ndarray, rows: np.ndarray) -> "PkMap":
+        """Vectorized bulk build (snapshot load): int64 pks + rowids."""
+        m = PkMap()
+        n = len(pks)
+        if n == 0:
+            return m
+        lo = int(pks.min())
+        hi = int(pks.max())
+        span = hi - lo + 1
+        if span <= max(4 * n, n + 4096):
+            m._base = lo
+            m._arr = np.zeros(span, np.int64)
+            m._arr[pks - lo] = rows + 1
+            m._ndense = n
+        else:
+            m._dict = dict(zip(pks.tolist(), rows.tolist()))
+        return m
+
+    def _try_activate(self, pks, rows) -> bool:
+        """First bulk insert into an empty map: go dense when keys allow."""
+        try:
+            arr = np.asarray(pks)
+            if arr.dtype.kind not in "iu":
+                return False
+            built = PkMap.build_from_arrays(
+                arr.astype(np.int64), np.asarray(rows, np.int64)
+            )
+        except (TypeError, ValueError, OverflowError):
+            return False
+        if built._arr is None:
+            return False
+        self._arr, self._base, self._ndense = built._arr, built._base, built._ndense
+        return True
+
+    def _grow_to(self, i: int) -> bool:
+        """Extend the dense window to cover index i (amortized doubling,
+        bounded extra allocation); farther appends overflow into the dict."""
+        a = self._arr
+        if i >= len(a) + self._GROW_WINDOW:
+            return False
+        new_len = max(i + 1, min(2 * len(a), i + self._GROW_WINDOW))
+        g = np.zeros(new_len, np.int64)
+        g[: len(a)] = a
+        self._arr = g
+        return True
+
+    # --- dict-compatible surface ------------------------------------------
+
+    def get(self, pk, default=None):
+        a = self._arr
+        if a is not None:
+            k = self._int_key(pk)
+            if k is not None:
+                i = k - self._base
+                if 0 <= i < len(a):
+                    v = a[i]
+                    if v:
+                        return int(v) - 1
+                    # the window may have grown over a key that overflowed
+                    # into the dict while it was out of range
+                    return self._dict.get(pk, default) if self._dict else default
+        return self._dict.get(pk, default)
+
+    def __getitem__(self, pk):
+        v = self.get(pk)
+        if v is None:
+            raise KeyError(pk)
+        return v
+
+    def __setitem__(self, pk, row):
+        a = self._arr
+        if a is not None:
+            k = self._int_key(pk)
+            if k is not None:
+                i = k - self._base
+                if 0 <= i < len(a) or (i >= len(a) and self._grow_to(i)):
+                    a = self._arr
+                    if a[i] == 0:
+                        self._ndense += 1
+                        if self._dict:  # grown-over overflow key migrates
+                            self._dict.pop(pk, None)
+                    a[i] = row + 1
+                    return
+        elif a is None and not self._dict:
+            if self._try_activate([pk], [row]):
+                return
+        self._dict[pk] = row
+
+    def pop(self, pk, default=None):
+        a = self._arr
+        if a is not None:
+            k = self._int_key(pk)
+            if k is not None:
+                i = k - self._base
+                if 0 <= i < len(a):
+                    v = a[i]
+                    if v:
+                        a[i] = 0
+                        self._ndense -= 1
+                        return int(v) - 1
+                    return self._dict.pop(pk, default) if self._dict else default
+        return self._dict.pop(pk, default)
+
+    def update(self, pairs):
+        for pk, row in pairs:
+            self[pk] = row
+
+    def bulk_set(self, pks: list, rows: np.ndarray):
+        """Vectorized batch insert (the bulk_insert hot path)."""
+        if self._arr is None:
+            if not self._dict and self._try_activate(pks, rows):
+                return
+            self._dict.update(zip(pks, rows.tolist()))
+            return
+        try:
+            keys = np.asarray(pks)
+            ok = keys.dtype.kind in "iu"
+        except (TypeError, ValueError):
+            ok = False
+        if not ok:
+            self.update(zip(pks, rows.tolist()))
+            return
+        keys = keys.astype(np.int64) - self._base
+        hi = int(keys.max()) if len(keys) else -1
+        if int(keys.min()) < 0 or (hi >= len(self._arr) and not self._grow_to(hi)):
+            self.update(zip(pks, rows.tolist()))
+            return
+        a = self._arr
+        self._ndense += int(np.count_nonzero(a[keys] == 0))
+        if self._dict:
+            # grown-over overflow keys move from the dict into the window
+            for pk in pks:
+                self._dict.pop(pk, None)
+        a[keys] = np.asarray(rows, np.int64) + 1
+
+    def __contains__(self, pk):
+        return self.get(pk) is not None
+
+    def __len__(self):
+        return self._ndense + len(self._dict)
+
+    def keys(self) -> list:
+        out = []
+        a = self._arr
+        if a is not None and self._ndense:
+            out = (np.flatnonzero(a) + self._base).tolist()
+        if self._dict:
+            out += list(self._dict.keys())
+        return out
+
+    def __iter__(self):
+        return iter(self.keys())
+
+    def items(self):
+        a = self._arr
+        if a is not None and self._ndense:
+            idx = np.flatnonzero(a)
+            for i, v in zip((idx + self._base).tolist(), (a[idx] - 1).tolist()):
+                yield i, v
+        yield from self._dict.items()
+
+    def values(self):
+        return [row for _, row in self.items()]
+
+
 class ColumnStore:
     """Records for one table: dense rowids, tombstones, pk->rowid map."""
 
@@ -209,7 +412,7 @@ class ColumnStore:
             if schema.primary_key.type.value == "sequential"
             else DataType.text
         )
-        self._pk_row: dict = {}
+        self._pk_row = PkMap()
         self.valid = np.zeros(0, np.bool_)
         self.high = 0
         self._free: list[int] = []
@@ -263,7 +466,7 @@ class ColumnStore:
             v[: len(self.valid)] = self.valid
             self.valid = v
         self.valid[rows] = True
-        self._pk_row.update(zip(pks, rows.tolist()))
+        self._pk_row.bulk_set(pks, rows)
         self.pk_col.bulk_set(rows, pks)
         for name, col in self.columns.items():
             vals = col_values.get(name)
@@ -483,12 +686,17 @@ class ColumnStore:
             ColumnStore._unpack_column(cs.pk_col, d["pk"], n)
             if cs.pk_col.np_type is not None and cs.pk_col.null is None:
                 cs.pk_col.null = np.zeros(n, np.bool_)
-            pks = (
-                cs.pk_col.data[:n].tolist()
-                if cs.pk_col.np_type is not None
-                else list(cs.pk_col.data[:n])
-            )
-            cs._pk_row = {pk: i for i, pk in enumerate(pks)}
+            if cs.pk_col.np_type is not None:
+                # vectorized dense build: no 10M-entry Python dict
+                cs._pk_row = PkMap.build_from_arrays(
+                    np.asarray(cs.pk_col.data[:n], np.int64),
+                    np.arange(n, dtype=np.int64),
+                )
+            else:
+                cs._pk_row = PkMap()
+                cs._pk_row.update(
+                    (pk, i) for i, pk in enumerate(cs.pk_col.data[:n])
+                )
             for name, packed in d["columns"].items():
                 if name in cs.columns:
                     ColumnStore._unpack_column(cs.columns[name], packed, n)
