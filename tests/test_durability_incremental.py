@@ -249,9 +249,14 @@ class TestSnapshotCrc:
             b = f.read(1)
             f.seek(100)
             f.write(bytes([b[0] ^ 0xFF]))
+        # lazy open succeeds on the manifest alone; the corruption surfaces
+        # as the same descriptive error on FIRST TOUCH of the table (the
+        # reference is lazy too — tree_cache.dart pages fail on demand)
+        db2 = ToStoreTPU.open(str(tmp_path), schemas=[self._schema()])
         with pytest.raises(SnapshotCorruption) as ei:
-            ToStoreTPU.open(str(tmp_path), schemas=[self._schema()])
+            db2.query("t").fetch()
         assert "t.snap" in str(ei.value)
+        db2.close()
 
     def test_legacy_unframed_snapshot_still_loads(self, tmp_path):
         # pre-CRC snapshots start with the codec dict tag, not the frame

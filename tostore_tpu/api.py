@@ -465,6 +465,11 @@ class DbStatus:
             for (sp, tname), t in self._db._tables.items()
             if sp == name and not tname.startswith("_system_")
         }
+        for sp, tname in list(self._db._tables.pending):
+            if sp == name and not tname.startswith("_system_") and tname not in tables:
+                tables[tname] = {
+                    "records": self._db._catalog_rows.get((sp, tname), 0)
+                }
         return {"space": name, "tables": tables,
                 "record_count": sum(t["records"] for t in tables.values())}
 

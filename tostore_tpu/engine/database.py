@@ -30,6 +30,7 @@ schema updates) is non-transactional and applies immediately.
 from __future__ import annotations
 
 import contextlib
+import itertools
 import queue as _queue
 import json
 import os
@@ -60,9 +61,9 @@ from ..utils.rwlock import ReadGuard, RWLock, WriteGuard, rw
 from .table import Table, ValidationError, INGEST_TS_FIELD
 from .wal import (
     SegmentedWalWriter,
+    iter_wal_segments,
     list_segments,
     read_wal,
-    read_wal_segments,
 )
 
 log = Logger("engine")
@@ -230,6 +231,102 @@ class Transaction:
         raise BusinessError(message, code="user_rollback")
 
 
+class _TableRegistry(dict):
+    """Tables by (space, name) with LAZY materialization from snapshots.
+
+    The reference opens lazily and pages on demand (tree_cache.dart:15-70,
+    prewarm strictly optional, data_store_impl.dart:5441) — that is what
+    lets it serve 100M+ records on a phone (README.md:1527-1531). Here the
+    dict base holds LOADED tables; `pending` maps unloaded keys to their
+    snapshot's catalog-relative path, and the first access loads it.
+
+    Semantics (deliberately asymmetric, every caller audited):
+      - get()/[] materialize pending entries (the data paths);
+      - `in`, `len`, iteration over keys INCLUDE pending (metadata checks,
+        space listings, DDL guards — no load);
+      - items()/values() return LIST SNAPSHOTS of loaded tables only (hot
+        loops: flush dirty-scan, status, background maintenance — these
+        must not force a 100M-row load, and a list copy keeps concurrent
+        materialization from invalidating iteration).
+
+    Materialization may run under the engine's SHARED mode (query paths):
+    like Column._grow it is an internally-locked cache fill — the loaded
+    table is published before the pending entry is removed, and a second
+    racing reader waits on the same mutex."""
+
+    def __init__(self, loader):
+        super().__init__()
+        self._loader = loader
+        self._mat_lock = threading.Lock()
+        self.pending: dict[tuple, str] = {}
+
+    def peek(self, key):
+        """Loaded table or None — never materializes."""
+        return dict.get(self, key)
+
+    def get(self, key, default=None):
+        t = dict.get(self, key)
+        if t is None and key in self.pending:
+            with self._mat_lock:
+                t = dict.get(self, key)
+                if t is None:
+                    rel = self.pending.get(key)
+                    if rel is not None:
+                        t = self._loader(key, rel)
+                        dict.__setitem__(self, key, t)
+                        del self.pending[key]
+        return t if t is not None else default
+
+    def __getitem__(self, key):
+        t = self.get(key)
+        if t is None:
+            raise KeyError(key)
+        return t
+
+    def __contains__(self, key):
+        return dict.__contains__(self, key) or key in self.pending
+
+    def __iter__(self):
+        return iter(list(dict.keys(self)) + list(self.pending))
+
+    def keys(self):
+        return list(self.__iter__())
+
+    def __len__(self):
+        return dict.__len__(self) + len(self.pending)
+
+    def items(self):
+        return list(dict.items(self))
+
+    def values(self):
+        return list(dict.values(self))
+
+    def __setitem__(self, key, value):
+        self.pending.pop(key, None)
+        dict.__setitem__(self, key, value)
+
+    def __delitem__(self, key):
+        had = self.pending.pop(key, None) is not None
+        if dict.__contains__(self, key):
+            dict.__delitem__(self, key)
+        elif not had:
+            raise KeyError(key)
+
+    def pop(self, key, default=None):
+        self.pending.pop(key, None)
+        return dict.pop(self, key, default)
+
+    def clear(self):
+        self.pending.clear()
+        dict.clear(self)
+
+    def materialize_all(self):
+        """Force-load every pending table (backup, force_all flush,
+        explicit prewarm, deep integrity checks)."""
+        for key in list(self.pending):
+            self.get(key)
+
+
 class Database:
     def __init__(self, config: DataStoreConfig | None = None, storage=None):
         self.config = config or DataStoreConfig()
@@ -280,8 +377,9 @@ class Database:
         self._lock = WriteGuard(self._biglock)
         self._shared = ReadGuard(self._biglock)
         self._metrics_lock = threading.Lock()  # counters/timings off-lock
-        self._tables: dict[tuple[str, str], Table] = {}
+        self._tables: _TableRegistry = _TableRegistry(self._load_table)
         self._schemas: dict[tuple[str, str], TableSchema] = {}
+        self._catalog_rows: dict[tuple[str, str], int] = {}  # pending sizes
         self.global_config = GlobalConfig()
         self._wal: SegmentedWalWriter | None = None
         self._ckpt_gens: dict[tuple[str, str], int] = {}  # per-table clean marks
@@ -296,6 +394,10 @@ class Database:
         # engine-wide unique-key reservations: (tkey, map_name, key) ->
         # (tx_id, pk) — blocks other txns AND direct writers at op time
         self._unique_res: dict[tuple, tuple] = {}
+        # pessimistic escalation registry: (tkey, pk) -> short exclusive
+        # lock serializing repeatedly-conflicting hot-row transactions
+        self._hot_locks: dict[tuple, threading.Lock] = {}
+        self._hot_lock_guard = threading.Lock()
         self._subs: dict[tuple, list[Subscription]] = {}
         self._closed = False
         self._crontab = None
@@ -613,6 +715,20 @@ class Database:
                 "from a backup or delete the file to rebuild from WAL"
             ) from exc
 
+    def _load_table(self, key: tuple, rel: str) -> Table:
+        """Materialize a lazily-registered table from its snapshot
+        (first-touch load; _TableRegistry calls this under its own mutex).
+        Records the per-table load latency under timings()['table_load']."""
+        with self._timed("table_load"):
+            td = self._read_snapshot_file(os.path.join(self.db_dir, rel))
+            t = Table.from_state_dict(
+                _unpack_ndarrays(td), self.config.distributed.node_id, self._mesh
+            )
+        self._ckpt_gens[key] = t.store.generation
+        self._catalog_rows.pop(key, None)
+        self._bump("lazy_table_loads")
+        return t
+
     def _open_files(self):
         d = self.db_dir
         self._storage.makedirs(d)
@@ -653,45 +769,82 @@ class Database:
                     ring.keys[kid] = self._envelope.open(bytes.fromhex(blob_hex))
             resume_rotation = True
 
-        # table snapshots: per-table files via the manifest catalog; a
-        # legacy round-1 monolithic current.snap loads once and migrates
+        # table snapshots: LAZY per-table load via the manifest catalog
+        # (reference opens lazily and pages on demand, tree_cache.dart:15-70;
+        # prewarm strictly optional, data_store_impl.dart:5441) — opening
+        # touches only the manifest; each table's snapshot loads on first
+        # access or when WAL replay needs it. A legacy round-1 monolithic
+        # current.snap loads once and migrates; manifests from before the
+        # schema catalog existed fall back to eager loads.
         legacy_snap = os.path.join(d, "current.snap")
         legacy_wal = os.path.join(d, "wal.log")
         legacy = self._storage.exists(legacy_snap) or self._storage.exists(legacy_wal)
         if self._storage.exists(legacy_snap):
             self._load_snapshot(self._read_snapshot_file(legacy_snap))
         catalog = self.global_config.extras.get("catalog", {})
+        sch_meta = self.global_config.extras.get("schemas", {})
         for space, tbls in catalog.items():
             for name, rel in tbls.items():
-                p = os.path.join(d, rel)
-                if not self._storage.exists(p):
-                    continue  # checkpointed before the table's first write
-                td = self._read_snapshot_file(p)
-                t = Table.from_state_dict(
-                    _unpack_ndarrays(td), self.config.distributed.node_id, self._mesh
-                )
-                self._tables[(space, name)] = t
-                self._schemas[(space, name)] = t.schema
+                key = (space, name)
+                meta = sch_meta.get(space, {}).get(name)
+                has_snap = self._storage.exists(os.path.join(d, rel))
+                if meta is not None:
+                    schema = TableSchema.from_json(meta["schema"])
+                    self._schemas[key] = schema
+                    if has_snap:
+                        self._catalog_rows[key] = int(meta.get("rows", 0))
+                        self._tables.pending[key] = rel
+                    else:  # checkpointed before the table's first write
+                        self._tables[key] = Table(
+                            schema, self.config.distributed.node_id, self._mesh
+                        )
+                elif has_snap:  # legacy manifest: schema lives in the snap
+                    td = self._read_snapshot_file(os.path.join(d, rel))
+                    t = Table.from_state_dict(
+                        _unpack_ndarrays(td),
+                        self.config.distributed.node_id, self._mesh,
+                    )
+                    self._tables[key] = t
+                    self._schemas[key] = t.schema
         for key, t in self._tables.items():
             self._ckpt_gens[key] = t.store.generation
         self._ensure_kv_table()  # must exist before WAL replay of KV writes
 
-        # WAL replay (crash recovery): segments at/after the checkpoint
-        # pointer, plus any legacy single-file log
+        # WAL replay (crash recovery): STREAM segments at/after the
+        # checkpoint pointer frame by frame (never materializing the entry
+        # list — the r4 soak held the whole 500k-row tail in RAM), and
+        # coalesce runs of single-op frames into columnar bulk applies
+        # (reference decodes WAL in isolate batches,
+        # wal_decode_batch_runner.dart:304, and refills the write buffer in
+        # bulk, parallel_journal_manager.dart:124). Dirty tables
+        # materialize on their first replayed entry.
         wal_dir = os.path.join(d, "wal")
         start_seq = int(self.global_config.extras.get("wal_start_seq", 1))
         legacy_read = read_wal(
             legacy_wal, unwrap=self._unwrap_bytes, storage=self._storage
         )
-        entries, decode_errors = read_wal_segments(
-            wal_dir, start_seq, unwrap=self._unwrap_bytes, storage=self._storage
+        torn_segments: list = []
+        replayed = self._replay_stream(
+            itertools.chain(
+                legacy_read.entries,
+                iter_wal_segments(
+                    wal_dir, start_seq,
+                    unwrap=self._unwrap_bytes, storage=self._storage,
+                    errors=torn_segments,
+                ),
+            )
         )
-        entries = legacy_read.entries + entries
-        for e in entries:
-            self._replay(e)
+        entries = replayed  # count; the stream is never materialized
         self._fk_rev_cache = None
-        self._counters["recovered_wal_entries"] = len(entries)
-        self._counters["recovery_decode_errors"] = legacy_read.errors + decode_errors
+        self._counters["recovered_wal_entries"] = replayed
+        self._counters["recovery_decode_errors"] = (
+            legacy_read.errors + len(torn_segments)
+        )
+        # TTL-enabled tables must be resident for sweeps to see them
+        # (bounded-staleness would otherwise extend to first user touch)
+        for key, schema in list(self._schemas.items()):
+            if schema.ttl and schema.ttl.enabled:
+                self._tables.get(key)
         segs = list_segments(wal_dir, self._storage)
         next_seq = max(start_seq, segs[-1][0] + 1 if segs else start_seq)
         self._wal = SegmentedWalWriter(
@@ -874,6 +1027,20 @@ class Database:
     def _persist_manifest(self):
         if self.config.memory_mode:
             return
+        # schema catalog: lets the next engine start register every table WITHOUT
+        # touching its snapshot (lazy open), and report record counts for
+        # never-loaded tables (status/space info)
+        sch: dict[str, dict] = {}
+        for (space, name), schema in list(self._schemas.items()):
+            t = self._tables.peek((space, name))
+            rows = (
+                len(t.store) if t is not None
+                else self._catalog_rows.get((space, name), 0)
+            )
+            sch.setdefault(space, {})[name] = {
+                "schema": schema.to_json(), "rows": rows,
+            }
+        self.global_config.extras["schemas"] = sch
         self._storage.write_atomic(
             os.path.join(self.db_dir, "manifest.json"),
             json.dumps(self.global_config.to_json()).encode(),
@@ -999,7 +1166,10 @@ class Database:
                         return DbResult.error(
                             ResultType.schemaError, f"table {new!r} already exists"
                         )
-                    t = self._tables.pop(key)
+                    t = self._tables.get(key)  # materializes if lazy: the
+                    # snapshot file is keyed by name, so the renamed table
+                    # must be resident (and dirty) for the next checkpoint
+                    del self._tables[key]
                     self._schemas.pop(key, None)
                     self._tables[(sp, new)] = t
                     self._schemas[(sp, new)] = t.schema
@@ -1011,10 +1181,13 @@ class Database:
             return DbResult.error(ResultType.notFound, f"table {old!r} not found")
 
     def get_schema(self, name: str) -> TableSchema | None:
-        try:
-            return self._table(name).schema
-        except ValidationError:
-            return None
+        # metadata read: served from the schema catalog so it never forces
+        # a lazy table load
+        for key in ((self.current_space, name), (GLOBAL_SPACE, name)):
+            s = self._schemas.get(key)
+            if s is not None:
+                return s
+        return None
 
     def _ensure_kv_table(self):
         from ..models.schema import FieldSchema, PrimaryKeyConfig, PrimaryKeyType
@@ -1154,6 +1327,77 @@ class Database:
                 if self._wal.entries_since_checkpoint >= self.config.write_batch_size:
                     self.flush()
 
+    # ops whose consecutive single-record frames coalesce into one columnar
+    # bulk apply during replay (reference batches WAL decode + write-buffer
+    # refill, wal_decode_batch_runner.dart:304 / pjm.dart:124)
+    _COALESCE_CAP = 100_000
+
+    def _replay_stream(self, entries) -> int:
+        """Streaming batched replay: consume WAL entries one at a time,
+        coalescing runs of single-op insert/delete frames on the same
+        table into columnar bulk applies (12.4k -> 100k+ rows/s on the
+        r4 soak's recovery path). Txn frames flatten into their sub-ops
+        (already-committed by WAL presence); any other op flushes the run.
+        Falls back to per-entry _replay on a batch failure so best-effort
+        semantics and error counters match the single-entry path."""
+        n = 0
+        run_op = run_key = None
+        run: list[dict] = []
+
+        def flush_run():
+            nonlocal run_op, run_key, run
+            if not run:
+                return
+            batch, op, key = run, run_op, run_key
+            run, run_op, run_key = [], None, None
+            t = self._tables.get(key)
+            if t is None:
+                return
+            try:
+                if op == "insert":
+                    fresh = [
+                        (e["pk"], e["rec"]) for e in batch
+                        if e["pk"] not in t.store
+                    ]
+                    if fresh:
+                        t.bulk_apply_insert(
+                            [p for p, _ in fresh], [r for _, r in fresh]
+                        )
+                else:  # delete
+                    t.bulk_apply_delete([e["pk"] for e in batch])
+            except (UniqueViolation, ValidationError, KeyError) as exc:
+                log.warning(
+                    f"WAL replay: coalesced {op} batch failed "
+                    f"({exc}); replaying singly"
+                )
+                for e in batch:
+                    self._replay(e)
+
+        def feed(e: dict):
+            nonlocal run_op, run_key, run
+            op = e.get("op")
+            if op == "txn":
+                for sub in e["ops"]:
+                    feed(sub)
+                return
+            if op in ("insert", "delete"):
+                key = (e["space"], e["table"])
+                if op != run_op or key != run_key:
+                    flush_run()
+                    run_op, run_key = op, key
+                run.append(e)
+                if len(run) >= self._COALESCE_CAP:
+                    flush_run()
+                return
+            flush_run()
+            self._replay(e)
+
+        for e in entries:
+            n += 1
+            feed(e)
+        flush_run()
+        return n
+
     def _replay(self, e: dict):
         op = e.get("op")
         try:
@@ -1250,7 +1494,9 @@ class Database:
                 self._pending_large_ops.pop(e["id"], None)
             elif op == "rename_table":
                 key = (e["space"], e["old"])
-                t = self._tables.pop(key, None)
+                t = self._tables.get(key)  # materialize: snap is name-keyed
+                if key in self._tables:
+                    del self._tables[key]
                 self._schemas.pop(key, None)
                 if t is not None:
                     self._tables[(e["space"], e["new"])] = t
@@ -1382,18 +1628,24 @@ class Database:
         cache = self._fk_rev_cache
         if cache is None:
             cache = {}
-            for (space, name), t in self._tables.items():
-                for fk in t.schema.foreign_keys:
+            # built from the SCHEMA catalog (covers lazily-pending tables);
+            # the referencing table itself materializes only when a parent
+            # delete actually needs to touch it
+            for (space, name), schema in list(self._schemas.items()):
+                for fk in schema.foreign_keys:
                     cache.setdefault(fk.references_table, []).append(
-                        (space, name, t, fk)
+                        (space, name, fk)
                     )
             self._fk_rev_cache = cache
         return cache.get(ref_table, [])
 
     def _fk_on_delete(self, table: Table, pk, record: dict):
         """Enforce referencing tables' on_delete actions."""
-        for space, name, t, fk in list(self._fk_referencing(table.schema.name)):
+        for space, name, fk in list(self._fk_referencing(table.schema.name)):
             if space not in (self.current_space, GLOBAL_SPACE):
+                continue
+            t = self._tables.get((space, name))
+            if t is None:
                 continue
             ref_field = fk.references_field or table.schema.primary_key.name
             refv = pk if ref_field == table.schema.primary_key.name else record.get(ref_field)
@@ -2153,11 +2405,13 @@ class Database:
         Tables warm hottest-first by recorded access weights (reference
         prewarm consumer data_store_impl.dart:5723 orders by weight)."""
         with self._lock:
-            tables = (
-                [self._table(table)]
-                if table
-                else [t for (_, n), t in self._tables.items()]
-            )
+            if table:
+                tables = [self._table(table)]
+            else:
+                # explicit prewarm = the reference's loadDataToCache:
+                # materialize lazily-pending tables too
+                self._tables.materialize_all()
+                tables = [t for (_, n), t in self._tables.items()]
         tables.sort(key=lambda t: -self.weights.table_weight(t.schema.name))
         for t in tables:
             with self._lock:  # flush mutates pending dicts shared with CRUD
@@ -2453,29 +2707,72 @@ class Database:
         to the caller). The action must therefore be idempotent side-effect
         free outside the transaction. Business/validation failures never
         retry: only optimistic-concurrency conflicts do.
+
+        Pessimistic escalation (reference lock_manager.dart:38-44): from
+        the `escalate_after`-th conflict on, the retry serializes through
+        short exclusive locks on the keys it has conflicted over — hot
+        read-modify-write rows stop burning optimistic work (r4 measured
+        57% aborts on the hot-row shape) and commit in lock order instead.
+        Locks are held only for the attempt and sorted for deadlock
+        freedom; direct writers never take them, so this is purely a
+        goodput escalation, not a new consistency mechanism.
         """
         if action is None:
             return self._transaction_cm()
         attempt = 0
+        hot_keys: tuple = ()
         while True:
+            locks = self._acquire_hot_locks(hot_keys) if hot_keys else []
             try:
-                with self._transaction_cm() as tx:
-                    result = action(tx)
-                return TransactionResult(
-                    True, result, tx_id=tx.tx_id, retries=attempt
-                )
-            except BusinessError as e:
-                if getattr(e, "code", None) == "txn_conflict" and attempt < retries:
-                    attempt += 1
-                    self._bump("txn_retries")  # runs outside the engine lock
-                    import random
+                try:
+                    with self._transaction_cm() as tx:
+                        result = action(tx)
+                    return TransactionResult(
+                        True, result, tx_id=tx.tx_id, retries=attempt
+                    )
+                except BusinessError as e:
+                    if getattr(e, "code", None) == "txn_conflict" and attempt < retries:
+                        attempt += 1
+                        self._bump("txn_retries")  # runs outside the engine lock
+                        if attempt >= self.config.txn_escalate_after:
+                            hot_keys = tuple(sorted(
+                                set(hot_keys)
+                                | set(getattr(e, "conflict_keys", ())),
+                                key=repr,
+                            ))
+                            self._bump("txn_escalations")
+                            continue  # the lock provides the ordering: no sleep
+                        import random
 
-                    delay = min(backoff * (2 ** (attempt - 1)), max_backoff)
-                    time.sleep(delay * (0.5 + random.random()))
-                    continue
-                return TransactionResult(False, None, str(e), retries=attempt)
-            except (UniqueViolation, ValidationError) as e:
-                return TransactionResult(False, None, str(e), retries=attempt)
+                        delay = min(backoff * (2 ** (attempt - 1)), max_backoff)
+                        time.sleep(delay * (0.5 + random.random()))
+                        continue
+                    return TransactionResult(False, None, str(e), retries=attempt)
+                except (UniqueViolation, ValidationError) as e:
+                    return TransactionResult(False, None, str(e), retries=attempt)
+            finally:
+                for lk in reversed(locks):
+                    lk.release()
+
+    def _acquire_hot_locks(self, keys) -> list:
+        """Exclusive per-(table, pk) escalation locks, acquired in sorted
+        order (deadlock freedom). The registry is pruned of unheld locks
+        when it grows past a few thousand keys."""
+        locks = []
+        for key in keys:
+            with self._hot_lock_guard:
+                lk = self._hot_locks.get(key)
+                if lk is None:
+                    if len(self._hot_locks) > 4096:
+                        for k in [
+                            k for k, v in self._hot_locks.items()
+                            if not v.locked()
+                        ]:
+                            del self._hot_locks[k]
+                    lk = self._hot_locks[key] = threading.Lock()
+            lk.acquire()
+            locks.append(lk)
+        return locks
 
     def _release_txn(self, txn: _Txn):
         for key in txn.reservations:
@@ -2557,12 +2854,18 @@ class Database:
                             hit = self._pred_conflicts(txn.pred_reads, wset)
                         if hit:
                             (_, tname), cpk = next(iter(hit))
-                            raise BusinessError(
+                            err = BusinessError(
                                 f"transaction conflict on {tname} pk={cpk!r}: "
                                 "a concurrent commit wrote a record this "
                                 "transaction wrote or read",
                                 code="txn_conflict",
                             )
+                            # the conflicting keys drive pessimistic
+                            # escalation in transaction(retries=) (reference
+                            # lock_manager.dart:38-44 takes row locks for
+                            # exactly this)
+                            err.conflict_keys = frozenset(hit)
+                            raise err
                 txn.buffering = False  # oplog now replays eagerly
                 try:
                     for op in txn.oplog:
@@ -2644,10 +2947,18 @@ class Database:
         with self._lock, self._timed("flush"):
             from urllib.parse import quote
 
+            if force_all:
+                # rewrite-everything flushes (key rotation re-seals) must
+                # see every table, including lazily-pending ones
+                self._tables.materialize_all()
             tdir = os.path.join(self.db_dir, "tables")
             self._storage.makedirs(tdir)
             catalog: dict[str, dict[str, str]] = {}
             written = 0
+            # unloaded tables are clean by definition: carry their catalog
+            # entries forward untouched
+            for (space, name), rel in self._tables.pending.items():
+                catalog.setdefault(space, {})[name] = rel
             for (space, name), t in self._tables.items():
                 rel = "tables/" + quote(space, safe="") + "@" + quote(name, safe="") + ".snap"
                 catalog.setdefault(space, {})[name] = rel
@@ -2685,6 +2996,7 @@ class Database:
             )
 
     def _snapshot_state(self) -> dict:
+        self._tables.materialize_all()  # backups cover every table
         tables = {}
         for (space, name), t in self._tables.items():
             tables.setdefault(space, {})[name] = self._pack_table(t)
@@ -2944,6 +3256,7 @@ class Database:
                 continue
             tables[f"{space}/{name}"] = {
                 "records": len(t.store),
+                "loaded": True,
                 "vector_indexes": {
                     f: {
                         "type": vi.index_type,
@@ -2952,6 +3265,16 @@ class Database:
                     }
                     for f, vi in t.vector_indexes.items()
                 },
+            }
+        for (space, name) in list(self._tables.pending):
+            if name.startswith(SYSTEM_PREFIX) or f"{space}/{name}" in tables:
+                continue
+            # never-touched lazy tables: report the checkpointed count
+            # without forcing a load
+            tables[f"{space}/{name}"] = {
+                "records": self._catalog_rows.get((space, name), 0),
+                "loaded": False,
+                "vector_indexes": {},
             }
         return {
             "config": {

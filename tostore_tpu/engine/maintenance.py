@@ -225,6 +225,7 @@ class IntegrityChecker:
         }
 
     def check_database(self, db) -> dict:
+        db._tables.materialize_all()  # a deep check covers lazy tables too
         reports = [
             self.check_table(t)
             for (space, name), t in db._tables.items()

@@ -165,6 +165,45 @@ def read_wal_segments(
     return entries, errors
 
 
+def iter_wal(path: str, unwrap=None, storage: Storage = FILE):
+    """Stream one log file's intact entry prefix (generator — recovery
+    memory stays bounded by one decoded entry, not the whole log; the
+    reference decodes WAL in isolate batches for the same reason,
+    wal_decode_batch_runner.dart:304). Yields entries; raises _TornTail
+    internally-counted via iter_wal_segments — a torn/corrupt tail simply
+    ends the stream and bumps the error count the caller receives through
+    the `errors` list argument."""
+    if not storage.exists(path):
+        return
+    unwrap = unwrap or (lambda b: b)
+    data = storage.read(path)
+    for p in codec.iter_frames(data):
+        try:
+            yield codec.loads(unwrap(p))
+        except (ValueError, IndexError):
+            raise TornTail()  # undecryptable/corrupt entry: intact prefix only
+
+
+class TornTail(Exception):
+    """Internal: a segment's tail failed to decode (counted, not fatal)."""
+
+
+def iter_wal_segments(
+    wal_dir: str, start_seq: int, unwrap=None, storage: Storage = FILE,
+    errors: list | None = None,
+):
+    """Stream entries from every segment >= start_seq in order; decode
+    errors end that segment's stream and append to `errors` (if given)."""
+    for seq, path in list_segments(wal_dir, storage):
+        if seq < start_seq:
+            continue
+        try:
+            yield from iter_wal(path, unwrap=unwrap, storage=storage)
+        except TornTail:
+            if errors is not None:
+                errors.append(path)
+
+
 class WalReadResult:
     __slots__ = ("entries", "errors")
 

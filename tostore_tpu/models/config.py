@@ -91,6 +91,9 @@ class DataStoreConfig:
     # `maintenance_defer_s` or maintenance exceeds this time share
     maintenance_share: float = 0.15
     maintenance_defer_s: float = 0.25
+    # transaction(retries=) escalates to per-row pessimistic locks from
+    # this conflict count on (reference lock_manager.dart:38-44)
+    txn_escalate_after: int = 2
     tombstone_compact_ratio: float = 0.10  # reference vim:897 10% threshold
 
     # startup prewarm (reference loadDataToCache at open, dsi:908): warm
