@@ -467,7 +467,15 @@ class TestBackgroundRetrain:
         idx = IVFVectorIndex(d, metric="l2", num_clusters=8, nprobe=8,
                              min_train_size=100)
         idx.defer_retrain = True
-        idx.upsert(list(range(400)), x[:400])   # initial inline train
+        idx.upsert(list(range(400)), x[:400])
+        # engine-owned: even the INITIAL train defers to background
+        # maintenance (bulk loads build once at the end); searches stay
+        # exact via the flat fallback meanwhile
+        assert not idx.trained
+        assert idx.needs_retrain()
+        assert idx.search(x[77], top_k=1)[0].primary_key == 77  # flat fallback
+        cap0 = idx.capture_build_state()
+        assert idx.install_retrained(cap0, idx.build_retrained(cap0))
         assert idx.trained
         idx.upsert(list(range(400, n)), x[400:])  # 4x growth: deferred
         assert idx.needs_retrain()  # inline retrain skipped
@@ -517,10 +525,16 @@ class TestBackgroundRetrain:
             db.batch_insert("docs", [
                 {"id": i + 1, "emb": x[i].tolist()} for i in range(300)
             ])
-            db.vector_search("docs", "emb", x[0], top_k=1)  # flush + train
+            # searches flush but DON'T train engine-owned indexes (exact
+            # flat fallback until background maintenance builds — bulk
+            # loads never pay a k-means inside a search)
+            hit0 = db.vector_search("docs", "emb", x[0], top_k=1)[0]
+            assert hit0.primary_key == 1
             t = [v for k, v in db.engine._tables.items() if k[1] == "docs"][0]
             vi = next(iter(t.vector_indexes.values()))
-            assert vi.defer_retrain and vi.trained
+            assert vi.defer_retrain and not vi.trained
+            assert db.engine.run_vector_maintenance() == 1  # initial build
+            assert vi.trained
             db.batch_insert("docs", [
                 {"id": i + 1, "emb": x[i].tolist()} for i in range(300, 2400)
             ])
@@ -528,7 +542,7 @@ class TestBackgroundRetrain:
             assert vi.needs_retrain()
             assert db.engine.run_vector_maintenance() == 1
             assert not vi.needs_retrain()
-            assert db.engine._counters["background_retrains"] == 1
+            assert db.engine._counters["background_retrains"] == 2
             hit = db.vector_search("docs", "emb", x[1234], top_k=1)[0]
             assert hit.primary_key == 1235
         finally:
@@ -541,8 +555,8 @@ class TestBackgroundCompaction:
         x = rng.standard_normal((n, d)).astype(np.float32)
         idx = IVFVectorIndex(d, metric="l2", num_clusters=8, nprobe=8,
                              min_train_size=100)
-        idx.defer_retrain = True
-        idx.upsert(list(range(n)), x)
+        idx.upsert(list(range(n)), x)  # inline initial train
+        idx.defer_retrain = True  # engine-owned from here on
         idx.delete(list(range(0, n, 3)))  # 33% tombstones
         assert idx.needs_compact(0.10)
         cap_before = idx.corpus.capacity
@@ -596,10 +610,11 @@ class TestBackgroundCompaction:
             db.batch_insert("docs", [
                 {"id": i + 1, "emb": x[i].tolist()} for i in range(800)
             ])
-            db.vector_search("docs", "emb", x[0], top_k=1)  # flush + train
+            db.vector_search("docs", "emb", x[0], top_k=1)  # flush
+            assert db.engine.run_vector_maintenance() == 1  # initial build
             for pk in range(1, 300):
                 db.delete_by_pk("docs", pk)
-            db.vector_search("docs", "emb", x[0], top_k=1)  # flush deletes
+            db.vector_search("docs", "emb", x[300], top_k=1)  # flush deletes
             t = [v for k, v in db.engine._tables.items() if k[1] == "docs"][0]
             vi = next(iter(t.vector_indexes.values()))
             assert vi.needs_compact(0.10)

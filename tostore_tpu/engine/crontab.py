@@ -91,7 +91,8 @@ class CrontabManager:
             for due, attr, job in (
                 (cfg.ttl_cleanup_interval_s, "_last_ttl", self.db.run_ttl_cleanup),
                 (COMPACT_EVERY_S, "_last_compact", self.db.run_compaction),
-                (VECTOR_MAINT_EVERY_S, "_last_vecmaint", self.db.run_vector_maintenance),
+                (VECTOR_MAINT_EVERY_S, "_last_vecmaint",
+                 lambda: self.db.run_vector_maintenance(wait_quiescent=True)),
                 (VECTOR_FLUSH_EVERY_S, "_last_vecflush", self.db.run_vector_flush),
                 (CACHE_MAINT_EVERY_S, "_last_cachemaint", self.db.run_cache_maintenance),
                 (FLUSH_AGE_S, "_last_flush", self._maybe_flush),

@@ -2540,9 +2540,18 @@ class Database:
                 self._note_read(self._tkey(t))  # predicate read
                 idx = t.vector_index_for(field)
                 pending_del, pending_filt = self._flush_or_defer(t, idx, field)
-                if getattr(idx, "trained", True) is False and len(idx):
+                if (
+                    getattr(idx, "trained", True) is False
+                    and len(idx)
+                    and not getattr(idx, "defer_retrain", False)
+                ):
+                    # library-style index: lazy first train (search() must
+                    # not mutate). Engine-owned indexes serve the exact
+                    # flat fallback until background maintenance builds —
+                    # a bulk load must never pay k-means inside a search
+                    # (r4 soak: 250 s of train under the engine lock)
                     with rw(idx).write():
-                        idx.train()  # pre-train here: search() must not mutate
+                        idx.train()
                 slot_mask = self._vector_slot_mask(t, idx, field, condition)
                 kwargs = {}
                 if nprobe is not None and idx.index_type in ("ivf", "sharded_ivf"):
@@ -2611,6 +2620,11 @@ class Database:
     # DELETES never surface: the capture returns them for post-filtering.
     VEC_FLUSH_FORCE_ROWS = 512
     VEC_FLUSH_FORCE_AGE_S = 1.0
+    # background retrain/compact waits for this quiet window after the
+    # last corpus mutation (bulk loads build ONCE at the end), bounded so
+    # steady writers can't starve maintenance forever
+    VEC_MAINT_QUIESCENCE_S = 2.0
+    VEC_MAINT_MAX_SKIPS = 10
 
     def _flush_or_defer(self, t, idx, field):
         """Called under the engine lock. Returns (pending-delete pks,
@@ -3209,7 +3223,7 @@ class Database:
                 done += 1
         return done
 
-    def run_vector_maintenance(self) -> int:
+    def run_vector_maintenance(self, wait_quiescent: bool = False) -> int:
         """Background IVF retrains without stalling the engine: capture the
         immutable device arrays under the lock, run the multi-second
         train + bucket build OUTSIDE it, swap the new layout in if the
@@ -3223,9 +3237,26 @@ class Database:
                 for vi in t.vector_indexes.values():
                     if not getattr(vi, "defer_retrain", False):
                         continue
+                    if not (vi.needs_retrain() or vi.needs_compact(ratio)):
+                        continue
+                    # quiescence gate: mid-bulk-load RCU builds churn (the
+                    # install fails its mutation check anyway) — wait for a
+                    # short quiet window, but never starve a steady-write
+                    # workload (bounded skips)
+                    q = getattr(vi, "quiescent_s", None)
+                    if (
+                        wait_quiescent
+                        and q is not None
+                        and q() < self.VEC_MAINT_QUIESCENCE_S
+                    ):
+                        skips = getattr(vi, "_maint_skips", 0)
+                        if skips < self.VEC_MAINT_MAX_SKIPS:
+                            vi._maint_skips = skips + 1
+                            continue
+                    vi._maint_skips = 0
                     if vi.needs_retrain():
                         jobs.append(("retrain", vi, vi.capture_build_state()))
-                    elif vi.needs_compact(ratio):
+                    else:
                         jobs.append(("compact", vi, vi.capture_compact_state()))
         done = 0
         for kind, vi, cap in jobs:

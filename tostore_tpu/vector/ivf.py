@@ -47,6 +47,7 @@ Build-time ceiling analysis (v5e, 1M x 768 bf16, C=1024, warm):
 from __future__ import annotations
 
 import functools
+import time
 
 import numpy as np
 import jax
@@ -593,6 +594,7 @@ class IVFVectorIndex:
         self._slot_pos: np.ndarray | None = np.zeros(0, np.int32)
         self._slot_dev: tuple | None = None
         self._trained_size = 0
+        self._last_mut_t = 0.0  # quiescence gate for background maintenance
         self.pq: PQCodebook | None = None
         self.codes: jax.Array | None = None  # [Ncap, M] u8 (PQ mode)
         # bucket-contiguous vector copy (inverted-list layout; ~BALANCE x
@@ -681,6 +683,18 @@ class IVFVectorIndex:
         rng = np.random.default_rng(42)
         sample = live if len(live) <= 65536 else rng.choice(live, 65536, replace=False)
         init = rng.choice(len(sample), min(num_c, len(sample)), replace=False)
+        # pad the sample to a power of two by REPEATING entries: the Lloyd
+        # program then compiles once per (pow2 sample, k, d) instead of
+        # once per corpus size — a fresh k-means compile through the
+        # remote-TPU tunnel costs minutes and dominated bulk-load retrains.
+        # Duplicated rows upweight those points infinitesimally; k-means
+        # here only seeds ANN buckets.
+        m = len(sample)
+        bucket = 1 << max(m - 1, 0).bit_length()
+        if bucket > m:
+            sample = np.concatenate(
+                [sample, sample[rng.integers(0, m, bucket - m)]]
+            )
         cents = _kmeans_sampled(
             c.vectors, c.scales if c.scales is not None else c.valid,
             jnp.asarray(sample, jnp.int32), jnp.asarray(init, jnp.int32),
@@ -759,19 +773,40 @@ class IVFVectorIndex:
 
     def _maybe_retrain(self):
         """Retrain when corpus grew 4x past the training snapshot (reference
-        retrain-on-mismatch analogue, vector_index_manager.dart:703). The
-        initial train is always inline (the index cannot search without
-        it); the growth retrain defers to background maintenance when the
-        engine owns the index."""
+        retrain-on-mismatch analogue, vector_index_manager.dart:703).
+
+        Engine-owned indexes (defer_retrain) never train on the WRITE
+        path — including the INITIAL train: during a bulk load every
+        mid-load train is wasted work (the r4 soak burned 400+ s of
+        k-means compile/train inside ingest flushes), and searches are
+        exact via the flat fallback until background maintenance runs the
+        one build that matters (reference batches writeChanges the same
+        way, vector_index_manager.dart:297). Library-direct indexes keep
+        the inline behavior."""
+        if self.defer_retrain:
+            return
         n = len(self.corpus)
         if not self.trained:
             if n >= self.min_train_size:
                 self.train()
-        elif n >= 4 * max(self._trained_size, 1) and not self.defer_retrain:
+        elif n >= 4 * max(self._trained_size, 1):
             self.train(force=True)
 
+    def _note_mutation(self):
+        self._mutations += 1
+        self._last_mut_t = time.monotonic()
+
+    def quiescent_s(self) -> float:
+        """Seconds since the last corpus mutation — background
+        maintenance waits for a short quiet window so mid-bulk-load RCU
+        builds don't churn (their install would fail the mutation check
+        anyway)."""
+        return time.monotonic() - self._last_mut_t
+
     def needs_retrain(self) -> bool:
-        return self.trained and len(self.corpus) >= 4 * max(self._trained_size, 1)
+        if not self.trained:
+            return len(self.corpus) >= self.min_train_size
+        return len(self.corpus) >= 4 * max(self._trained_size, 1)
 
     # --- background (off-lock) retrain: RCU over immutable device arrays ---
 
@@ -824,7 +859,7 @@ class IVFVectorIndex:
             return False
         for attr in self._LAYOUT_ATTRS:
             setattr(self, attr, getattr(shadow, attr))
-        self._mutations += 1
+        self._note_mutation()
         return True
 
     def _shadow(self) -> "IVFVectorIndex":
@@ -930,7 +965,7 @@ class IVFVectorIndex:
         c.deleted_count = 0
         for attr in self._LAYOUT_ATTRS:
             setattr(self, attr, getattr(shadow, attr))
-        self._mutations += 1
+        self._note_mutation()
         return True
 
     # --- bucket maintenance -----------------------------------------------------
@@ -1181,7 +1216,7 @@ class IVFVectorIndex:
     # --- mutation ------------------------------------------------------------------
 
     def upsert(self, pks, vectors: np.ndarray):
-        self._mutations += 1
+        self._note_mutation()
         pks = list(pks)
         existing = [pk for pk in pks if pk in self.corpus._pk_slot]
         slots = self.corpus.upsert(pks, vectors)
@@ -1248,7 +1283,7 @@ class IVFVectorIndex:
         return slots
 
     def delete(self, pks) -> int:
-        self._mutations += 1
+        self._note_mutation()
         # vacate bucket entries eagerly: a freed slot may be reused by a new
         # vector, and a stale entry would surface it from the wrong cluster
         slots = self.corpus.slots_for_pks(pks)
@@ -1273,7 +1308,7 @@ class IVFVectorIndex:
         return n
 
     def compact(self):
-        self._mutations += 1
+        self._note_mutation()
         self.corpus.compact()
         if self.trained:
             self._rebuild_buckets()
@@ -1305,7 +1340,10 @@ class IVFVectorIndex:
                 np.full((b, k), -1, np.int64),
                 np.full((b, k), None, dtype=object),
             )
-        if not self.trained and mode != "exact":
+        if not self.trained and mode != "exact" and not self.defer_retrain:
+            # library-direct index: lazy first train. Engine-owned indexes
+            # stay on the exact flat fallback until background maintenance
+            # trains them (bulk-load searches must not pay a k-means)
             self.train()
         b_est = 1 if np.asarray(q).ndim == 1 else np.asarray(q).shape[0]
         np_est = min(
