@@ -907,6 +907,123 @@ def config11_engine_concurrent():
     }
 
 
+def config11b_engine_concurrent_local():
+    """#11b: CO-LOCATED engine concurrency (VERDICT r4 #7): the same
+    shapes as #11 against the CPU backend in this process, so the
+    ~30-90 ms TPU tunnel round trip is out of the loop and the numbers
+    separate ENGINE overhead from transport. Reports raw-kernel vs
+    through-the-engine per-search latency (the difference is the
+    engine's per-search overhead budget: lock acquisition, plan, flush
+    check, result mapping) and 1->8 thread scaling where the only
+    pipelining available is host compute overlapping host compute."""
+    import threading
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from tostore_tpu import (
+        DataType, FieldSchema, IndexSchema, TableSchema, ToStoreTPU,
+        VectorFieldConfig, VectorIndexConfig,
+    )
+    d = 256
+    n = 50_000
+    schema = TableSchema(
+        name="docs",
+        fields=(
+            FieldSchema("grp", DataType.integer),
+            FieldSchema("emb", DataType.vector,
+                        vector_config=VectorFieldConfig(dimensions=d)),
+        ),
+        indexes=(
+            IndexSchema(fields=("emb",), type="vector",
+                        vector_config=VectorIndexConfig(
+                            # exact = pure-XLA path: on the CPU backend the
+                            # Pallas fused kernel runs in interpret mode
+                            # (~370 ms/query of interpreter cost, not engine)
+                            index_type="flat", metric="l2",
+                            search_mode="exact")),
+        ),
+    )
+    db = ToStoreTPU.memory(schemas=[schema])
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    for lo in range(0, n, 10_000):
+        db.batch_insert("docs", [
+            {"id": i, "grp": i % 10, "emb": X[i]}
+            for i in range(lo, lo + 10_000)
+        ])
+    for _ in range(3):
+        db.vector_search("docs", "emb", X[0], top_k=10)
+
+    # raw kernel on the same resident arrays (no engine around it)
+    t = [v for k_, v in db.engine._tables.items() if k_[1] == "docs"][0]
+    idx = next(iter(t.vector_indexes.values()))
+
+    def raw_once(v):
+        s = idx.search_arrays(jnp.asarray(v[None, :]), k=10)[0]
+        return float(s[0, 0])
+
+    raw_once(X[0])
+    reps = 200
+    t0 = time.time()
+    for j in range(reps):
+        raw_once(X[j % n])
+    raw_ms = (time.time() - t0) / reps * 1e3
+
+    t0 = time.time()
+    for j in range(reps):
+        db.vector_search("docs", "emb", X[j % n], top_k=10)
+    eng_ms = (time.time() - t0) / reps * 1e3
+
+    def qps(nthreads, dur=5.0):
+        stop = threading.Event()
+        counts = [0] * nthreads
+        errs = []
+
+        def searcher(i):
+            r = np.random.default_rng(i)
+            try:
+                while not stop.is_set():
+                    db.vector_search(
+                        "docs", "emb", X[r.integers(0, n)], top_k=10
+                    )
+                    counts[i] += 1
+            except Exception as e:  # pragma: no cover
+                errs.append(repr(e))
+
+        ths = [threading.Thread(target=searcher, args=(i,))
+               for i in range(nthreads)]
+        t0 = time.time()
+        for th in ths:
+            th.start()
+        time.sleep(dur)
+        stop.set()
+        for th in ths:
+            th.join(30)
+        if errs:
+            raise RuntimeError(errs[0])
+        return sum(counts) / (time.time() - t0)
+
+    q1 = qps(1)
+    q8 = qps(8)
+    db.close()
+    return {
+        "config": "engine_concurrent_local_cpu_50kx256_f32",
+        "raw_kernel_ms": round(raw_ms, 3),
+        "engine_search_ms": round(eng_ms, 3),
+        "engine_overhead_us": round((eng_ms - raw_ms) * 1e3, 0),
+        "qps_1_thread": round(q1, 1),
+        "qps_8_threads": round(q8, 1),
+        "scaling_1_to_8": round(q8 / max(q1, 1e-9), 2),
+        "note": "CPU backend, no tunnel: engine adds (engine_search_ms - "
+                "raw_kernel_ms) of host work per search — lock, plan, "
+                "pending-flush check, score mapping, result build. "
+                "Thread scaling here is bounded by XLA-CPU compute "
+                "already using all cores for one query plus the GIL on "
+                "the host slice; #11's TPU scaling is the deployment "
+                "number (device dispatch pipelining).",
+    }
+
+
 def config12_scale_soak():
     """#12: reference-envelope scale soak (VERDICT r3 #4; reference
     README.md:1527-1531 '100 million records' claim): a 10M-row
@@ -1363,6 +1480,7 @@ CONFIGS = {
     "9": config9_txn,
     "10": config10_mesh_probe,
     "11": config11_engine_concurrent,
+    "11b": config11b_engine_concurrent_local,
     "12": config12_scale_soak,
     "13": config13_index_build,
     "14": config14_relational_query,
