@@ -1,0 +1,161 @@
+"""Certified-exact hardware-binned scan prototype v2 (strided layout).
+
+bin(i) = i % m within each chunk (probed with one-hot inputs at B=256,
+stable across tiles — _exp_certx2.py). Algorithm per chunk: fused matmul ->
+approx_max_k(aggregate_to_topk=False) emits ALL m bin winners; concat
+across chunks, one global top_k(R) picks R winner bins; gather the R*L rows
+of those bins; exact rescore; top_k(k). Exact because every excluded row
+<= its bin winner <= the R-th selected winner <= the k-th candidate.
+
+Sweep ch x R at B in {64, 128, 256}, verify score-exactness vs
+flat_topk_xla (random + adversarial same-bin collisions).
+"""
+
+import functools
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+from tostore_tpu.ops.topk import (
+    flat_topk_hwpr, flat_topk_lane, flat_topk_xla, NEG_INF,
+)
+
+
+def bench(fn, *args, iters=50):
+    out = fn(*args)
+    float(jnp.sum(out[0]))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(*args)
+        float(jnp.sum(out[0]))
+        best = min(best, (time.time() - t0) / iters)
+    return best * 1e3
+
+
+@functools.partial(jax.jit, static_argnames=("k", "alpha", "r_bins", "kc",
+                                             "rt", "ch"))
+def flat_topk_certx(q, corpus, bias, *, k, alpha=1.0, r_bins=16, kc=32,
+                    rt=0.95, ch=65536, row_scale=None):
+    b, d = q.shape
+    n = corpus.shape[0]
+    assert n % ch == 0
+    R = max(k, r_bins)
+    qc = q.astype(corpus.dtype)
+
+    def chunk_winners(cblk, bblk, sblk):
+        s = jnp.dot(qc, cblk.T, preferred_element_type=jnp.float32)
+        if row_scale is not None:
+            s = s * sblk[None, :]
+        s = alpha * s + bblk[None, :]
+        wv, wi = jax.lax.approx_max_k(s, kc, recall_target=rt,
+                                      aggregate_to_topk=False)
+        return wv, wi.astype(jnp.int32)
+
+    nch = n // ch
+    cr = corpus.reshape(nch, ch, d)
+    br = bias.reshape(nch, ch)
+    sr = (row_scale.reshape(nch, ch) if row_scale is not None
+          else jnp.zeros((nch, 1), jnp.float32))
+
+    def body(carry, inp):
+        cblk, bblk, sblk = inp
+        return carry, chunk_winners(cblk, bblk, sblk)
+
+    _, (ws, wi) = jax.lax.scan(body, 0, (cr, br, sr))
+    m = ws.shape[-1]
+    L = ch // m
+    ws = ws.transpose(1, 0, 2).reshape(b, nch * m)
+    wi = wi.transpose(1, 0, 2).reshape(b, nch * m)  # within-chunk ids
+
+    gv, gp = jax.lax.top_k(ws, R)                  # [B, R] winner slots
+    cid = gp // m                                   # chunk of each winner
+    wiw = jnp.take_along_axis(wi, gp, axis=1)       # within-chunk row id
+    bin0 = wiw % m
+    rows = (cid * ch + bin0)[:, :, None] + \
+        (m * jnp.arange(L, dtype=jnp.int32))[None, None, :]
+    rows = rows.reshape(b, R * L)
+
+    # dedup (CPU exact-fallback can put two winners in one arithmetic bin)
+    order = jnp.argsort(rows, axis=1)
+    rs = jnp.take_along_axis(rows, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), rs[:, 1:] == rs[:, :-1]], axis=1)
+    g = jnp.take(corpus, rs, axis=0)                # [B, R*L, D]
+    sc = jnp.einsum("brd,bd->br", g, qc,
+                    preferred_element_type=jnp.float32)
+    if row_scale is not None:
+        sc = sc * jnp.take(row_scale, rs, axis=0)
+    sc = alpha * sc + jnp.take(bias, rs, axis=0)
+    sc = jnp.where(dup, NEG_INF, sc)
+    ts, tp2 = jax.lax.top_k(sc, k)
+    ti2 = jnp.take_along_axis(rs, tp2, axis=1)
+    return ts, ti2
+
+
+def main():
+    n, d, k = 1003520, 768, 10   # 1003520 = 2^11 * 490 = divisible by 32768? 1003520/32768=30.625 no!
+    # pick n divisible by candidate chunk sizes: use 1048576 (1M) and also
+    # the headline 1003520 with ch that divides it
+    rng = np.random.default_rng(1)
+
+    for n in (1048576,):
+        corpus = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.bfloat16)
+        bias = jnp.zeros(n, jnp.float32)
+
+        print(f"--- exactness, n={n}", flush=True)
+        q = jnp.asarray(rng.standard_normal((256, d)), np.float32)
+        es, _ = flat_topk_xla(q, corpus, bias, 1.0, k)
+        esn = np.asarray(es)
+        for ch in (32768, 65536, 131072):
+            cs, _ = flat_topk_certx(q, corpus, bias, k=k, ch=ch)
+            ok = np.allclose(esn, np.asarray(cs), atol=1e-3, rtol=1e-5)
+            md = np.max(np.abs(esn - np.asarray(cs)))
+            print(f"  ch={ch}: exact={ok} maxdiff={md:.5f}", flush=True)
+
+        # adversarial: plant 64 near-identical best rows in ONE bin
+        # (same residue class mod m) of one chunk
+        cadv = np.asarray(corpus, np.float32).copy()
+        qa = rng.standard_normal((8, d)).astype(np.float32)
+        target = qa[0] / np.linalg.norm(qa[0]) * 40.0
+        m_guess = 1024
+        hot = 5 + m_guess * np.arange(64) + 65536 * 3   # one bin, chunk 3
+        cadv[hot] = target[None, :] + \
+            rng.standard_normal((64, d)).astype(np.float32) * 0.01
+        cadv_j = jnp.asarray(cadv, jnp.bfloat16)
+        es2, ei2 = flat_topk_xla(qa, cadv_j, bias, 1.0, k)
+        cs2, ci2 = flat_topk_certx(qa, cadv_j, bias, k=k, ch=65536)
+        ok = np.allclose(np.asarray(es2), np.asarray(cs2), atol=1e-3, rtol=1e-5)
+        print(f"  adversarial same-bin x64: exact={ok} "
+              f"(idx agree={np.mean(np.sort(np.asarray(ei2),1)==np.sort(np.asarray(ci2),1)):.3f})",
+              flush=True)
+        hs2, hi2 = flat_topk_hwpr(qa, cadv_j, bias, k=k)
+        print(f"  (hwpr on same adversarial: score match="
+              f"{np.allclose(np.asarray(es2), np.asarray(hs2), atol=1e-3)})",
+              flush=True)
+
+        print(f"--- timing, n={n}", flush=True)
+        for b in (64, 128, 256):
+            q = jnp.asarray(rng.standard_normal((b, d)), np.float32)
+            ms_lane = bench(functools.partial(flat_topk_lane, k=k), q, corpus, bias)
+            ms_hwpr = bench(functools.partial(flat_topk_hwpr, k=k), q, corpus, bias)
+            print(f"B={b}: lane {ms_lane:6.2f} ({b/ms_lane*1e3:6.0f} QPS) | "
+                  f"hwpr {ms_hwpr:6.2f} ({b/ms_hwpr*1e3:6.0f} QPS)", flush=True)
+            for ch in (32768, 65536, 131072):
+                for r_bins in (16, 32):
+                    fn = functools.partial(flat_topk_certx, k=k, ch=ch,
+                                           r_bins=r_bins)
+                    ms = bench(fn, q, corpus, bias)
+                    print(f"  certx ch={ch:6d} R={r_bins:2d}: {ms:6.2f} ms "
+                          f"({b/ms*1e3:6.0f} QPS)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -102,6 +102,37 @@ from .runtime import LANE, NEG_INF, interpret_mode, round_up
 # cheaper per element than max/argmax/one_hot x2 or a Mosaic schedule
 # overlapping VPU with MXU across grid steps.
 #
+# Round 5 measured BOTH named levers; BOTH lose, so the dispatch stays
+# (lane scan default, hwpr opt-in at the floor):
+#   (a) Software-pipelined Mosaic schedule (_exp_pipe.py): a variant of
+#   the grouped-emit kernel writes block ni's biased scores to a
+#   parity-indexed VMEM scratch and runs the per-lane top-2 selection
+#   on block ni-1's tile, so the MXU dot and the VPU selection have NO
+#   data dependency in the same grid step. Result: exact (idx agreement
+#   1.0, bit-identical scores) but NO overlap materializes — 6.66 ms at
+#   B=128/blk_n=2048 (6.87 at blk_n=1024) vs the serial group kernel's
+#   7.2 and the XLA lane scan's 3.6; blk_b=256 is VMEM-infeasible (the
+#   two [256, 2048] f32 score scratches push the kernel to 22.08 MB vs
+#   the 16 MB scoped limit). Mosaic issues a step's MXU and VPU work
+#   in order even when independent (the MXU is fed through vector
+#   issue slots), so breaking the dependency buys nothing a Pallas
+#   kernel can cash.
+#   (b) Certified-exact hwpr (_exp_certx*.py): PartialReduce bins ARE
+#   recoverable — a one-hot probe shows bin(i) = i % m with m = 32*kc
+#   stable across tiles at B >= 128, and re-scoring every row of the
+#   top-R bins (R >= k) is provably score-exact (any excluded row <=
+#   its bin max <= the R-th winner). But the economics fail twice:
+#   the winners stage needs SMALL chunks for small bins (L = ch/m rows
+#   rescanned per bin) while the PR unit wants LARGE ones (hwpr at
+#   ch=32k: 3.2-3.8 ms vs 2.8-2.9 at ch=256k), and the exact rescan is
+#   gather-bound — [B, R*L] per-query row gathers materialize
+#   B*R*L*D elements (B=256, R*L=512: 201 MB -> 3.95 ms; take/einsum-
+#   f32/dot_general variants identical, R*L=1024 doubles it). Best
+#   split (ch=32k, R=16): winners 3.07-3.63 ms + rescan 2.07-3.95 ms =
+#   5.1-7.6 ms >= the 5.7 ms lane scan it would replace. A Pallas
+#   fused rescan cannot rescue it: one bin's rows are m-strided, so
+#   the gather degenerates to 1536-byte strided DMAs.
+#
 # mode="fast" (round 4, measured): the TPU HAS that cheaper selection
 # primitive — the PartialReduce top-k unit behind jax.lax.approx_max_k
 # (the TPU-KNN recipe, Chern et al. 2022), whose per-bin max reduction
