@@ -372,6 +372,31 @@ class PkMap:
     def __contains__(self, pk):
         return self.get(pk) is not None
 
+    def contains_many(self, pks) -> np.ndarray:
+        """Vectorized membership for a batch -> bool mask. WAL replay
+        filters whole batch frames against the store; per-pk get() calls
+        cost ~1 s per 500k rows on the recovery path this serves."""
+        n = len(pks)
+        a = self._arr
+        if a is not None:
+            try:
+                keys = np.asarray(pks)
+                ok = keys.dtype.kind in "iu"
+            except (TypeError, ValueError):
+                ok = False
+            if ok:
+                idx = keys.astype(np.int64) - self._base
+                in_win = (idx >= 0) & (idx < len(a))
+                out = np.zeros(n, np.bool_)
+                out[in_win] = a[idx[in_win]] != 0
+                if self._dict:
+                    d = self._dict
+                    for j in np.flatnonzero(~out):
+                        if pks[j] in d:
+                            out[j] = True
+                return out
+        return np.fromiter((pk in self for pk in pks), np.bool_, n)
+
     def __len__(self):
         return self._ndense + len(self._dict)
 
@@ -423,6 +448,9 @@ class ColumnStore:
 
     def __contains__(self, pk):
         return pk in self._pk_row
+
+    def contains_many(self, pks) -> np.ndarray:
+        return self._pk_row.contains_many(pks)
 
     def rowid(self, pk) -> int | None:
         return self._pk_row.get(pk)

@@ -329,6 +329,9 @@ class _TableRegistry(dict):
 
 class Database:
     def __init__(self, config: DataStoreConfig | None = None, storage=None):
+        from ..ops.runtime import enable_compile_cache
+
+        enable_compile_cache()  # remote-TPU starts replay 100s of compiles
         self.config = config or DataStoreConfig()
         # storage seam (reference StorageInterface, storage_interface.dart:
         # 22-159): all persistence bytes flow through this backend. Default
@@ -866,10 +869,20 @@ class Database:
                 resumed += self._resume_large_delete(entry)
             self._pending_large_ops.clear()
             self._counters["resumed_large_delete_rows"] = resumed
-        if entries or legacy:
-            self.flush()  # fold replayed tail into a fresh checkpoint
+        if legacy:
+            self.flush()  # legacy layouts migrate through a full checkpoint
             for p in (legacy_snap, legacy_wal):
                 self._storage.delete(p)
+        elif entries:
+            # DEFER the post-replay checkpoint off the open path: at the 10M
+            # soak it rewrote the whole dirty 10.5M-row snapshot during
+            # recovery (~2/3 of recover_open_s). The reference opens lazily and
+            # journals in the background (data_store_impl.dart:5441,
+            # pjm:1209-1228); seeding the writer's counter makes the crontab
+            # time-based checkpoint (FLUSH_AGE_S) fold the tail shortly
+            # after open. A crash before then replays the same tail again —
+            # identical durability, recovery work bounded by FLUSH_AGE_S.
+            self._wal.entries_since_checkpoint = entries
         if resume_rotation:
             self._finish_pending_rotation()
 
@@ -1355,13 +1368,15 @@ class Database:
                 return
             try:
                 if op == "insert":
-                    fresh = [
-                        (e["pk"], e["rec"]) for e in batch
-                        if e["pk"] not in t.store
-                    ]
+                    seen = t.store.contains_many([e["pk"] for e in batch])
+                    fresh = (
+                        batch if not seen.any()
+                        else [e for e, s in zip(batch, seen) if not s]
+                    )
                     if fresh:
                         t.bulk_apply_insert(
-                            [p for p, _ in fresh], [r for _, r in fresh]
+                            [e["pk"] for e in fresh],
+                            [e["rec"] for e in fresh],
                         )
                 else:  # delete
                     t.bulk_apply_delete([e["pk"] for e in batch])
@@ -1426,10 +1441,11 @@ class Database:
             elif op == "batch_insert_cols":
                 t = self._tables.get((e["space"], e["table"]))
                 if t is not None:
-                    keep = [
-                        j for j, pk in enumerate(e["pks"]) if pk not in t.store
-                    ]
-                    if keep:
+                    seen = t.store.contains_many(e["pks"])
+                    if not seen.any():
+                        t.bulk_apply_insert_cols(e["pks"], e["cols"])
+                    elif not seen.all():
+                        keep = np.flatnonzero(~seen).tolist()
                         cols = {
                             name: [vals[j] for j in keep]
                             for name, vals in e["cols"].items()
@@ -1440,10 +1456,11 @@ class Database:
             elif op == "batch_insert":
                 t = self._tables.get((e["space"], e["table"]))
                 if t is not None:
+                    seen = t.store.contains_many(e["pks"])
                     fresh = [
                         (pk, rec)
-                        for pk, rec in zip(e["pks"], e["recs"])
-                        if pk not in t.store
+                        for pk, rec, s in zip(e["pks"], e["recs"], seen)
+                        if not s
                     ]
                     if fresh:
                         t.bulk_apply_insert(

@@ -47,6 +47,107 @@ def interpret_mode() -> bool:
     return jax.default_backend() != "tpu"
 
 
+@functools.lru_cache(maxsize=None)
+def enable_compile_cache() -> bool:
+    """Turn on JAX's persistent compilation cache for the engine (called at
+    Database init; respects an existing user/app setting). On a tunneled
+    TPU a single remote kernel compile costs 20-40 s and even eager scalar
+    ops cost ~0.05-0.5 s each — a cold engine start replays HUNDREDS of
+    them. Persisting everything (min_compile_time 0: the sub-0.5 s scalar
+    storm is exactly what the default threshold refuses to cache) makes
+    every start after the first hit disk instead of the compiler."""
+    import os
+
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return True  # app already configured a cache — leave it alone
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/jax_comp"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        return True
+    except Exception:
+        return False  # ancient jax / read-only home: compile-only mode
+
+
+# Measured on the tunneled v5e (ROUND_NOTES "Environment facts"): one
+# 201 MB async host->device transfer drained in 47-257 s run to run,
+# while the same bytes as ~50 MB waves drained in 1.5 s (~100 MB/s) —
+# large single RPCs through the tunnel stall; chunked streams pipeline.
+H2D_CHUNK_BYTES = 48 << 20
+
+
+def _chunk_rows(shape, itemsize: int) -> int:
+    """Largest pow2 row count whose chunk stays under H2D_CHUNK_BYTES
+    (pow2 keeps the eager update/slice programs a tiny shape family)."""
+    row_bytes = itemsize
+    for s in shape[1:]:
+        row_bytes *= s
+    c = max(1, H2D_CHUNK_BYTES // max(row_bytes, 1))
+    return 1 << (c.bit_length() - 1)
+
+
+def upload_rows(
+    dest: jax.Array, host: np.ndarray, start_row: int = 0, cast_to=None
+) -> jax.Array:
+    """dest[start_row : start_row+len(host)] = host, streaming the host
+    array in <=H2D_CHUNK_BYTES row chunks. Offsets ride as device scalars
+    so every chunk reuses ONE dynamic_update_slice program per
+    (dest shape, chunk shape). The tail keeps its exact shape (a fresh
+    tail shape costs one sub-second copy-program compile, cached
+    persistently — far cheaper than padding the wire). `cast_to` converts
+    each chunk on DEVICE after transfer (ship the narrow wire dtype)."""
+    rows = host.shape[0]
+    if rows == 0:
+        return dest
+    chunk = _chunk_rows(host.shape, host.dtype.itemsize)
+    zeros_tail = (jnp.int32(0),) * (host.ndim - 1)
+    for off in range(0, rows, chunk):
+        blk = host[off : off + chunk]
+        if not blk.flags.c_contiguous:
+            blk = np.ascontiguousarray(blk)
+        dev = jnp.asarray(blk)
+        if cast_to is not None and dev.dtype != jnp.dtype(cast_to):
+            dev = dev.astype(cast_to)
+        dest = jax.lax.dynamic_update_slice(
+            dest, dev, (jnp.int32(start_row + off),) + zeros_tail
+        )
+    return dest
+
+
+def download_rows(dev: jax.Array, m: int) -> np.ndarray:
+    """np.asarray(dev[:m]) via <=H2D_CHUNK_BYTES row chunks (device->host
+    readbacks through the tunnel stall on large single RPCs exactly like
+    uploads; see H2D_CHUNK_BYTES). Chunks slice with device-scalar
+    offsets: one program per (dev shape, chunk shape)."""
+    if m == 0:
+        return np.zeros((0,) + dev.shape[1:], dev.dtype)
+    chunk = _chunk_rows(dev.shape, jnp.dtype(dev.dtype).itemsize)
+    if m <= chunk:
+        return np.asarray(dev[:m])
+    sizes = (chunk,) + dev.shape[1:]
+    zeros_tail = (jnp.int32(0),) * (dev.ndim - 1)
+    parts = []
+    nfull = m // chunk
+    for i in range(nfull):
+        blk = jax.lax.dynamic_slice(
+            dev, (jnp.int32(i * chunk),) + zeros_tail, sizes
+        )
+        parts.append(np.asarray(blk))
+    rem = m - nfull * chunk
+    if rem:
+        off = nfull * chunk
+        if off + chunk <= dev.shape[0]:
+            blk = jax.lax.dynamic_slice(
+                dev, (jnp.int32(off),) + zeros_tail, sizes
+            )
+            parts.append(np.asarray(blk)[:rem])
+        else:  # dynamic_slice would CLAMP the start; exact static tail
+            parts.append(np.asarray(dev[off:m]))
+    return np.concatenate(parts)
+
+
 def pad_rows(a: np.ndarray | jax.Array, n_rows: int, fill=0):
     """Pad axis 0 of `a` up to `n_rows` with `fill`."""
     cur = a.shape[0]

@@ -28,7 +28,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.runtime import LANE, ROW_BLOCK, round_up
+from ..ops.runtime import (
+    LANE, ROW_BLOCK, download_rows, round_up, upload_rows,
+)
 
 _DTYPES = {
     "float32": jnp.float32,
@@ -102,12 +104,26 @@ class DeviceCorpus:
         used = self._high
         return (self.deleted_count / used) if used else 0.0
 
+    @staticmethod
+    def canonical_cap(n_slots: int) -> int:
+        """ROW_BLOCK * 2^k capacity covering n_slots: every kernel that
+        closes over the capacity (flat scan, IVF place/probe, growth
+        copies) then compiles against a ~dozen-member shape family instead
+        of one shape per workload's growth history — on a tunneled TPU
+        where one remote kernel compile costs 20-40 s, recurring shapes
+        turn a bulk load's first search from a compile storm into
+        persistent-cache hits (r5: the BENCH #12 'vec ingest' was ~85%
+        compiles, not data)."""
+        blocks = max(1, (n_slots + ROW_BLOCK - 1) // ROW_BLOCK)
+        return ROW_BLOCK * (1 << (blocks - 1).bit_length())
+
     def _ensure_capacity(self, n_slots: int):
         if n_slots <= self.capacity:
             return
-        new_cap = max(ROW_BLOCK, round_up(n_slots, ROW_BLOCK))
+        new_cap = n_slots
         if self.capacity:
             new_cap = max(new_cap, 2 * self.capacity)  # amortized doubling
+        new_cap = self.canonical_cap(new_cap)
         vec = jnp.zeros((new_cap, self.d_pad), self.dtype)
         val = jnp.zeros((new_cap,), jnp.bool_)
         nrm = jnp.zeros((new_cap,), jnp.float32)
@@ -208,16 +224,18 @@ class DeviceCorpus:
             self._ensure_capacity(start + bucket)
             pad = bucket - m
             if pad:
-                host = np.concatenate(
-                    [host, np.zeros((pad, host.shape[1]), host.dtype)]
-                )
                 nrm = np.concatenate([nrm, np.zeros(pad, nrm.dtype)])
             val_block = np.zeros(bucket, np.bool_)
             val_block[:m] = True
             pos = (jnp.int32(start),)
-            self.vectors = jax.lax.dynamic_update_slice(
-                self.vectors, jnp.asarray(host), (pos[0], jnp.int32(0))
-            )
+            # vectors stream in <=H2D_CHUNK_BYTES chunks (upload_rows):
+            # one 200 MB async transfer measured 47-257 s through the
+            # tunnel vs 1.5 s as ~50 MB waves. Only the EXACT m rows ship
+            # — pad rows keep whatever bytes the buffer held (valid=False
+            # masks them everywhere, same as tombstoned slots); the 1-D
+            # arrays pad to the pow2 bucket so their tiny update programs
+            # stay a log-size shape family.
+            self.vectors = upload_rows(self.vectors, host, start)
             self.valid = jax.lax.dynamic_update_slice(
                 self.valid, jnp.asarray(val_block), pos
             )
@@ -266,7 +284,7 @@ class DeviceCorpus:
         if m == self._high and not self._free:
             return
         gather = jnp.asarray(live, jnp.int32)
-        new_cap = max(ROW_BLOCK, round_up(max(m, 1), ROW_BLOCK))
+        new_cap = self.canonical_cap(max(m, 1))  # same shape family as growth
         vec = jnp.zeros((new_cap, self.d_pad), self.dtype)
         vec = vec.at[: m].set(self.vectors[gather]) if m else vec
         val = jnp.zeros((new_cap,), jnp.bool_).at[:m].set(True) if m else jnp.zeros((new_cap,), jnp.bool_)
@@ -325,7 +343,11 @@ class DeviceCorpus:
             "dims": self.dims,
             "precision": self.precision,
             "normalize": self.normalize,
-            "vectors": np.asarray(self.vectors[:m]) if m else np.zeros((0, self.d_pad)),
+            # chunked readback: one big d2h RPC stalls like uploads do
+            "vectors": (
+                download_rows(self.vectors, m)
+                if m else np.zeros((0, self.d_pad))
+            ),
             "scales": (
                 np.asarray(self.scales[:m])
                 if self.scales is not None and m else None
@@ -345,9 +367,10 @@ class DeviceCorpus:
         if len(pks):
             m = len(pks)
             c._ensure_capacity(m)
-            # upload in the STORED dtype and convert on device — the host
-            # astype pass over a multi-GB corpus was a top open cost
-            c.vectors = c.vectors.at[:m].set(jnp.asarray(vecs).astype(c.dtype))
+            # upload in the STORED dtype, chunked (upload_rows), converting
+            # per chunk on device — the host astype pass over a multi-GB
+            # corpus was a top open cost, and one-shot transfers stall
+            c.vectors = upload_rows(c.vectors, vecs, 0, cast_to=c.dtype)
             c.valid = c.valid.at[:m].set(True)
             dq = d.get("scales")
             if c.precision == "int8":

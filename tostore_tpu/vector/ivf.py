@@ -55,7 +55,7 @@ import jax.numpy as jnp
 
 from ..models.results import VectorSearchResult
 from ..ops import distance as D
-from ..ops.runtime import NEG_INF, round_up
+from ..ops.runtime import NEG_INF, download_rows, round_up
 from .corpus import DeviceCorpus
 from .flat import _METRIC_ALIASES
 from .pq import (
@@ -715,7 +715,9 @@ class IVFVectorIndex:
 
         if self.pq_subspaces:
             x = self._stored_matrix_f32(sample)  # PQ-mode only re-gather
-            xs = np.asarray(x)[:, : c.dims]
+            # chunked readback: the 64k x 768 f32 sample is a ~200 MB d2h
+            # that stalls as one RPC (ops/runtime.py H2D_CHUNK_BYTES)
+            xs = download_rows(x, x.shape[0])[:, : c.dims]
             if self.pq_residual:
                 sl = np.asarray(
                     self._slot_cluster_device()[jnp.asarray(sample, jnp.int32)]
@@ -911,8 +913,6 @@ class IVFVectorIndex:
         state, with no lock held. Mirrors DeviceCorpus.compact; the PQ
         codebooks transfer (slices rebuild from the same centroids, so the
         residual space is unchanged)."""
-        from ..ops.runtime import ROW_BLOCK
-
         shadow = self._shadow()
         sc = shadow.corpus
         slot_pks = cap["slot_pks"]
@@ -921,7 +921,7 @@ class IVFVectorIndex:
         )
         m = len(live)
         gather = jnp.asarray(live, jnp.int32)
-        new_cap = max(ROW_BLOCK, round_up(max(m, 1), ROW_BLOCK))
+        new_cap = DeviceCorpus.canonical_cap(max(m, 1))  # growth shape family
         vec = jnp.zeros((new_cap, sc.d_pad), sc.dtype)
         val = jnp.zeros((new_cap,), jnp.bool_)
         nrm = jnp.zeros((new_cap,), jnp.float32)
