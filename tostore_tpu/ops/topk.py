@@ -104,7 +104,7 @@ from .runtime import LANE, NEG_INF, interpret_mode, round_up
 #
 # Round 5 measured BOTH named levers; BOTH lose, so the dispatch stays
 # (lane scan default, hwpr opt-in at the floor):
-#   (a) Software-pipelined Mosaic schedule (_exp_pipe.py): a variant of
+#   (a) Software-pipelined Mosaic schedule (experiments/_exp_pipe.py): a variant of
 #   the grouped-emit kernel writes block ni's biased scores to a
 #   parity-indexed VMEM scratch and runs the per-lane top-2 selection
 #   on block ni-1's tile, so the MXU dot and the VPU selection have NO
@@ -117,7 +117,7 @@ from .runtime import LANE, NEG_INF, interpret_mode, round_up
 #   in order even when independent (the MXU is fed through vector
 #   issue slots), so breaking the dependency buys nothing a Pallas
 #   kernel can cash.
-#   (b) Certified-exact hwpr (_exp_certx*.py): PartialReduce bins ARE
+#   (b) Certified-exact hwpr (experiments/_exp_certx*.py): PartialReduce bins ARE
 #   recoverable — a one-hot probe shows bin(i) = i % m with m = 32*kc
 #   stable across tiles at B >= 128, and re-scoring every row of the
 #   top-R bins (R >= k) is provably score-exact (any excluded row <=
