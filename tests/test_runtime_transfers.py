@@ -89,17 +89,27 @@ def test_download_rows_roundtrip_bf16(monkeypatch):
     np.testing.assert_array_equal(out, host[:49])
 
 
-def test_canonical_cap_is_pow2_rowblock_family():
+def test_canonical_cap_family():
     rb = rt.ROW_BLOCK
     assert DeviceCorpus.canonical_cap(1) == rb
     assert DeviceCorpus.canonical_cap(rb) == rb
     assert DeviceCorpus.canonical_cap(rb + 1) == 2 * rb
-    assert DeviceCorpus.canonical_cap(3 * rb) == 4 * rb
-    # family has log-many members up to any bound
-    caps = {DeviceCorpus.canonical_cap(n) for n in range(1, 50 * rb, 917)}
-    assert len(caps) <= 8
-    for n in (1, rb - 1, rb, 5 * rb + 3):
-        assert DeviceCorpus.canonical_cap(n) >= n
+    assert DeviceCorpus.canonical_cap(3 * rb) == 3 * rb  # <=8 blocks exact
+    # every cap covers the request with bounded overscan (<= 1/8 + block pad)
+    for n in (1, rb - 1, rb, 5 * rb + 3, 98 * rb, 10**6, 10**7 + 13):
+        cap = DeviceCorpus.canonical_cap(n)
+        assert cap >= n
+        blocks = -(-n // rb)
+        assert cap <= rb * (blocks + max(1, blocks // 8))
+    # block counts are 3-fraction-bit floats: m * 2^e with m in [8, 15]
+    for n in range(1, 400 * rb, 1237):
+        b = DeviceCorpus.canonical_cap(n) // rb
+        while b % 2 == 0 and b > 15:
+            b //= 2
+        assert 1 <= b <= 15
+    # the family stays small over a wide size range
+    caps = {DeviceCorpus.canonical_cap(n) for n in range(1, 400 * rb, 917)}
+    assert len(caps) <= 8 + 8 * 7  # 8 small + 8 mantissas per octave
 
 
 # --- PkMap.contains_many ----------------------------------------------------

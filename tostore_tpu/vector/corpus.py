@@ -106,16 +106,27 @@ class DeviceCorpus:
 
     @staticmethod
     def canonical_cap(n_slots: int) -> int:
-        """ROW_BLOCK * 2^k capacity covering n_slots: every kernel that
-        closes over the capacity (flat scan, IVF place/probe, growth
-        copies) then compiles against a ~dozen-member shape family instead
-        of one shape per workload's growth history — on a tunneled TPU
-        where one remote kernel compile costs 20-40 s, recurring shapes
-        turn a bulk load's first search from a compile storm into
+        """Canonical capacity covering n_slots: block count rounded up to a
+        3-fraction-bit float (m * 2^e blocks, m in [8, 15]). Every kernel
+        that closes over the capacity (flat scan, IVF place/probe, growth
+        copies) then compiles against a small recurring shape family
+        instead of one shape per workload's growth history — on a tunneled
+        TPU where one remote kernel compile costs 20-40 s, recurring
+        shapes turn a bulk load's first search from a compile storm into
         persistent-cache hits (r5: the BENCH #12 'vec ingest' was ~85%
-        compiles, not data)."""
+        compiles, not data). Pure powers of two would bound the family
+        harder but cost up to +100% scan overscan just above a boundary
+        (the scan reads ALL capacity rows, masked by validity bias);
+        eighth-steps cap overscan at 1/8 (~6% typical) while a monotonic
+        doubling load still touches only log-many members."""
         blocks = max(1, (n_slots + ROW_BLOCK - 1) // ROW_BLOCK)
-        return ROW_BLOCK * (1 << (blocks - 1).bit_length())
+        if blocks <= 8:
+            return ROW_BLOCK * blocks
+        e = blocks.bit_length() - 4  # blocks >> e lands in [8, 15]
+        m = (blocks + (1 << e) - 1) >> e  # ceil(blocks / 2^e)
+        if m == 16:
+            m, e = 8, e + 1
+        return ROW_BLOCK * (m << e)
 
     def _ensure_capacity(self, n_slots: int):
         if n_slots <= self.capacity:
