@@ -652,10 +652,20 @@ class ColumnStore:
     def _pack_column(self, col: Column, rows: np.ndarray) -> dict:
         """Vectorized column serialization — one fancy-index per typed
         column instead of one Python call per cell (checkpoints must be
-        O(dirty data), not O(cells) of interpreter time)."""
+        O(dirty data), not O(cells) of interpreter time). When every row
+        is live (`rows` is the dense prefix — the common append-only
+        case) typed columns pack as prefix VIEWS: zero copies here, and
+        the streaming snapshot writer (codec.dump_parts) sends the bytes
+        straight to the file. Safe because checkpoints run under the
+        engine's exclusive lock, so the views can't race mutation."""
         col._grow(self.high)
+        dense = len(rows) == self.high
         if col.np_type is not None:
+            if dense:
+                return {"data": col.data[: self.high], "null": col.null[: self.high]}
             return {"data": col.data[rows], "null": col.null[rows]}
+        if dense:
+            return {"values": col.data[: self.high].tolist()}
         return {"values": col.data[rows].tolist()}
 
     @staticmethod

@@ -2995,12 +2995,22 @@ class Database:
                 catalog.setdefault(space, {})[name] = rel
                 if force_all or self._table_dirty((space, name), t):
                     gen = t.store.generation
-                    self._storage.write_atomic(
-                        os.path.join(self.db_dir, rel),
-                        self._wrap_bytes(
-                            codec.frame(codec.dumps(self._pack_table(t)))
-                        ),
-                    )
+                    if self.config.enable_compression or self._envelope is not None:
+                        # wrap transforms need the whole payload
+                        self._storage.write_atomic(
+                            os.path.join(self.db_dir, rel),
+                            self._wrap_bytes(
+                                codec.frame(codec.dumps(self._pack_table(t)))
+                            ),
+                        )
+                    else:
+                        # default path streams: big columns ride as
+                        # zero-copy views straight into the file (O(chunk)
+                        # extra memory instead of 2x the snapshot)
+                        self._storage.write_atomic_framed(
+                            os.path.join(self.db_dir, rel),
+                            codec.dump_parts(self._pack_table(t)),
+                        )
                     self._ckpt_gens[(space, name)] = gen
                     written += 1
             # stale snap files: dropped/renamed tables

@@ -53,6 +53,18 @@ class Storage:
         replaceFileAtomic, storage_interface.dart:94)."""
         raise NotImplementedError
 
+    def write_atomic_framed(self, path: str, parts) -> None:
+        """Atomically write one CRC frame whose payload is the
+        concatenation of `parts` (an iterable of buffers, e.g.
+        codec.dump_parts). Equivalent to
+        write_atomic(path, codec.frame(b"".join(parts))) — backends that
+        can stream (FileStorage) override this to avoid materializing a
+        checkpoint-sized payload; this default keeps object/memory
+        backends trivially correct."""
+        from ..utils import codec
+
+        self.write_atomic(path, codec.frame(b"".join(parts)))
+
     def appender(self, path: str):
         """Open `path` for create-or-append streaming (WAL segments)."""
         raise NotImplementedError
@@ -128,6 +140,34 @@ class FileStorage(Storage):
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        _fsync_dir(path)
+
+    def write_atomic_framed(self, path: str, parts) -> None:
+        """True streaming: write a placeholder frame header, stream the
+        payload parts while accumulating length + CRC, then seek back and
+        patch the real header before the atomic replace. The file bytes
+        are identical to write_atomic(path, codec.frame(payload)) but
+        peak memory is O(one part), not O(snapshot) — at the 10M-row
+        soak the join-then-frame path held two extra copies of a ~GB
+        checkpoint in RAM."""
+        import zlib
+
+        from ..utils import codec
+
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(codec.FRAME_HEADER.pack(codec.FRAME_MAGIC, 0, 0))
+            n = 0
+            crc = 0
+            for p in parts:
+                f.write(p)
+                n += len(memoryview(p))
+                crc = zlib.crc32(p, crc)
+            f.seek(0)
+            f.write(codec.FRAME_HEADER.pack(codec.FRAME_MAGIC, n, crc))
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)

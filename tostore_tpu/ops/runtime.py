@@ -61,9 +61,29 @@ def enable_compile_cache() -> bool:
     try:
         if jax.config.jax_compilation_cache_dir:
             return True  # app already configured a cache — leave it alone
+        # Scope the dir by backend + host fingerprint: XLA:CPU AOT results
+        # encode the COMPILING machine's features (amx/avx512...), and a
+        # shared dir served cross-host loads that warn "could lead to
+        # SIGILL". TPU programs target the (remote) device, so backend
+        # name alone scopes them; CPU programs add a cpuinfo-flags hash.
+        backend = jax.default_backend()
+        cache_dir = "~/.cache/jax_comp"  # TPU: programs target the device
+        if backend == "cpu":
+            import hashlib
+
+            try:
+                with open("/proc/cpuinfo") as f:
+                    flags = next(
+                        (ln for ln in f if ln.startswith("flags")), ""
+                    )
+            except OSError:
+                import platform
+
+                flags = platform.machine() + platform.processor()
+            tag = "cpu-" + hashlib.sha1(flags.encode()).hexdigest()[:12]
+            cache_dir = f"~/.cache/jax_comp/{tag}"
         jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.expanduser("~/.cache/jax_comp"),
+            "jax_compilation_cache_dir", os.path.expanduser(cache_dir)
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         return True

@@ -225,6 +225,97 @@ def dumps(v) -> bytes:
     return _py_dumps(v)
 
 
+# streamed parts: ndarray payloads at least this big ride as zero-copy views
+_STREAM_BIG = 1 << 20
+# flush the glue buffer to the consumer at this size
+_STREAM_CHUNK = 8 << 20
+
+
+def dump_parts(v):
+    """Yield buffers whose concatenation is byte-identical to dumps(v).
+
+    Why: a multi-GB snapshot through dumps() materializes the whole
+    payload at least twice (encode buffer + frame copy) — on hosts with
+    ~180 us page faults (ROUND_NOTES "Environment facts") every redundant
+    pass over a checkpoint-sized buffer costs seconds, and the transient
+    doubles peak RSS at the 10M-row soak. Here big contiguous ndarrays
+    (>= 1 MB) are yielded as zero-copy memoryviews of their own memory
+    and everything else accumulates into small glue buffers, so a
+    streaming writer (Storage.write_atomic_framed) can put a snapshot on
+    disk with O(chunk) extra memory. Containers recurse; leaf values
+    reuse encode_value, which keeps the wire format defined in exactly
+    one place."""
+    buf = bytearray()
+    yield from _enc_parts(v, buf)
+    if buf:
+        yield bytes(buf)
+
+
+def _enc_parts(v, buf: bytearray):
+    if (
+        isinstance(v, np.ndarray)
+        and v.ndim == 1
+        and v.dtype == np.float32
+        and v.nbytes >= _STREAM_BIG
+    ):
+        # tag 9 (legacy f32-vector fast path) — mirror encode_value's order
+        buf.append(9)
+        _write_varint(buf, v.shape[0])
+        yield bytes(buf)
+        buf.clear()
+        a = np.ascontiguousarray(v.astype("<f4", copy=False))
+        yield memoryview(a).cast("B")
+    elif (
+        isinstance(v, np.ndarray)
+        and 1 <= v.ndim <= 255
+        and v.dtype in _DTYPE_CODES
+        and v.nbytes >= _STREAM_BIG
+    ):
+        a = np.ascontiguousarray(v)
+        if a.dtype.byteorder == ">":
+            a = a.astype(a.dtype.newbyteorder("<"))
+        buf.append(10)
+        buf.append(_DTYPE_CODES[v.dtype])
+        buf.append(a.ndim)
+        for s in a.shape:
+            _write_varint(buf, s)
+        yield bytes(buf)
+        buf.clear()
+        if a.dtype == np.dtype(ml_dtypes.bfloat16):
+            # bfloat16 refuses buffer export; the u16 view shares its bytes
+            yield memoryview(a.view(np.uint16)).cast("B")
+        else:
+            yield memoryview(a).cast("B")
+    elif isinstance(v, dict):
+        buf.append(8)
+        _write_varint(buf, len(v))
+        for k, x in v.items():
+            encode_value(str(k), buf)
+            yield from _enc_parts(x, buf)
+            if len(buf) >= _STREAM_CHUNK:
+                yield bytes(buf)
+                buf.clear()
+    elif isinstance(v, (list, tuple)) or (
+        isinstance(v, np.ndarray) and v.dtype == object
+    ):
+        if isinstance(v, np.ndarray):
+            v = v.tolist()
+        buf.append(7)
+        _write_varint(buf, len(v))
+        for x in v:
+            # leaf-encode small elements; recurse so a big array nested in
+            # a list still streams (element format is context-free)
+            if isinstance(x, (dict, list, tuple, np.ndarray)):
+                yield from _enc_parts(x, buf)
+            else:
+                encode_value(x, buf)
+            if len(buf) >= _STREAM_CHUNK:
+                yield bytes(buf)
+                buf.clear()
+    else:
+        encode_value(v, buf)
+
+
 def loads(b: bytes):
     native = _native()
     if native is not None:
